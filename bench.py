@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion (count() action) after a warm-up of the
+session; per-query time is wall-clock for plan + execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from polars_ad_etl_spark.operators import QUERIES  # noqa: E402
+from polars_ad_etl_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family (agg, joins, window, topk, setop,
+# dedup, similarity, text) — the queries a user would actually run repeatedly.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "window_rank_parts_by_revenue",
+    "window_running_customer_spend",
+    "topk_orders_by_price",
+    "agg_distinct_suppliers",
+    "dedup_exact_documents",
+    "dedup_minhash_signatures",
+    "sim_bruteforce_topk",
+    "text_quality_scores",
+    "events_hourly_rollup",
+    "etl_conform_union",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("polars-ad-etl-spark-bench")
+
+    # Warm up the JVM/session so the first measured query doesn't pay init.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Portable hashing + tokenization expressions.
+
+Engine-independent hashes are the backbone of oracle-checkable dedup: Spark's
+``hash()`` (Murmur3) and DuckDB's ``hash()`` are different algorithms, so any
+MinHash/SimHash built on them could never be verified across engines. Instead
+we derive integer hashes from **md5 hex digests**, which both engines compute
+identically:
+
+    Spark : cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint)
+    DuckDB: ('0x' || substr(md5(x), 1, 8))::UBIGINT::BIGINT
+
+Verified bit-equal across pyspark 4.1.2 and duckdb 1.0.0 (see
+tests/test_hashing.py). md5 is used as a *mixer*, not for security.
+
+At 100 TB scale the md5-per-token cost is real but embarrassingly parallel and
+stays inside whole-stage codegen (built-in expressions, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Prime > 2^32 for MinHash universal-hash permutations.
+MERSENNE_P = 4294967311
+
+
+def portable_hash32(col: Column) -> Column:
+    """First 32 bits of md5(x) as a non-negative bigint (0 .. 2^32-1)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def portable_hash32_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`portable_hash32`."""
+    return f"(('0x' || substr(md5({expr}), 1, 8))::UBIGINT)::BIGINT"
+
+
+def portable_hash60(col: Column) -> Column:
+    """First 60 bits of md5(x) as a non-negative bigint (fits signed 64)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash60_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::UBIGINT)::BIGINT"
+
+
+def minhash_perm(h32: Column, a: int, b: int) -> Column:
+    """One universal-hash permutation ``(a*h + b) mod P``. The multiply needs
+    64+ bits (a, h < 2^32), so it runs in decimal(38,0) — exact, and identical
+    to DuckDB's HUGEINT arithmetic."""
+    return (
+        (F.lit(a) * h32.cast("decimal(38,0)") + F.lit(b)) % F.lit(MERSENNE_P)
+    ).cast("long")
+
+
+def minhash_perm_sql(h_expr: str, a: int, b: int) -> str:
+    return f"((({a}::HUGEINT * {h_expr}) + {b}) % {MERSENNE_P})::BIGINT"
+
+
+def perm_constants(k: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for k MinHash permutations via a fixed LCG —
+    no RNG state, reproducible everywhere (embedded into both the Spark plan
+    and the oracle SQL)."""
+    out = []
+    x = seed
+    for _ in range(k):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = 2 * x + 1  # odd, nonzero
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = x
+        out.append((a, b))
+    return out
+
+
+# ----------------------------------------------------------- tokenization
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of lowercased text, empty tokens dropped.
+    Chosen over ``\\W+`` because whitespace semantics agree across engines for
+    non-Latin scripts (SURVEY-era gotcha: ASCII-only ``\\w`` would erase CJK)."""
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+TOKENS_SQL = (
+    "list_filter(regexp_split_to_array(lower(trim({expr})), '\\s+'), x -> x != '')"
+)
+
+
+def tokens_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`tokens`."""
+    return TOKENS_SQL.format(expr=expr)

@@ -1,0 +1,17 @@
+"""Operator/query surface for the driver harness.
+
+Importing this package populates the registry: every module below registers
+its queries (Spark callable) and, where SQL-expressible, the matching DuckDB
+oracle SQL.
+"""
+
+from polars_ad_etl_spark.operators.registry import QUERIES, ORACLES, register
+
+# populate the registry (import side effects)
+from polars_ad_etl_spark.operators import relational  # noqa: E402,F401
+from polars_ad_etl_spark.operators import etl_demo  # noqa: E402,F401
+from polars_ad_etl_spark.operators import dedup  # noqa: E402,F401
+from polars_ad_etl_spark.operators import similarity  # noqa: E402,F401
+from polars_ad_etl_spark.operators import textstats  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLES", "register"]

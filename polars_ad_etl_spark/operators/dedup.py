@@ -1,0 +1,279 @@
+"""Deduplication operators over the ``documents`` table — the LLM-training-
+data surface: exact (hash-groupBy), MinHash signatures + banded LSH candidate
+pairs, SimHash fingerprints, and n-gram Jaccard similarity. Every operator
+here is oracle-checked: the hashing is engine-portable (functions/hashing.py),
+so DuckDB computes bit-identical signatures.
+
+Scale design (100 TB):
+- exact dedup is a hash-aggregate on md5(text) — one shuffle on a 16-byte key,
+  never on the full text;
+- MinHash/LSH is the canonical near-dup path: shingle -> k permutations ->
+  min-aggregate (map-side combinable!) -> band -> bucket equi-join. The
+  bucket join replaces the O(n^2) all-pairs comparison; AQE handles hot
+  buckets (stop-word-only shingle sets) via skew-join splitting;
+- n-gram Jaccard all-pairs is intentionally the *small-scale verifier* for
+  LSH candidates; its docstring marks it as not-the-scale-path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_ad_etl_spark.functions.hashing import (
+    minhash_perm,
+    minhash_perm_sql,
+    perm_constants,
+    portable_hash32,
+    portable_hash32_sql,
+    tokens,
+    tokens_sql,
+)
+from polars_ad_etl_spark.operators.registry import register
+
+K = 16  # MinHash signature length
+BANDS = 4  # 4 bands x 4 rows
+ROWS_PER_BAND = K // BANDS
+PERMS = perm_constants(K)
+
+
+# ------------------------------------------------------------- exact dedup
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS text_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on a 16-byte content hash of normalized text, keep
+    the smallest doc_id. The shuffle key is the hash, not the document."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.groupBy(F.md5(F.lower(F.trim("text"))).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------- MinHash
+def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+
+
+_TOKENS_CTE = f"""
+    toks AS (
+        SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, {portable_hash32_sql('tok')} AS h FROM toks
+    )
+"""
+
+_SIG_SELECT = ", ".join(
+    f"MIN({minhash_perm_sql('h', a, b)}) AS mh{i}" for i, (a, b) in enumerate(PERMS)
+)
+
+MINHASH_SIG_SQL = f"""
+    WITH {_TOKENS_CTE}
+    SELECT doc_id, {_SIG_SELECT}
+    FROM hashed
+    GROUP BY doc_id
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> K-column MinHash signature. min() is map-side combinable, so
+    the shuffle carries one row per (doc, K mins), not per token."""
+    toks = _tokens_df(spark, sf_dir)
+    h = portable_hash32(F.col("tok"))
+    return toks.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_perm(h, a, b)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(PERMS)
+        ]
+    )
+
+
+register("dedup_minhash_signatures", oracle=MINHASH_SIG_SQL)(minhash_signatures)
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH sigs AS ({MINHASH_SIG_SQL})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ({' UNION ALL '.join(
+        'SELECT doc_id, ' + str(j) + ' AS band, '
+        + ', '.join(f'mh{j * ROWS_PER_BAND + r} AS h{r}' for r in range(ROWS_PER_BAND))
+        + ' FROM sigs'
+        for j in range(BANDS)
+    )}) a
+    JOIN ({' UNION ALL '.join(
+        'SELECT doc_id, ' + str(j) + ' AS band, '
+        + ', '.join(f'mh{j * ROWS_PER_BAND + r} AS h{r}' for r in range(ROWS_PER_BAND))
+        + ' FROM sigs'
+        for j in range(BANDS)
+    )}) b
+    ON a.band = b.band
+       AND {' AND '.join(f'a.h{r} = b.h{r}' for r in range(ROWS_PER_BAND))}
+       AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of any band become candidate
+    pairs via a bucket equi-join — the O(n^2) killer. Join key is
+    (band, h0..h3); AQE splits skewed buckets."""
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        *[
+                            F.col(f"mh{j * ROWS_PER_BAND + r}").alias(f"h{r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                    for j in range(BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.*")
+    a, b = bands.alias("a"), bands.alias("b")
+    cond = functools.reduce(
+        lambda x, y: x & y,
+        [F.col(f"a.h{r}") == F.col(f"b.h{r}") for r in range(ROWS_PER_BAND)],
+        F.col("a.band") == F.col("b.band"),
+    ) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    return (
+        a.join(b, cond)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------- SimHash
+_SIMHASH_BITS = 32
+
+_SIMHASH_BIT_SUMS = ", ".join(
+    f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_COMBINE = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+)
+
+SIMHASH_SQL = f"""
+    WITH {_TOKENS_CTE},
+    bitsums AS (
+        SELECT doc_id, {_SIMHASH_BIT_SUMS}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash
+    FROM bitsums
+"""
+
+
+@register("dedup_simhash_documents", oracle=SIMHASH_SQL)
+def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: for each bit, sum +1/-1 over the token
+    hashes; bit set where the sum is positive. Near-dups differ in few bits
+    (pairing by Hamming distance is then a band join like MinHash-LSH).
+    The per-bit sums are plain aggregates — map-side combinable."""
+    toks = _tokens_df(spark, sf_dir)
+    h = portable_hash32(F.col("tok"))
+    bitsums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    combined = functools.reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0)
+            for b in range(_SIMHASH_BITS)
+        ],
+    )
+    return bitsums.select("doc_id", combined.cast("long").alias("simhash"))
+
+
+# --------------------------------------------------------- n-gram Jaccard
+_SHINGLES_SPARK = """
+    CASE WHEN size(toks) >= 3 THEN
+        transform(sequence(0, size(toks) - 3),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+    ELSE array() END
+"""
+
+_SHINGLES_DUCK = (
+    "[array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)]"
+)
+
+NGRAM_JACCARD_SQL = f"""
+    WITH tokarr AS (
+        SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    shingle AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM tokarr
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+    FROM inter
+    JOIN cnt ca ON doc_a = ca.doc_id
+    JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.1
+"""
+
+
+@register("dedup_ngram_jaccard_pairs", oracle=NGRAM_JACCARD_SQL)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard similarity via shingle equi-join. NOTE: this is the
+    *verifier* semantics — at 100 TB the candidate generation must come from
+    MinHash-LSH (above); joining on raw shingles explodes on common n-grams.
+    Shingles (not unigrams) keep the join fan-out tolerable here."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shingle = (
+        d.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
+        .distinct()
+    )
+    cnt = shingle.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = shingle.alias("a"), shingle.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("ca.n") + F.col("cb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.1)
+    )

@@ -1,0 +1,511 @@
+"""Generic relational operator surface (SURVEY §7.1 M4): the operator families
+the reference lacks but a complete engine needs — joins (broadcast /
+shuffle / semi / anti), aggregations (group-by, distinct, rollup, cube),
+windows (rank, lag/lead, running frames), sort/limit/top-k, set ops, scalar
+string/date/conditional expression programs.
+
+Scale notes baked into each query:
+- dimension joins (region/nation/supplier/customer-at-small-sf) are marked
+  ``F.broadcast`` — at 100 TB the fact side never shuffles for those;
+- fact-fact joins (orders x lineitem) stay sort-merge/shuffle-hash on the
+  join key, which AQE re-plans at runtime;
+- aggregations use map-side partial aggregation automatically (hash agg);
+  decimal-exact sums keep results partition-order-independent, so scale-out
+  changes nothing about the answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from polars_ad_etl_spark.functions.exact import davg, davg_sql, dsum, dsum_sql
+from polars_ad_etl_spark.operators.registry import register
+from polars_ad_etl_spark.sources.star import load_events
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _revenue():
+    # built lazily: constructing Columns requires an active SparkSession
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+# --------------------------------------------------------------------- q1
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql(REVENUE_SQL)} AS sum_disc_price,
+           {dsum_sql(f'{REVENUE_SQL} * (1 + l_tax)')} AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           {davg_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the flagship aggregate. One scan, hash aggregation
+    with map-side combine; only l_* columns in ReadSchema."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(_revenue()).alias("sum_disc_price"),
+            dsum(_revenue() * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- q3
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           {dsum_sql(REVENUE_SQL)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> broadcast, fact-fact join on
+    the order key, group, top-10 (unique total order for determinism)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_revenue()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------- q5
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {dsum_sql(REVENUE_SQL)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: five-way join; all dimension sides broadcast, the
+    single fact-fact join (orders x lineitem) carries the shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(_revenue()).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------- q10
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           {dsum_sql(REVENUE_SQL)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_revenue()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ------------------------------------------------------------- semi / anti
+@register(
+    "join_semi_big_lineitems",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+    """,
+)
+def join_semi_big_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join == EXISTS; no payload columns move from the right side."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(l, o.o_orderkey == l.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ------------------------------------------------------------ distinct aggs
+@register(
+    "agg_distinct_suppliers",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_rollup_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql(REVENUE_SQL)} AS revenue, COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        dsum(_revenue()).alias("revenue"), F.count("*").alias("n_rows")
+    )
+
+
+@register(
+    "agg_cube_quantity",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty, COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_rows")
+    )
+
+
+# ---------------------------------------------------------------- windows
+@register(
+    "window_rank_parts_by_revenue",
+    oracle=f"""
+    SELECT * FROM (
+        SELECT l_returnflag, l_partkey, revenue,
+               RANK() OVER (PARTITION BY l_returnflag
+                            ORDER BY revenue DESC, l_partkey) AS rnk
+        FROM (
+            SELECT l_returnflag, l_partkey, {dsum_sql(REVENUE_SQL)} AS revenue
+            FROM lineitem GROUP BY l_returnflag, l_partkey
+        )
+    ) WHERE rnk <= 5
+    """,
+)
+def window_rank_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 parts per return flag: group-then-window. The window reuses the
+    groupBy's hash partitioning on l_returnflag — one shuffle, not two."""
+    l = _t(spark, sf_dir, "lineitem")
+    by_part = l.groupBy("l_returnflag", "l_partkey").agg(dsum(_revenue()).alias("revenue"))
+    w = W.partitionBy("l_returnflag").orderBy(F.col("revenue").desc(), "l_partkey")
+    return by_part.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") <= 5)
+
+
+@register(
+    "window_running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total frame; decimal accumulation makes the prefix sums exact,
+    so the result is identical under any partitioning."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_lead_events",
+    oracle="""
+    SELECT event_id, user_id,
+           LAG(value)       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    """,
+)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+# ------------------------------------------------------------ sort / top-k
+@register(
+    "topk_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit compiles to TakeOrderedAndProject — a per-partition
+    top-k + merge on the driver, never a full sort at scale."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    ).limit(15)
+
+
+# ---------------------------------------------------------------- set ops
+@register(
+    "setop_nations_with_both",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "setop_customer_only_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT (distinct) semantics, like SQL EXCEPT
+
+
+@register(
+    "setop_union_all_keys",
+    oracle="""
+    SELECT nationkey, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey
+    """,
+)
+def setop_union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).groupBy("nationkey").agg(F.count("*").alias("n"))
+
+
+# ----------------------------------------------------- scalar expr programs
+@register(
+    "string_functions_part",
+    oracle=r"""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LENGTH(p_name) AS name_len,
+           regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+           p_brand || '|' || p_type AS brand_type,
+           SUBSTRING(p_type, 1, 4) AS type_prefix,
+           REPLACE(p_name, ' ', '_') AS name_snake,
+           TRIM(LOWER(p_name)) AS name_lower
+    FROM part
+    """,
+)
+def string_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.5 string-function family (trim/replace/extract/concat/substr)
+    as one whole-stage-codegen'd projection."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.trim(F.lower("p_name")).alias("name_lower"),
+    )
+
+
+@register(
+    "date_functions_orders",
+    oracle=f"""
+    SELECT YEAR(o_orderdate) AS order_year,
+           MONTH(o_orderdate) AS order_month,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)
+    """,
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    ).agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+
+
+@register(
+    "case_when_event_buckets",
+    oracle=f"""
+    SELECT event_type,
+           CASE WHEN value IS NULL THEN 'none'
+                WHEN value < 50 THEN 'low'
+                WHEN value < 150 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def case_when_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.4 when-chain family over the events table."""
+    e = load_events(spark, sf_dir)
+    bucket = (
+        F.when(F.col("value").isNull(), F.lit("none"))
+        .when(F.col("value") < 50, F.lit("low"))
+        .when(F.col("value") < 150, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    return e.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("n"), dsum("value").alias("total_value")
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling-window rollup via F.window — same shape the streaming
+    slice runs incrementally (streaming/events.py)."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -1,0 +1,169 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``, 64-dim).
+
+Two paths, mirroring how ANN is actually deployed:
+
+- **Brute-force cosine top-k** — the exactness baseline. Query side is tiny
+  and broadcast; the candidate scan is embarrassingly parallel. At 100 TB
+  this is the per-bucket inner loop, not the global strategy.
+- **Sign-LSH bucketed top-k** — the scale path: 8 deterministic +-1
+  hyperplanes hash every vector into one of 256 buckets; search compares only
+  within the query's bucket (a bucket equi-join). Recall trades against the
+  number of planes/tables; the bucketing is a plain groupable integer so the
+  whole thing shuffles once on (bucket).
+
+Scores are rounded to 4 decimals in both engines (summation-order noise is
+~1e-12; ranking tie-breaks on neighbor id), which makes the top-k fully
+deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from polars_ad_etl_spark.functions.vectors import (
+    cosine,
+    hyperplane_signs,
+    signed_projection,
+)
+from polars_ad_etl_spark.operators.registry import register
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 10
+N_PLANES = 8
+DIM = 64
+
+_COS_SQL = (
+    "round(list_dot_product(qe, ce) / "
+    "(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 4)"
+)
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+    scored AS (
+        SELECT qid, cid, {_COS_SQL} AS cos
+        FROM q CROSS JOIN c
+        WHERE cid != qid
+    ),
+    ranked AS (
+        SELECT qid AS query_id, cid AS neighbor_id, cos AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for each query vector, query side broadcast."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+# ------------------------------------------------------------ sign-LSH path
+_PLANES = [hyperplane_signs(p, DIM) for p in range(N_PLANES)]
+
+
+def _bucket_expr(emb: F.Column) -> F.Column:
+    """256-way bucket id: bit p set when dot(emb, plane_p) >= 0."""
+    bits = [
+        F.when(signed_projection(emb, _PLANES[p]) >= 0, F.lit(1 << p)).otherwise(0)
+        for p in range(N_PLANES)
+    ]
+    return functools.reduce(lambda a, b: a + b, bits).cast("int")
+
+
+def _bucket_sql(col: str) -> str:
+    terms = []
+    for p in range(N_PLANES):
+        arr = "[" + ", ".join(f"{s}.0" for s in _PLANES[p]) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({col}::DOUBLE[], {arr}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+@register(
+    "sim_lsh_bucketed_topk",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe, bucket FROM bucketed WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS cid, e AS ce, bucket FROM bucketed),
+    scored AS (
+        SELECT qid, cid,
+               round(list_dot_product(qe, ce) /
+                     (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 4) AS cos
+        FROM q JOIN c USING (bucket)
+        WHERE cid != qid
+    ),
+    ranked AS (
+        SELECT qid AS query_id, cid AS neighbor_id, cos AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    The bucket id is computed in one projection (no shuffle), and the
+    candidate join is a plain equi-join on a small int key."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bucketed = e.select(
+        "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "bucket",
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )

@@ -1,0 +1,213 @@
+"""Text analysis over the ``documents`` table: quality scoring, token
+counting, term frequencies, n-gram-heuristic language ID, and rolling-hash
+document fingerprints. All pure built-in expressions (whole-stage codegen) —
+no Python UDFs — and every query is oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_ad_etl_spark.functions.hashing import tokens, tokens_sql
+from polars_ad_etl_spark.operators.registry import register
+
+PUNCT_CLASS = "[.,!?;:]"
+
+# Small disjoint stopword marker sets per language (heuristic language ID).
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "les", "et", "est"),
+    "es": ("el", "los", "las", "y"),
+}
+STOPWORDS = tuple(w for ws in LANG_MARKERS.values() for w in ws)
+
+
+def _in_list_sql(words: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+# ------------------------------------------------------------ quality score
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, text, {tokens_sql('text')} AS toks FROM documents
+    )
+    SELECT doc_id, lang,
+           LENGTH(text) AS n_chars,
+           len(toks) AS n_tokens,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(toks, x -> length(x) >= 4)) AS DOUBLE)
+                     / len(toks) END AS long_token_ratio,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '{PUNCT_CLASS}', '', 'g'))
+                AS DOUBLE) / GREATEST(LENGTH(text), 1) AS punct_ratio,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(toks, x -> x IN {_in_list_sql(STOPWORDS)}))
+                          AS DOUBLE) / len(toks) END AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword quality signals — the cheap filters an
+    LLM-data pipeline applies before any model-based scoring."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = d.select("doc_id", "lang", "text", tokens(F.col("text")).alias("toks"))
+    n_toks = F.size("toks")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    return t.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        F.when(n_toks == 0, F.lit(0.0))
+        .otherwise(
+            F.size(F.filter(F.col("toks"), lambda x: F.length(x) >= 4)).cast("double")
+            / n_toks
+        )
+        .alias("long_token_ratio"),
+        (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
+            ).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("punct_ratio"),
+        F.when(n_toks == 0, F.lit(0.0))
+        .otherwise(
+            F.size(
+                F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x))
+            ).cast("double")
+            / n_toks
+        )
+        .alias("stopword_ratio"),
+    )
+
+
+# -------------------------------------------------------- term frequencies
+@register(
+    "text_term_frequencies",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({tokens_sql('text')}) AS tok FROM documents
+    )
+    SELECT tok, COUNT(*) AS n
+    FROM toks GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 50
+    """,
+)
+def text_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide term frequency top-50 (explode -> count -> top-k; the
+    count is map-side combinable, the top-k is TakeOrderedAndProject)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(50)
+    )
+
+
+# ------------------------------------------------------------- language ID
+_CJK_SPARK = "[一-鿿]"
+_CJK_DUCK = r"[\x{4E00}-\x{9FFF}]"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, text, {tokens_sql('text')} AS toks FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               regexp_matches(text, '{_CJK_DUCK}') AS has_cjk,
+               len(list_filter(toks, x -> x IN {_in_list_sql(LANG_MARKERS['en'])})) AS s_en,
+               len(list_filter(toks, x -> x IN {_in_list_sql(LANG_MARKERS['de'])})) AS s_de,
+               len(list_filter(toks, x -> x IN {_in_list_sql(LANG_MARKERS['fr'])})) AS s_fr,
+               len(list_filter(toks, x -> x IN {_in_list_sql(LANG_MARKERS['es'])})) AS s_es
+        FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN has_cjk THEN 'zh'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS predicted,
+           (CASE WHEN has_cjk THEN 'zh'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END) = lang AS is_correct
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (CJK codepoint check for zh, stopword votes
+    for en/de/fr/es) with a fixed tie-break order — deterministic, and graded
+    against the gold ``lang`` column."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = d.select("doc_id", "lang", "text", tokens(F.col("text")).alias("toks"))
+
+    def score(words: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(F.col("toks"), lambda x: F.array_contains(arr, x)))
+
+    scored = t.select(
+        "doc_id",
+        "lang",
+        F.col("text").rlike(_CJK_SPARK).alias("has_cjk"),
+        score(LANG_MARKERS["en"]).alias("s_en"),
+        score(LANG_MARKERS["de"]).alias("s_de"),
+        score(LANG_MARKERS["fr"]).alias("s_fr"),
+        score(LANG_MARKERS["es"]).alias("s_es"),
+    )
+    predicted = (
+        F.when(F.col("has_cjk"), F.lit("zh"))
+        .when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es")),
+            F.lit("en"),
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_es")), F.lit("de"))
+        .when(F.col("s_fr") >= F.col("s_es"), F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        predicted.alias("predicted"),
+        (predicted == F.col("lang")).alias("is_correct"),
+    )
+
+
+# ----------------------------------------------------- rolling fingerprint
+@register(
+    "text_doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   [ascii(c)::BIGINT for c in regexp_split_to_array(text, '')]),
+               (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+    FROM documents
+    WHERE LENGTH(text) > 0
+    """,
+)
+def text_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash (base 31, mod 2^31-1) over the document's
+    codepoints — a compact content fingerprint. Verified bit-equal across
+    engines (ascii() returns the codepoint in both)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fingerprint = F.aggregate(
+        F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 2147483647,
+    )
+    return d.filter(F.length("text") > 0).select(
+        "doc_id", fingerprint.alias("fingerprint")
+    )

@@ -1,0 +1,84 @@
+"""Tabular file sources: directory iteration + extension dispatch.
+
+Reference behavior (``multi_source_ad_etl.py:96-108``): enumerate ``raw_dir``,
+read ``.csv`` and ``.xlsx`` files with full-file schema inference, raise if
+nothing matched. Spark mapping:
+
+- CSV: ``spark.read.csv(header=True, inferSchema=True)`` — Spark's inference
+  also passes over the data, matching the reference's
+  ``infer_schema_length=None`` semantics. Production path at scale: pass an
+  explicit ``schema`` to skip the inference pass entirely.
+- Excel: no native Spark reader in this environment; driver-side
+  ``pandas.read_excel`` -> ``spark.createDataFrame``. Ad reports are small —
+  this connector is documented as driver-bounded (SURVEY §7.3), and the import
+  is gated so missing engine deps degrade to a clear error.
+
+Per-file reads are required because source detection is schema-based
+(set-of-columns). At 100k-file scale, detection should read headers only —
+``read_csv_header`` does that with a single-line driver read — after which
+same-source files can be globbed into one scan.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class EmptyDirectoryError(FileNotFoundError):
+    """No readable tabular files found (reference ``multi_source_ad_etl.py:103-107``)."""
+
+
+def read_csv(
+    spark: SparkSession, path: str | Path, schema: T.StructType | None = None
+) -> DataFrame:
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(str(path))
+
+
+def read_excel(spark: SparkSession, path: str | Path) -> DataFrame:
+    """Driver-side xlsx read. Gated: raises a clear error when no engine dep
+    (openpyxl/fastexcel equivalent) is available in the environment."""
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path)  # needs openpyxl/xlrd at runtime
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            f"xlsx connector needs a pandas excel engine (openpyxl): {exc}"
+        ) from exc
+    return spark.createDataFrame(pdf)
+
+
+def read_csv_header(path: str | Path) -> list[str]:
+    """Read only the header line of a CSV (for schema-based source detection
+    at scale — O(1) bytes per file instead of a full inference pass)."""
+    import csv
+
+    with open(path, newline="", encoding="utf-8-sig") as fh:
+        return next(csv.reader(fh))
+
+
+def read_tabular_dir(
+    spark: SparkSession,
+    raw_dir: str | Path,
+    schema: T.StructType | None = None,
+) -> list[tuple[str, DataFrame]]:
+    """Enumerate + dispatch. Returns ``(path, DataFrame)`` pairs in sorted
+    path order (deterministic, like the reference's directory iteration)."""
+    raw = Path(raw_dir)
+    out: list[tuple[str, DataFrame]] = []
+    for p in sorted(raw.iterdir()) if raw.is_dir() else []:
+        if p.suffix.lower() == ".csv":
+            out.append((str(p), read_csv(spark, p, schema)))
+        elif p.suffix.lower() in (".xlsx", ".xls"):
+            out.append((str(p), read_excel(spark, p)))
+    if not out:
+        raise EmptyDirectoryError(f"no .csv/.xlsx files found in {raw_dir}")
+    return out

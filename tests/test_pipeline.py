@@ -1,0 +1,119 @@
+"""Golden end-to-end pipeline tests (SURVEY §5.2-2): synthetic raw CSVs per
+source shaped like the mappings declare -> full 6-stage chain -> expected
+standardized union."""
+
+import datetime as dt
+
+import pytest
+
+from polars_ad_etl_spark.plans import MultiSourceAdETL, PipelineConfig
+from polars_ad_etl_spark.plans.schema import Date, Float64, Int64, String
+from polars_ad_etl_spark.functions.cleaners import (
+    clean_x_avg_frequency,
+    remove_tiktok_total_row,
+)
+from polars_ad_etl_spark.sources.tabular import EmptyDirectoryError
+
+META_CSV = """day,campaign name,amount spent (usd),impressions,purchases conversion value
+2024-01-01,alpha,10.5,100,50.0
+2024-01-02,beta,20.0,200,70.5
+"""
+
+# The "Total of N days" summary marker lives in the raw FIRST column; after
+# the Source column is prepended at assign_source, the positional cleaner's
+# columns[1] lands exactly there (reference data_clean_lib.py:16 +
+# multi_source_ad_etl.py:144-146 ordering).
+TIKTOK_CSV = """by day,campaign name,cost,impressions
+2024-01-01,gamma,5.25,50
+Total of 2 days,total,25.25,250
+2024-01-03,delta,7.75,70
+"""
+
+
+@pytest.fixture()
+def config():
+    return PipelineConfig(
+        rename_config={
+            "Meta": {
+                "Day": "Day",
+                "Campaign name": "Campaign name",
+                "Amount spent (usd)": "Amount spent (USD)",
+                "Impressions": "Impressions",
+                "Purchases conversion value": "Purchases conversion value",
+            },
+            "TikTok": {
+                "By day": "Day",
+                "Campaign name": "Campaign name",
+                "Cost": "Amount spent (USD)",
+                "Impressions": "Impressions",
+            },
+        },
+        standard_schema={
+            "Day": Date,
+            "Source": String,
+            "Campaign name": String,
+            "Amount spent (USD)": Float64,
+            "Impressions": Int64,
+            "Purchases conversion value": Float64,
+        },
+        source_config={
+            "Meta": ["Day", "Purchases conversion value"],
+            "TikTok": ["By day", "Cost"],
+        },
+        cleaner_config={"TikTok": remove_tiktok_total_row},
+    )
+
+
+@pytest.fixture()
+def raw_dir(tmp_path):
+    (tmp_path / "meta_export.csv").write_text(META_CSV)
+    (tmp_path / "tiktok_export.csv").write_text(TIKTOK_CSV)
+    return tmp_path
+
+
+def test_full_chain(spark, config, raw_dir):
+    out = MultiSourceAdETL(spark, config).run(raw_dir)
+    # exact standard schema, in config dict order
+    assert out.columns == [
+        "Day",
+        "Source",
+        "Campaign name",
+        "Amount spent (USD)",
+        "Impressions",
+        "Purchases conversion value",
+    ]
+    assert dict(out.dtypes) == {
+        "Day": "date",
+        "Source": "string",
+        "Campaign name": "string",
+        "Amount spent (USD)": "double",
+        "Impressions": "bigint",
+        "Purchases conversion value": "double",
+    }
+    rows = sorted(out.collect(), key=lambda r: (r["Day"], r["Source"]))
+    # TikTok Total row removed; 2 Meta + 2 TikTok survive
+    assert len(rows) == 4
+    assert [r["Source"] for r in rows] == ["Meta", "TikTok", "Meta", "TikTok"]
+    tiktok_first = rows[1]
+    assert tiktok_first["Day"] == dt.date(2024, 1, 1)
+    assert tiktok_first["Amount spent (USD)"] == 5.25
+    # TikTok lacks "Purchases conversion value" -> typed null (P4)
+    assert tiktok_first["Purchases conversion value"] is None
+
+
+def test_unknown_source_raises(spark, config, tmp_path):
+    (tmp_path / "mystery.csv").write_text("a,b\n1,2\n")
+    etl = MultiSourceAdETL(spark, config)
+    with pytest.raises(ValueError, match="no configured source"):
+        etl.run(tmp_path)
+
+
+def test_empty_dir_raises(spark, config, tmp_path):
+    with pytest.raises(EmptyDirectoryError):
+        MultiSourceAdETL(spark, config).run(tmp_path)
+
+
+def test_capitalize_stage(spark, config):
+    df = spark.createDataFrame([(1,)], ["aMOUNT SPENT (usd)"])
+    etl = MultiSourceAdETL(spark, config).with_frames([(None, df)])
+    assert etl.capitalize_col_names().frames[0].df.columns == ["Amount spent (usd)"]
