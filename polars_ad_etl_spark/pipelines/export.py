@@ -1,0 +1,23 @@
+"""Shared export step for the daily pipelines: CSV with UTF-8 BOM, named
+``{prefix}_{min_date}–{max_date}.csv`` from the first Date column — the export
+loop every reference script ends with (e.g. ``scripts/manaboo_daily.py:108``,
+``:145``). The Sheets upload leg is available via sources.sheets (driver-side,
+credential-gated)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+from polars_ad_etl_spark.sinks.csv_bom import write_csv_bom
+from polars_ad_etl_spark.utils import make_date_filename
+
+
+def export_daily(df: DataFrame, prefix: str, processed_dir: str | Path) -> str:
+    """Write the merged pipeline result; returns the output path. Note the
+    filename is always joined to ``processed_dir`` (the reference's apsl
+    script accidentally writes to CWD — SURVEY §2.12 treats joined as the
+    intended behavior)."""
+    out = Path(processed_dir) / make_date_filename(df, prefix)
+    return write_csv_bom(df, out)
