@@ -509,3 +509,45 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "events_session_windows",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM ordered
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS session_value
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via the native session_window operator (30-minute
+    inactivity gap) — the batch twin of streaming/events.py::sessionize_stream.
+    The oracle re-derives identical sessions with the classic lag-gap-cumsum
+    program, proving the operator's merge semantics."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )

@@ -1,0 +1,13 @@
+from polars_ad_etl_spark.streaming.events import (
+    read_events_stream,
+    hourly_rollup_stream,
+    sessionize_stream,
+    dedup_events_stream,
+)
+
+__all__ = [
+    "read_events_stream",
+    "hourly_rollup_stream",
+    "sessionize_stream",
+    "dedup_events_stream",
+]

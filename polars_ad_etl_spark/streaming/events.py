@@ -1,0 +1,114 @@
+"""Structured Streaming slice over the events table (SURVEY §7.1 M6).
+
+The reference has no streaming surface; this is the Spark-native extension:
+``readStream`` -> event-time windowed aggregation with watermarked late-data
+handling -> sink. Every streaming query here has a batch-equivalent registered
+in the oracle harness (``events_hourly_rollup``, ``events_session_windows``),
+so the streaming path is validated against the same DuckDB answers by running
+it to completion on the static table (tests/test_streaming.py).
+
+Scale notes: state size is bounded by the watermark horizon; the windowed
+aggregation state key is (window, event_type) — low cardinality; the
+sessionization and dedup operators key state by user/event id and rely on
+watermark expiry to keep state from growing without bound on an unbounded
+stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Schema of the events table with ts already normalized to micros NTZ
+# (sources/star.py::load_events does this for batch; for streaming we read the
+# raw nanos as long and do the same conversion in the plan).
+RAW_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+# Streaming watermarks require TIMESTAMP (with local tz), not NTZ — so the
+# stream path works on LTZ instants with the session pinned to UTC, and window
+# bounds are cast back to NTZ at the output so results line up with the batch
+# twins (which are NTZ end-to-end).
+_TS_EXPR = "timestamp_micros(ts div 1000)"
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events parquet (in production: Kafka —
+    same downstream plan). Explicit schema: streaming sources never infer."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        # the file source wants a directory; glob-filter to the events table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(str(sf_dir))
+    )
+    return raw.withColumn("ts", F.expr(_TS_EXPR))
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window x event_type counts/sums — the streaming twin of
+    the batch ``events_hourly_rollup`` oracle query. The watermark bounds both
+    late data admission and aggregation state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of inactivity.
+    Uses the native ``session_window`` operator — state merges adjacent
+    events server-side, no custom state store code."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
+                "session_value"
+            ),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming dedup on event_id within the watermark horizon —
+    ``dropDuplicatesWithinWatermark`` keys state by id and expires it with
+    the watermark, so state stays bounded on an unbounded stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
