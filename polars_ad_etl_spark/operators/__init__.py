@@ -13,5 +13,6 @@ from polars_ad_etl_spark.operators import etl_demo  # noqa: E402,F401
 from polars_ad_etl_spark.operators import dedup  # noqa: E402,F401
 from polars_ad_etl_spark.operators import similarity  # noqa: E402,F401
 from polars_ad_etl_spark.operators import textstats  # noqa: E402,F401
+from polars_ad_etl_spark.operators import multimodal  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -1,0 +1,110 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched Pandas UDFs over
+``mapInPandas``.
+
+The decode step itself (image decode / resize / frame sampling) needs codec
+libraries this container doesn't ship, so it is STUBBED behind
+``decode_media`` — either a clearly-marked NotImplementedError (real mode) or
+a deterministic fake (test mode). Everything Spark-side is real and tested:
+schema (binary + metadata struct), partition-sized Arrow batches, UDF
+signatures, and the feature-extraction pipeline shape.
+
+Scale notes: media blobs ride the fact table as binary columns; the batch
+iterator shape of ``mapInPandas`` means one Arrow batch in flight per task —
+memory stays bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+regardless of blob sizes. Feature extraction emits fixed-width vectors, so
+downstream similarity/dedup reuse the embeddings operators unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_ad_etl_spark.operators.registry import register
+
+MEDIA_SCHEMA = (
+    "doc_id long, blob binary, media_type string, n_bytes long, checksum string"
+)
+FEATURE_SCHEMA = "doc_id long, media_type string, n_bytes long, feature array<float>"
+FEATURE_DIM = 8
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a media-shaped table from the documents table: the text bytes
+    stand in for an encoded media payload (binary column + typed metadata) —
+    the real pipeline would read blobs from object storage the same way."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blob = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        blob.alias("blob"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.octet_length("text").alias("n_bytes"),
+        F.md5(blob).alias("checksum"),
+    )
+
+
+def decode_media(blob: bytes, media_type: str, fake: bool = True) -> list[float]:
+    """STUB decode. Real mode would dispatch to PIL/librosa/pyav — none of
+    which are installed here — so ``fake=False`` raises loudly rather than
+    pretending. Fake mode derives a deterministic fixed-width feature vector
+    from the bytes, preserving the exact dataflow shape of a real extractor."""
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires codec libraries (PIL/librosa/pyav) "
+            "not present in this environment"
+        )
+    if blob is None or len(blob) == 0:
+        return [0.0] * FEATURE_DIM
+    step = max(len(blob) // FEATURE_DIM, 1)
+    return [float(blob[min(i * step, len(blob) - 1)]) / 255.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, Arrow batches out.
+    The UDF is a per-partition iterator — blobs never round-trip through the
+    driver and batch memory is bounded."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature": [
+                        decode_media(b, t)
+                        for b, t in zip(pdf["blob"], pdf["media_type"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           strlen(text) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM-side half of the media pipeline (blob sizing, checksums, type
+    tagging) — oracle-checked; the Python decode half is covered by
+    tests/test_multimodal.py."""
+    return media_table(spark, sf_dir).select(
+        "doc_id", "media_type", "n_bytes", "checksum"
+    )
