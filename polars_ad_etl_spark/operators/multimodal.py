@@ -47,7 +47,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             (F.col("doc_id") % 3 + 1).cast("int"),
         ).alias("media_type"),
-        F.octet_length("text").alias("n_bytes"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
         F.md5(blob).alias("checksum"),
     )
 
