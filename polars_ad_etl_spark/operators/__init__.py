@@ -14,5 +14,7 @@ from polars_ad_etl_spark.operators import dedup  # noqa: E402,F401
 from polars_ad_etl_spark.operators import similarity  # noqa: E402,F401
 from polars_ad_etl_spark.operators import textstats  # noqa: E402,F401
 from polars_ad_etl_spark.operators import multimodal  # noqa: E402,F401
+from polars_ad_etl_spark.operators import relational2  # noqa: E402,F401
+from polars_ad_etl_spark.operators import asof  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

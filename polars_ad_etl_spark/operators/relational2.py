@@ -1,0 +1,286 @@
+"""Advanced relational coverage: more TPC-H query shapes (selective scan-agg,
+EXISTS, conditional two-way aggregation, promo-ratio, HAVING-via-subquery,
+disjunctive join predicates), pivot, grouping sets, and exact percentiles.
+
+Same determinism discipline as relational.py: decimal-exact float sums,
+unique total orders under every LIMIT, shared aliases with the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_ad_etl_spark.functions.exact import dsum, dsum_sql
+from polars_ad_etl_spark.operators.registry import register
+from polars_ad_etl_spark.operators.relational import _revenue, _t, REVENUE_SQL
+
+
+# ---------------------------------------------------------------- q6 shape
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + global aggregate —
+    the query where predicate pushdown and codegen matter most; no shuffle
+    at all beyond the final single-row combine."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------- q4 shape
+@register(
+    "q4_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join, then a
+    low-cardinality count."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------- q12 shape
+@register(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + two-way conditional count aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------- q14 shape
+@register(
+    "q14_promo_revenue_ratio",
+    oracle=f"""
+    SELECT 100.0 * {dsum_sql(f"CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} ELSE 0.0 END")}
+               / {dsum_sql(REVENUE_SQL)} AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-07-01'
+    """,
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast dim join + ratio of two exact sums (the
+    division of two bit-identical doubles is itself bit-identical)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg((F.lit(100.0) * dsum(promo) / dsum(_revenue())).alias("promo_revenue_pct"))
+    )
+
+
+# --------------------------------------------------------------- q18 shape
+@register(
+    "q18_large_volume_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    HAVING {dsum_sql('l_quantity')} > 250
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-filter (HAVING) + top-k on the aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------- q19 shape
+@register(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {dsum_sql(REVENUE_SQL)} AS revenue, COUNT(*) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#21' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 40)
+       OR (p_type = 'PROMO' AND l_quantity >= 40)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive branches over a join —
+    the optimizer extracts the common join key so it's still one equi-join,
+    not a cartesian."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 40))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dsum(_revenue()).alias("revenue"), F.count("*").alias("n_rows"))
+    )
+
+
+# -------------------------------------------------------------------- pivot
+@register(
+    "pivot_quantity_by_status",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,
+           {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_quantity_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (never let pivot scan for distinct
+    values at scale — that's an extra job over the fact table)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity"))
+    )
+
+
+# ----------------------------------------------------------- grouping sets
+@register(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql(REVENUE_SQL)} AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping sets (beyond rollup/cube) via the SQL surface —
+    Catalyst expands to a single Expand + hash aggregate, one scan."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum_sql(REVENUE_SQL)} AS revenue
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ------------------------------------------------------------- percentiles
+@register(
+    "stats_percentiles_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def stats_percentiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (matches DuckDB's
+    quantile_cont; rounded to absorb interpolation-arithmetic ulps).
+    The approximate sibling for 100 TB is approx_percentiles_orders."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.50), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.90), 4).alias("p90"),
+    )
+
+
+# ------------------------------------------------- approximate aggregations
+@register("approx_stats_orders")  # no oracle: approximate by construction
+def approx_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch family for 100 TB interactive work: HLL distinct counts and
+    quantile sketches — single pass, mergeable, bounded memory. Inherently
+    engine-specific, so this entry takes the rows-only check."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )

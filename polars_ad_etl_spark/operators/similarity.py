@@ -167,3 +167,30 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# ------------------------------------------------------------- centroids
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, i - 1 AS dim,
+           CAST(SUM(CAST(embedding[i]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE)
+               / COUNT(*) AS centroid
+    FROM embeddings, generate_series(1, 64) AS t(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension) — the k-means /
+    IVF coarse-quantizer building block. posexplode keeps it one shuffle on
+    (label, dim) with map-side partial sums; decimal-exact so the centroid is
+    independent of row order."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            (F.sum(F.col("v").cast("double").cast("decimal(30,12)")).cast("double") / F.count("*"))
+            .alias("centroid")
+        )
+    )
