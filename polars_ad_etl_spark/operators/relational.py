@@ -93,8 +93,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter -> broadcast, fact-fact join on
-    the order key, group, top-10 (unique total order for determinism)."""
+    """TPC-H Q3 shape: fact-fact join on the order key, group, top-10
+    (unique total order for determinism). No broadcast hints on customer:
+    it scales with SF, so the build side is Catalyst's stats-based call
+    (auto-broadcast at small SF, sort-merge at 100 TB)."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
@@ -104,7 +106,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(_revenue()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "l_orderkey")
@@ -130,8 +132,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: five-way join; all dimension sides broadcast, the
-    single fact-fact join (orders x lineitem) carries the shuffle."""
+    """TPC-H Q5 shape: five-way join. Only the fixed-size dims
+    (nation=25, region=5 rows at any SF) carry explicit broadcast hints;
+    customer/supplier scale with SF and are left to stats + AQE."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -143,11 +146,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(
-            F.broadcast(s),
-            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
-        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")

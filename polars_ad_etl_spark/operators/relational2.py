@@ -118,8 +118,9 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: broadcast dim join + ratio of two exact sums (the
-    division of two bit-identical doubles is itself bit-identical)."""
+    """TPC-H Q14 shape: part join (stats-based build side; part scales
+    with SF) + ratio of two exact sums (the division of two bit-identical
+    doubles is itself bit-identical)."""
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
@@ -127,7 +128,7 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg((F.lit(100.0) * dsum(promo) / dsum(_revenue())).alias("promo_revenue_pct"))
     )
 
@@ -196,7 +197,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 40))
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(dsum(_revenue()).alias("revenue"), F.count("*").alias("n_rows"))
     )

@@ -1,0 +1,67 @@
+"""Physical-plan regression tests: the properties that make these queries
+survive a 100x scale-up must stay visible in the plan — filter pushdown,
+column pruning, broadcast only for fixed-size dims, map-side partial
+aggregation, TakeOrderedAndProject for top-k, no Python evaluation in
+JVM-path queries."""
+
+import pytest
+
+from polars_ad_etl_spark.operators import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = formatted_plan(QUERIES["q1_pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must NOT read the join keys it doesn't need
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_q6_no_join_no_extra_shuffle(spark):
+    plan = formatted_plan(QUERIES["q6_forecast_revenue"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # single-partition combine only
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # range pushed to parquet
+
+
+def test_q5_broadcasts_fixed_dims_only(spark):
+    plan = formatted_plan(QUERIES["q5_local_supplier_volume"](spark, SF_DIR))
+    # nation + region carry explicit broadcast hints -> BroadcastExchange
+    assert "BroadcastExchange" in plan
+    # lineitem (the big fact) must always be the streamed/probe side: every
+    # BroadcastExchange subtree's scans must be dimension tables
+    for block in plan.split("\n\n"):
+        if block.strip().startswith("(") and "BroadcastExchange" in block:
+            assert "lineitem" not in block
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = formatted_plan(QUERIES["topk_orders_by_price"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort materialization
+
+
+def test_semi_join_stays_semi(spark):
+    plan = formatted_plan(QUERIES["join_semi_big_lineitems"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_no_python_udfs_in_jvm_path_queries(spark):
+    """Everything except the multimodal decode must run fully JVM-side."""
+    for name, fn in QUERIES.items():
+        plan = formatted_plan(fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_minhash_aggregates_map_side(spark):
+    plan = formatted_plan(QUERIES["dedup_minhash_signatures"](spark, SF_DIR))
+    assert "partial_min" in plan  # signature mins combine before the shuffle
