@@ -1,0 +1,70 @@
+"""Skew mitigation: salted two-phase aggregation and salted broadcast joins.
+
+AQE's skew-join splitting handles most skew at runtime, but two patterns are
+worth owning explicitly at 100 TB:
+
+- **Salted aggregation**: a group-by whose key distribution is power-law
+  (one hot advertiser, one hot token) bottlenecks on the reducer owning the
+  hot key. Two-phase: group by (key, salt) first — spreading the hot key over
+  N reducers — then re-aggregate by key. Decimal-exact sums make the
+  two-phase result *identical* to the one-phase result, so salting is purely
+  a physical choice (proved by sharing the unsalted oracle).
+- **Salted broadcast join** (`replicate_broadcast_join`): when the build side
+  is small but the probe side has a hot key, broadcast the build side and let
+  every probe partition join locally — no shuffle of the skewed side at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_ad_etl_spark.functions.exact import dsum, dsum_sql
+from polars_ad_etl_spark.operators.registry import register
+
+DEFAULT_SALTS = 16
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: list[str],
+    agg_col: Column,
+    alias: str,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Two-phase decimal-exact sum, skew-proof. ``spark_partition_id`` salts
+    without a random generator, so the plan stays deterministic."""
+    salt = (F.spark_partition_id() % n_salts).alias("_salt")
+    phase1 = (
+        df.groupBy(*keys, salt)
+        .agg(F.sum(agg_col.cast("decimal(25,6)")).alias("_partial"))
+    )
+    return (
+        phase1.groupBy(*keys)
+        .agg(F.sum("_partial").cast("double").alias(alias))
+    )
+
+
+@register(
+    "skew_salted_revenue_by_suppkey",
+    oracle=f"""
+    SELECT l_suppkey, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def skew_salted_revenue_by_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation vs the plain one-phase oracle — identical
+    answers (exact decimal addition is associative), different physics: the
+    hottest supplier key is spread over 16 reducers in phase 1."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return salted_sum(l, ["l_suppkey"], revenue, "revenue")
+
+
+def replicate_broadcast_join(
+    probe: DataFrame, build: DataFrame, on: Column
+) -> DataFrame:
+    """Join a skewed probe side against a small build side with zero shuffle
+    of the probe: broadcast the build side explicitly."""
+    return probe.join(F.broadcast(build), on)

@@ -1,0 +1,52 @@
+"""Partitioned parquet sink + reader — the layout decisions that decide
+whether a 100 TB table is scannable.
+
+``write_partitioned`` lays data out hive-style (``dt=.../part-*.parquet``) so
+date-ranged queries prune partitions at planning time (visible as
+``PartitionFilters`` in the scan node); bucketed writes co-locate join keys
+so repeated joins on the key skip their shuffles entirely.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str | Path,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> str:
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(str(path))
+    return str(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Bucketed managed table: joins/aggregations on ``bucket_col`` between
+    tables bucketed the same way need no shuffle (and no sort, if sorted).
+    Requires a warehouse dir — configured by the session factory default."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
+    return table
+
+
+def read_partitioned(spark: SparkSession, path: str | Path) -> DataFrame:
+    return spark.read.parquet(str(path))
+
+
+def with_date_partition(df: DataFrame, ts_col: str, name: str = "dt") -> DataFrame:
+    """Standard daily-partition derivation from an event-time column."""
+    return df.withColumn(name, F.to_date(F.col(ts_col)))
