@@ -37,7 +37,15 @@ HEADLINE = [
     "sim_bruteforce_topk",
     "text_quality_scores",
     "events_hourly_rollup",
+    "events_session_windows",
     "etl_conform_union",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
+    "asof_purchase_last_click",
+    "skew_salted_revenue_by_suppkey",
+    "sim_lsh_bucketed_topk",
+    "dedup_minhash_lsh_pairs",
+    "curation_training_set",
 ]
 
 

@@ -277,3 +277,106 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.1)
     )
+
+
+# ----------------------------------------------- embedding-cosine near-dup
+from polars_ad_etl_spark.functions.vectors import cosine  # noqa: E402
+from polars_ad_etl_spark.operators.similarity import (  # noqa: E402
+    _bucket_expr,
+    _bucket_sql,
+)
+
+COSINE_DUP_THRESHOLD = 0.35
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 4) AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e) /
+                (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                4) >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates are
+    same-sign-bucket pairs only (the all-pairs O(n^2) never happens), then
+    exact cosine filters at the threshold. The miss probability for a true
+    near-dup pair falls with its cosine (sign-LSH collision probability is
+    1 - theta/pi per plane); multi-table LSH would push recall higher."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = e.select(
+        "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    a_side, b_side = b.alias("a"), b.alias("b")
+    cos = F.round(
+        cosine(F.col("a.embedding"), F.col("b.embedding")), 4
+    )
+    return (
+        a_side.join(
+            b_side,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+# ------------------------------------------------------ curation pipeline
+@register(
+    "curation_training_set",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, text,
+               len({tokens_sql('text')}) AS n_tokens,
+               md5(lower(trim(text))) AS text_hash
+        FROM documents
+    ),
+    deduped AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+        FROM scored
+    )
+    SELECT doc_id, lang, n_tokens
+    FROM deduped
+    WHERE rn = 1 AND n_tokens >= 5 AND lang IN ('en', 'de', 'fr', 'es')
+    """,
+)
+def curation_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: language allowlist -> minimum-length filter ->
+    exact dedup keeping the smallest doc_id — the standard shape of a
+    training-set selection job, composed entirely from engine operators.
+    One scan, one shuffle (the dedup window on the 16-byte hash)."""
+    from pyspark.sql import Window as W
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.md5(F.lower(F.trim("text"))).alias("text_hash"),
+    )
+    w = W.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("n_tokens") >= 5)
+            & F.col("lang").isin("en", "de", "fr", "es")
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )

@@ -1,0 +1,125 @@
+"""Semi-structured + fuzzy-match operators: JSON property extraction (every
+LLM-data pipeline carries JSON metadata columns), edit-distance fuzzy joins,
+INTERSECT ALL, and interval range-frame windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_ad_etl_spark.functions.exact import dsum, dsum_sql
+from polars_ad_etl_spark.operators.registry import register
+from polars_ad_etl_spark.sources.star import load_events
+
+
+# ------------------------------------------------------------------- JSON
+@register(
+    "events_json_props",
+    oracle=f"""
+    SELECT json_extract(props, '$.k')::BIGINT // 10 AS k_decile,
+           event_type,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract a typed property out of the JSON ``props`` column and roll up
+    by its decile — schema-on-read over semi-structured payloads, JVM-side
+    (get_json_object, no Python)."""
+    e = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.filter(k.isNotNull())
+        .groupBy(
+            (k / 10).cast("bigint").alias("k_decile"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+    )
+
+
+# ------------------------------------------------------------ fuzzy match
+@register(
+    "fuzzy_part_name_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS distance
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching over the distinct name domain — dedupe
+    the domain FIRST (64 names, not 20k rows), then pair. At scale the
+    domain-dedup is the difference between joining attributes and joining
+    the fact table."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_name").distinct()
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, F.col("a.p_name") < F.col("b.p_name"))
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("distance"),
+        )
+        .filter(F.col("distance") <= 4)
+    )
+
+
+# -------------------------------------------------------- INTERSECT ALL
+@register(
+    "setop_intersect_all_balances",
+    oracle="""
+    SELECT CAST(FLOOR(c_acctbal) AS BIGINT) AS bal FROM customer
+    INTERSECT ALL
+    SELECT CAST(FLOOR(s_acctbal) AS BIGINT) AS bal FROM supplier
+    """,
+)
+def setop_intersect_all_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (min multiplicity, like SQL INTERSECT ALL) on
+    floored balances so overlaps actually occur. floor() before the int cast:
+    double->bigint CASTs round in DuckDB but truncate in Spark — floor is the
+    engine-portable quantizer."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.floor("c_acctbal").cast("bigint").alias("bal")
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.floor("s_acctbal").cast("bigint").alias("bal")
+    )
+    return c.intersectAll(s)
+
+
+# ------------------------------------------------- interval range frames
+@register(
+    "window_trailing_30d_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL '30 days' PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_30d_spend
+    FROM orders
+    """,
+)
+def window_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per customer, total spend in the trailing 30
+    days *by event time*, not row count — same-date rows share a frame, so
+    the result is deterministic without a row tie-break."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o.createOrReplaceTempView("orders_rf")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                          RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS trailing_30d_spend
+        FROM orders_rf
+        """
+    )

@@ -174,8 +174,8 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_label_centroids",
     oracle="""
     SELECT label, i - 1 AS dim,
-           CAST(SUM(CAST(embedding[i]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE)
-               / COUNT(*) AS centroid
+           CAST(SUM(CAST(FLOOR(embedding[i]::DOUBLE * 1e9) AS BIGINT)) AS DOUBLE)
+               / 1e9 / COUNT(*) AS centroid
     FROM embeddings, generate_series(1, 64) AS t(i)
     GROUP BY label, i
     """,
@@ -183,14 +183,18 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid, one row per (label, dimension) — the k-means /
     IVF coarse-quantizer building block. posexplode keeps it one shuffle on
-    (label, dim) with map-side partial sums; decimal-exact so the centroid is
-    independent of row order."""
+    (label, dim) with map-side partial sums. Elements are quantized with
+    floor(v * 1e9) and summed as exact integers: decimal CASTs of doubles
+    round half-up in one engine and half-even in the other at tie values,
+    but floor is identical everywhere — so the centroid is independent of
+    both row order and engine."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    scaled = F.floor(F.col("v").cast("double") * 1e9).cast("long")
     return (
         e.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
         .agg(
-            (F.sum(F.col("v").cast("double").cast("decimal(30,12)")).cast("double") / F.count("*"))
+            (F.sum(scaled).cast("double") / F.lit(1e9) / F.count("*"))
             .alias("centroid")
         )
     )
