@@ -46,6 +46,11 @@ HEADLINE = [
     "sim_lsh_bucketed_topk",
     "dedup_minhash_lsh_pairs",
     "curation_training_set",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "stats_moments_lineitem",
 ]
 
 

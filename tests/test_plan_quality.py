@@ -65,3 +65,38 @@ def test_no_python_udfs_in_jvm_path_queries(spark):
 def test_minhash_aggregates_map_side(spark):
     plan = formatted_plan(QUERIES["dedup_minhash_signatures"](spark, SF_DIR))
     assert "partial_min" in plan  # signature mins combine before the shuffle
+
+
+def test_q2_correlated_min_single_window_shuffle(spark):
+    """The correlated-MIN rewrite must be a window over ONE exchange on the
+    part key — not a re-scan or a self-join of lineitem."""
+    plan = formatted_plan(QUERIES["q2_min_cost_supplier"](spark, SF_DIR))
+    assert "Window" in plan
+    # lineitem is scanned exactly once
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_scalar_subqueries_broadcast_not_collected(spark):
+    """q11/q15/q22 global scalars must enter the plan as broadcast one-row
+    aggregates (BroadcastNestedLoopJoin/BroadcastExchange), never via a
+    driver-side collect baked into a literal."""
+    for name in (
+        "q11_important_parts",
+        "q15_top_supplier",
+        "q22_idle_rich_customers",
+    ):
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        assert "BroadcastExchange" in plan, name
+
+
+def test_q17_avg_join_not_correlated_rescan(spark):
+    """The per-part average is one aggregate joined back — lineitem must be
+    scanned exactly twice (fact + avg), with map-side partial aggregation."""
+    plan = formatted_plan(QUERIES["q17_small_quantity_revenue"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 2
+    assert "partial_sum" in plan
+
+
+def test_q16_not_in_is_anti_join(spark):
+    plan = formatted_plan(QUERIES["q16_supplier_part_counts"](spark, SF_DIR))
+    assert "LeftAnti" in plan
