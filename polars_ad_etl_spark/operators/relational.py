@@ -512,6 +512,58 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_windows",
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                          - k * 900000000) AS window_start,
+           event_type,
+           COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM events, generate_series(0, 3) AS t(k)
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (each event lands in exactly
+    4 overlapping windows) — the batch twin of streaming/events.py::
+    sliding_rollup_stream. The oracle derives the same 4 slide-aligned
+    window starts per event arithmetically on epoch-micros, proving
+    F.window's slide/alignment semantics."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_enriched_purchases",
+    oracle="""
+    SELECT event_id, user_id, c_mktsegment, value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase events enriched with a customer dimension — the batch twin of
+    streaming/events.py::enrich_purchases_stream (stream-static broadcast
+    join; in streaming the static side is re-resolved per micro-batch)."""
+    e = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return e.join(F.broadcast(c), e.user_id == c.c_custkey).select(
+        "event_id", "user_id", "c_mktsegment", "value"
+    )
+
+
+@register(
     "events_session_windows",
     oracle=f"""
     WITH ordered AS (

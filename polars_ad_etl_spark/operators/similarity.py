@@ -169,6 +169,122 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- IVF probe
+NPROBE = 3
+
+_CENT_SQL = """
+    SELECT label, list(c ORDER BY dim) AS ce FROM (
+        SELECT label, i - 1 AS dim,
+               CAST(SUM(CAST(FLOOR(embedding[i]::DOUBLE * 1e9) AS BIGINT)) AS DOUBLE)
+                   / 1e9 / COUNT(*) AS c
+        FROM embeddings, generate_series(1, 64) AS t(i)
+        GROUP BY label, i
+    ) GROUP BY label
+"""
+
+_QCENT_COS_SQL = (
+    "round(list_dot_product(qe, ce) / "
+    "(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 4)"
+)
+_QCAND_COS_SQL = (
+    "round(list_dot_product(qe, ce2) / "
+    "(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce2, ce2))), 4)"
+)
+
+
+@register(
+    "sim_ivf_probe_topk",
+    oracle=f"""
+    WITH cent AS ({_CENT_SQL}),
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    probe AS (
+        SELECT qid, label,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY {_QCENT_COS_SQL} DESC, label) AS pr
+        FROM q CROSS JOIN cent
+    ),
+    probed AS (SELECT qid, label FROM probe WHERE pr <= {NPROBE}),
+    cand AS (SELECT label, vec_id AS cid, embedding::DOUBLE[] AS ce2
+             FROM embeddings),
+    scored AS (
+        SELECT qid, cid, {_QCAND_COS_SQL} AS cos
+        FROM probed JOIN q USING (qid) JOIN cand USING (label)
+        WHERE cid != qid
+    ),
+    ranked AS (
+        SELECT qid AS query_id, cid AS neighbor_id, cos AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: the scale path beyond one-shot LSH.
+
+    The ``label`` column plays the role of a precomputed coarse-quantizer
+    assignment (exactly how IVF indexes store cluster ids alongside
+    vectors). Search is two-stage: (1) rank the per-label centroids against
+    each query and keep the NPROBE nearest lists; (2) exact cosine top-k
+    *only inside the probed lists* — a broadcast equi-join on the list id,
+    never a full scan. At 100 TB the candidate side stays partitioned by
+    list id, so each query touches NPROBE partitions; recall is tuned by
+    NPROBE, entirely in the query (the index is just a column).
+
+    Centroids use the same exact floor-quantized mean as
+    ``embedding_label_centroids`` so both engines agree bit-for-bit."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # coarse quantizer: per-label centroid as array<double>, dims ascending
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.floor(F.col("v").cast("double") * 1e9).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(1e9)
+                / F.count("*")
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("ce")
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    probe = q.crossJoin(F.broadcast(cent)).select(
+        "qid", "label", "qe", F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("ccos")
+    )
+    wp = W.partitionBy("qid").orderBy(F.col("ccos").desc(), "label")
+    probed = (
+        probe.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= NPROBE)
+        .select("qid", "label", "qe")
+    )
+    cand = e.select(
+        "label", F.col("vec_id").alias("cid"), F.col("embedding").alias("ce2")
+    )
+    scored = (
+        cand.join(F.broadcast(probed), "label")
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("ce2")), 4).alias("cosine"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return scored.withColumn("rnk", F.row_number().over(wr)).filter(
+        F.col("rnk") <= TOP_K
+    )
+
+
 # ------------------------------------------------------------- centroids
 @register(
     "embedding_label_centroids",

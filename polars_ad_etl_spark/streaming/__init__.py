@@ -2,6 +2,9 @@ from polars_ad_etl_spark.streaming.events import (
     read_events_stream,
     hourly_rollup_stream,
     sessionize_stream,
+    sliding_rollup_stream,
+    enrich_purchases_stream,
+    user_totals_stream,
     dedup_events_stream,
 )
 
@@ -9,5 +12,8 @@ __all__ = [
     "read_events_stream",
     "hourly_rollup_stream",
     "sessionize_stream",
+    "sliding_rollup_stream",
+    "enrich_purchases_stream",
+    "user_totals_stream",
     "dedup_events_stream",
 ]

@@ -105,6 +105,78 @@ def sessionize_stream(
     )
 
 
+def sliding_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """1-hour windows sliding every 15 minutes — the streaming twin of the
+    oracle-checked batch ``events_sliding_windows``. Overlapping windows
+    multiply state size by size/slide (4x here); the watermark still bounds
+    it."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def enrich_purchases_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: purchase events enriched against a static
+    dimension. Spark re-resolves the static side each micro-batch (picking
+    up dimension updates) and broadcasts it — no stream-side shuffle, no
+    state. Batch twin: ``events_enriched_purchases`` (oracle-checked)."""
+    dim = customer.select("c_custkey", "c_mktsegment")
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", "c_mktsegment", "value")
+    )
+
+
+def user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event count + value total, emitted every micro-batch.
+
+    This is the escape hatch for stateful logic the built-in operators can't
+    express (the built-ins cover this particular rollup — the point here is
+    the plumbing: Arrow-batched state access, explicit state schema, update
+    output mode). State is one tiny row per user; on an unbounded keyspace
+    add a timeout (``GroupStateTimeout.ProcessingTimeTimeout``) to expire
+    idle keys — here the keyspace is bounded so NoTimeout is correct."""
+    import pandas as pd  # local import: only the stateful path needs it
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stateful streaming dedup on event_id within the watermark horizon —
     ``dropDuplicatesWithinWatermark`` keys state by id and expires it with

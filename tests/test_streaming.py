@@ -67,3 +67,59 @@ def test_watermark_present_in_plan(spark):
     assert stream.isStreaming
     plan = stream._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_sliding_rollup_stream_matches_batch(spark):
+    from polars_ad_etl_spark.streaming import sliding_rollup_stream
+
+    stream = read_events_stream(spark, SF_DIR)
+    _run_to_completion(sliding_rollup_stream(stream), "sliding_out", mode="complete")
+    got = _sorted_rows(spark.sql("SELECT * FROM sliding_out"))
+    want = _sorted_rows(QUERIES["events_sliding_windows"](spark, SF_DIR))
+    assert got == want
+
+
+def test_enrich_purchases_stream_matches_batch(spark):
+    from polars_ad_etl_spark.streaming import enrich_purchases_stream
+
+    stream = read_events_stream(spark, SF_DIR)
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    _run_to_completion(
+        enrich_purchases_stream(stream, customer), "enriched_out"
+    )
+    got = _sorted_rows(spark.sql("SELECT * FROM enriched_out"))
+    want = _sorted_rows(QUERIES["events_enriched_purchases"](spark, SF_DIR))
+    assert got == want
+
+
+def test_user_totals_stateful_stream_matches_batch(spark):
+    """applyInPandasWithState running totals: the per-user state after the
+    final micro-batch must equal the batch group-by."""
+    from pyspark.sql import functions as F
+
+    from polars_ad_etl_spark.sources.star import load_events
+    from polars_ad_etl_spark.streaming import user_totals_stream
+
+    stream = read_events_stream(spark, SF_DIR)
+    _run_to_completion(user_totals_stream(stream), "user_totals_out", mode="update")
+    # update mode emits one row per user per micro-batch; keep the last
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM user_totals_out").collect()
+    }
+    want = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in (
+            load_events(spark, SF_DIR)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.coalesce(F.sum("value"), F.lit(0.0)).alias("total_value"),
+            )
+            .collect()
+        )
+    }
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid][0] == want[uid][0], uid
+        assert abs(got[uid][1] - want[uid][1]) < 1e-6, uid
