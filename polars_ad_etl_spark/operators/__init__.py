@@ -16,6 +16,7 @@ from polars_ad_etl_spark.operators import textstats  # noqa: E402,F401
 from polars_ad_etl_spark.operators import multimodal  # noqa: E402,F401
 from polars_ad_etl_spark.operators import relational2  # noqa: E402,F401
 from polars_ad_etl_spark.operators import relational3  # noqa: E402,F401
+from polars_ad_etl_spark.operators import curation  # noqa: E402,F401
 from polars_ad_etl_spark.operators import asof  # noqa: E402,F401
 from polars_ad_etl_spark.operators import skew  # noqa: E402,F401
 from polars_ad_etl_spark.operators import semistructured  # noqa: E402,F401

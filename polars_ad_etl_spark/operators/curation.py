@@ -1,0 +1,193 @@
+"""Training-data curation operators over the ``documents`` table: the
+dataset-assembly surface of an LLM data pipeline — deterministic splits,
+stratified sampling, document chunking, and weighted dataset mixing.
+
+All selection decisions are *hash-based, not RNG-based*: `rand()`-style
+sampling is irreproducible across engines, runs, and partitionings, while an
+md5-derived bucket of the document id is a pure function of the data — the
+same document always lands in the same split at any scale, on any cluster,
+on re-runs with more executors. This is the production-correct choice for
+training data (split leakage across re-runs is a real contamination bug),
+and it is what makes every operator here oracle-checkable.
+
+Scale notes:
+- splits and samples are stateless projections/filters — no shuffle at all;
+- chunking fans out via posexplode on a computed chunk index — output rows
+  are written partition-local, no shuffle;
+- the mix operator is filter + union-all — at 100 TB each source's sampling
+  filter is pushed into its own scan and nothing synchronizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_ad_etl_spark.functions.hashing import (
+    portable_hash32,
+    portable_hash32_sql,
+    tokens,
+    tokens_sql,
+)
+from polars_ad_etl_spark.operators.registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# Salted id-hash in [0, 10000): the split/sample decision variable.
+_BUCKETS = 10000
+
+
+def _bucket(col, salt: str):
+    return portable_hash32(F.concat(F.lit(salt), col.cast("string"))) % _BUCKETS
+
+
+def _bucket_sql(expr: str, salt: str) -> str:
+    salted = f"'{salt}' || CAST({expr} AS VARCHAR)"
+    return f"{portable_hash32_sql(salted)} % {_BUCKETS}"
+
+
+# ----------------------------------------------------------- hash split
+@register(
+    "curation_hash_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, lang, {_bucket_sql('doc_id', 'split42')} AS b
+          FROM documents)
+    """,
+)
+def curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test assignment from a salted hash of doc_id — a
+    stateless projection (no shuffle, no RNG state). Changing the salt
+    re-rolls the split; keeping it pins every document's split forever."""
+    d = _docs(spark, sf_dir)
+    b = _bucket(F.col("doc_id"), "split42")
+    split = (
+        F.when(b < 9000, F.lit("train"))
+        .when(b < 9500, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
+
+
+# ------------------------------------------------- stratified sampling
+# per-language keep-rates (out of _BUCKETS): downsample dominant English,
+# keep the rest — the classic language-rebalancing move.
+_RATES = {"en": 2500, "de": 10000, "fr": 10000, "es": 10000, "zh": 5000}
+
+
+@register(
+    "curation_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM (SELECT doc_id, lang, n_chars,
+                 {_bucket_sql('doc_id', 'sample7')} AS b
+          FROM documents)
+    WHERE b < CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _RATES.items())}
+              ELSE 0 END
+    """,
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language hash-threshold sampling (deterministic stratified
+    sample): keep a document iff its salted id-hash falls under the
+    language's rate. Unlike ``df.sampleBy`` this is reproducible across
+    engines/partitionings and needs no RNG seed plumbing."""
+    d = _docs(spark, sf_dir)
+    b = _bucket(F.col("doc_id"), "sample7")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _RATES.items()],
+        F.lit(0),
+    )
+    return d.filter(b < rate).select("doc_id", "lang", "n_chars")
+
+
+# ----------------------------------------------------------- chunking
+_CHUNK = 40  # tokens per chunk
+_STRIDE = 30  # overlap = _CHUNK - _STRIDE
+
+
+@register(
+    "curation_doc_chunks",
+    oracle=f"""
+    SELECT doc_id, k AS chunk_id,
+           array_to_string(toks[k * {_STRIDE} + 1 : k * {_STRIDE} + {_CHUNK}], ' ')
+               AS chunk_text,
+           LEAST(len(toks) - k * {_STRIDE}, {_CHUNK}) AS chunk_tokens
+    FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+         generate_series(0, 1000) AS t(k)
+    WHERE len(toks) > 0 AND k <= (len(toks) - 1) // {_STRIDE}
+    """,
+)
+def curation_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (40-token chunks, 30-token stride):
+    the standard pre-tokenization step for long-document training and RAG
+    indexing. The chunk fan-out is a partition-local explode of a computed
+    index range — no shuffle; each output row carries its real token count
+    (the tail chunk is shorter)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    chunked = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.floor((F.size("toks") - 1) / F.lit(_STRIDE)).cast("int")
+            )
+        ).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * _STRIDE
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", F.slice(F.col("toks"), start + 1, _CHUNK)).alias(
+            "chunk_text"
+        ),
+        F.least(F.size("toks") - start, F.lit(_CHUNK))
+        .cast("long")
+        .alias("chunk_tokens"),
+    )
+
+
+# ------------------------------------------------------- dataset mixing
+# source groups with different sampling weights (domain upweighting):
+# sources src0..src9 kept at 30%, src10..src19 at 100%.
+@register(
+    "curation_dataset_mix",
+    oracle=f"""
+    SELECT doc_id, source, mix_group FROM (
+        SELECT doc_id, source, 'low' AS mix_group,
+               {_bucket_sql('doc_id', 'mix1')} AS b
+        FROM documents
+        WHERE CAST(REPLACE(source, 'src', '') AS BIGINT) < 10
+        UNION ALL
+        SELECT doc_id, source, 'high' AS mix_group,
+               0 AS b
+        FROM documents
+        WHERE CAST(REPLACE(source, 'src', '') AS BIGINT) >= 10
+    )
+    WHERE (mix_group = 'high') OR b < 3000
+    """,
+)
+def curation_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset interleave: each source group gets its own
+    deterministic keep-rate, then the groups union. At scale every branch
+    is an independent pushed-down scan+filter — mixing N corpora never
+    synchronizes them."""
+    d = _docs(spark, sf_dir)
+    src_num = F.replace(F.col("source"), F.lit("src"), F.lit("")).cast("long")
+    low = (
+        d.filter(src_num < 10)
+        .filter(_bucket(F.col("doc_id"), "mix1") < 3000)
+        .select("doc_id", "source", F.lit("low").alias("mix_group"))
+    )
+    high = d.filter(src_num >= 10).select(
+        "doc_id", "source", F.lit("high").alias("mix_group")
+    )
+    return low.unionByName(high)
