@@ -56,10 +56,19 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warmup_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     spark = get_spark("polars-ad-etl-spark-bench")
 
     # Warm up the JVM/session so the first measured query doesn't pay init.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # Run each headline query once at the smallest SF first: whole-stage
+    # codegen compilation + JIT are one-time per query shape, not per-run
+    # work, so timing them against the target SF would measure compiler
+    # latency, not engine throughput.
+    if os.path.isdir(warmup_dir):
+        for name in HEADLINE:
+            QUERIES[name](spark, warmup_dir).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

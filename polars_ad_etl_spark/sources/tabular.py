@@ -56,6 +56,18 @@ def read_excel(spark: SparkSession, path: str | Path) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str | Path, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines source (new-engine extension; ad platforms increasingly
+    export NDJSON). Native distributed reader — unlike xlsx this scales:
+    Spark splits .jsonl files by line across executors."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(str(path))
+
+
 def read_csv_header(path: str | Path) -> list[str]:
     """Read only the header line of a CSV (for schema-based source detection
     at scale — O(1) bytes per file instead of a full inference pass)."""
@@ -79,6 +91,12 @@ def read_tabular_dir(
             out.append((str(p), read_csv(spark, p, schema)))
         elif p.suffix.lower() in (".xlsx", ".xls"):
             out.append((str(p), read_excel(spark, p)))
+        elif p.suffix.lower() in (".jsonl", ".ndjson"):
+            out.append((str(p), read_jsonl(spark, p, schema)))
+        elif p.suffix.lower() == ".parquet":
+            out.append((str(p), spark.read.parquet(str(p))))
     if not out:
-        raise EmptyDirectoryError(f"no .csv/.xlsx files found in {raw_dir}")
+        raise EmptyDirectoryError(
+            f"no .csv/.xlsx/.jsonl/.parquet files found in {raw_dir}"
+        )
     return out

@@ -69,3 +69,19 @@ def test_read_csv_header_only(tmp_path):
     p = tmp_path / "h.csv"
     p.write_text("﻿Day,Amount spent (USD)\n2024-01-01,1.0\n", encoding="utf-8")
     assert read_csv_header(p) == ["Day", "Amount spent (USD)"]  # BOM stripped
+
+
+def test_read_jsonl_and_parquet_dispatch(spark, tmp_path):
+    """JSONL/parquet files participate in the directory dispatch alongside
+    CSV, and a pipeline over a mixed directory unions them."""
+    from polars_ad_etl_spark.sources.tabular import read_jsonl, read_tabular_dir
+
+    (tmp_path / "a.jsonl").write_text(
+        '{"Day": "2026-01-02", "Spend": 10}\n{"Day": "2026-01-03", "Spend": 20}\n'
+    )
+    (tmp_path / "b.csv").write_text("Day,Spend\n2026-01-04,30\n")
+    pairs = read_tabular_dir(spark, tmp_path)
+    assert [p.rsplit("/", 1)[-1] for p, _ in pairs] == ["a.jsonl", "b.csv"]
+    jdf = read_jsonl(spark, tmp_path / "a.jsonl")
+    assert jdf.count() == 2
+    assert set(jdf.columns) == {"Day", "Spend"}
