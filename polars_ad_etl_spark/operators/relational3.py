@@ -471,3 +471,91 @@ def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((p100 * p100).cast("decimal(38,0)")).cast("double").alias("sum_p2_e4"),
         F.sum((q100 * p100).cast("decimal(38,0)")).cast("double").alias("sum_qp_e4"),
     )
+
+
+# ------------------------------------------- hypertable-style rollup
+from polars_ad_etl_spark.sources.star import load_events  # noqa: E402
+
+
+@register(
+    "events_multi_grain_rollup",
+    oracle=f"""
+    SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_start,
+           event_type, COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts), event_type,
+           COUNT(*), {dsum_sql('value')}
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'week', date_trunc('week', ts), event_type,
+           COUNT(*), {dsum_sql('value')}
+    FROM events GROUP BY 2, 3
+    """,
+)
+def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hour/day/week grains in
+    one result. The day and week grains are re-aggregated FROM the hourly
+    aggregate, not from raw events — at 100 TB the raw scan happens once and
+    coarser grains reduce ~10^4 fewer rows (Catalyst additionally reuses the
+    hourly exchange across the branches). Sums stay in decimal until the
+    final cast, so the re-aggregation is exactly associative and matches the
+    oracle's direct per-grain aggregation bit-for-bit."""
+    e = load_events(spark, sf_dir)
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("dec_value"),
+        )
+    )
+
+    def _grain(df: DataFrame, name: str, trunc: str | None) -> DataFrame:
+        if trunc is None:
+            g = df
+        else:
+            g = (
+                df.groupBy(
+                    F.date_trunc(trunc, "bucket_start").alias("bucket_start"),
+                    "event_type",
+                )
+                .agg(F.sum("n").alias("n"), F.sum("dec_value").alias("dec_value"))
+            )
+        return g.select(
+            F.lit(name).alias("grain"),
+            "bucket_start",
+            "event_type",
+            "n",
+            F.col("dec_value").cast("double").alias("total_value"),
+        )
+
+    return (
+        _grain(hourly, "hour", None)
+        .unionByName(_grain(hourly, "day", "day"))
+        .unionByName(_grain(hourly, "week", "week"))
+    )
+
+
+# --------------------------------------------------------- unpivot / melt
+@register(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS measure, p_size::DOUBLE AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) — the inverse of pivot, a pure projection
+    fan-out with no shuffle at any scale."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice"
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
