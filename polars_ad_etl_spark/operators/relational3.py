@@ -559,3 +559,61 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+# ------------------------------------------------- window function family
+@register(
+    "window_family_customer_balance",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4)        OVER w AS balance_quartile,
+           PERCENT_RANK()  OVER w AS pct_rank,
+           CUME_DIST()     OVER w AS cume,
+           FIRST_VALUE(c_custkey) OVER w AS poorest_custkey,
+           NTH_VALUE(c_custkey, 2) OVER w AS second_custkey
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_family_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking/distribution window family in one pass: ntile,
+    percent_rank, cume_dist, first_value, nth_value share a single window
+    spec — one shuffle on the partition key serves all five."""
+    c = _t(spark, sf_dir, "customer")
+    # ranking functions require the default (running) frame; value functions
+    # need the full-partition frame — same partitioning, so still one shuffle
+    w_rank = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_full = w_rank.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w_rank).alias("balance_quartile"),
+        F.percent_rank().over(w_rank).alias("pct_rank"),
+        F.cume_dist().over(w_rank).alias("cume"),
+        F.first("c_custkey").over(w_full).alias("poorest_custkey"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("second_custkey"),
+    )
+
+
+# ----------------------------------------------------------- SQL front door
+_SQL_API_TEXT = """
+    SELECT n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+@register("sql_api_revenue_by_nation", oracle=_SQL_API_TEXT)
+def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql front door: the same ANSI text runs verbatim on both
+    engines (tables exposed as temp views). Proves users can bring SQL, not
+    just the DataFrame API, to this engine."""
+    for t in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_API_TEXT)
