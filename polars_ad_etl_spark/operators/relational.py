@@ -289,12 +289,30 @@ def agg_cube_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_rank_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 parts per return flag: group-then-window. The window reuses the
-    groupBy's hash partitioning on l_returnflag — one shuffle, not two."""
+    """Top-5 parts per return flag, two-phase (salted) top-k.
+
+    A single window PARTITION BY l_returnflag has only 3 partitions — at
+    100 TB that is 3 tasks each ranking ~50M parts. Phase 1 ranks within
+    (l_returnflag, l_partkey % 64) — 192-way parallel — and keeps each
+    bucket's top-5; phase 2 ranks the <= 960 survivors globally. Exact:
+    bucket competitors are a subset of global competitors, so
+    bucket_rank <= global_rank, and every global top-5 row survives
+    phase 1 (rank ties included)."""
     l = _t(spark, sf_dir, "lineitem")
-    by_part = l.groupBy("l_returnflag", "l_partkey").agg(dsum(_revenue()).alias("revenue"))
-    w = W.partitionBy("l_returnflag").orderBy(F.col("revenue").desc(), "l_partkey")
-    return by_part.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") <= 5)
+    by_part = l.groupBy("l_returnflag", "l_partkey").agg(
+        dsum(_revenue()).alias("revenue")
+    )
+    order = (F.col("revenue").desc(), F.col("l_partkey"))
+    w_local = W.partitionBy(
+        "l_returnflag", (F.col("l_partkey") % 64).alias("salt")
+    ).orderBy(*order)
+    pruned = (
+        by_part.withColumn("lrnk", F.rank().over(w_local))
+        .filter(F.col("lrnk") <= 5)
+        .drop("lrnk")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(*order)
+    return pruned.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") <= 5)
 
 
 @register(

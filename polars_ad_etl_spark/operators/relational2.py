@@ -149,16 +149,28 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: group-filter (HAVING) + top-k on the aggregate."""
+    """TPC-H Q18 shape: group-filter (HAVING) + top-k on the aggregate.
+
+    Aggregate-before-join: lineitem reduces to (orderkey, sum_qty) with
+    map-side partial sums and the HAVING filter runs *before* any join —
+    only qualifying orders (a tiny fraction) ever touch the join, which AQE
+    then turns into a broadcast. The naive join-then-group shape would
+    shuffle the full customer x orders x lineitem join at 100 TB.
+    Legal here because the group key contains o_orderkey, the join key is
+    o_orderkey, and orders/customer are unique per key — the per-order sum
+    is the same before and after those joins."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+    big = (
+        l.groupBy("l_orderkey")
         .agg(dsum("l_quantity").alias("sum_qty"))
         .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(25)
     )
