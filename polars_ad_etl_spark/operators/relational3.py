@@ -617,3 +617,97 @@ def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer", "nation"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_API_TEXT)
+
+
+# ------------------------------------------- modern aggregate family
+@register(
+    "agg_modern_event_stats",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, user_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY COALESCE(value, -1) DESC, event_id DESC) AS rmax,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY COALESCE(value, 1e18) ASC, event_id ASC) AS rmin
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type,
+               COUNT(*) FILTER (WHERE value > 100) AS n_big,
+               bool_or(value IS NULL) AS has_null_value,
+               {dsum_sql('CASE WHEN value > 100 THEN value END')} AS big_total
+        FROM events GROUP BY event_type
+    )
+    SELECT a.event_type, mx.user_id AS top_user, mn.user_id AS bottom_user,
+           n_big, has_null_value, big_total
+    FROM agg a
+    JOIN (SELECT event_type, user_id FROM ranked WHERE rmax = 1) mx
+      USING (event_type)
+    JOIN (SELECT event_type, user_id FROM ranked WHERE rmin = 1) mn
+      USING (event_type)
+    """,
+)
+def agg_modern_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern aggregate family: max_by/min_by (argmax), filtered
+    aggregation (count_if), bool_or. Argmax ordering keys are made unique
+    with a (value, event_id) struct — lexicographic comparison means ties
+    cannot produce engine-dependent winners; nulls are coalesced out of the
+    ordering key (engines disagree on null extrema). The oracle re-derives
+    the same argmax with ROW_NUMBER windows (DuckDB's arg_max does not take
+    composite keys)."""
+    e = load_events(spark, sf_dir)
+    ord_max = F.struct(F.coalesce("value", F.lit(-1.0)).alias("v"), F.col("event_id"))
+    ord_min = F.struct(F.coalesce("value", F.lit(1e18)).alias("v"), F.col("event_id"))
+    return e.groupBy("event_type").agg(
+        F.max_by("user_id", ord_max).alias("top_user"),
+        F.min_by("user_id", ord_min).alias("bottom_user"),
+        F.count_if(F.col("value") > 100).alias("n_big"),
+        F.bool_or(F.col("value").isNull()).alias("has_null_value"),
+        dsum(F.when(F.col("value") > 100, F.col("value"))).alias("big_total"),
+    )
+
+
+# --------------------------------------------------- explicit null ordering
+@register(
+    "sort_events_null_order",
+    oracle="""
+    SELECT event_id, value
+    FROM events
+    ORDER BY value ASC NULLS FIRST, event_id
+    LIMIT 50
+    """,
+)
+def sort_events_null_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST ordering: Spark's ASC default is nulls-first but
+    DuckDB's is nulls-last, so portable queries must spell the null order
+    out — this query locks the engine's explicit-null-order path."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.select("event_id", "value")
+        .orderBy(F.col("value").asc_nulls_first(), "event_id")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------- grouping_id
+@register(
+    "agg_rollup_grouping_id",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING identification — distinguishes 'real null group'
+    from 'subtotal row', which plain rollup output cannot."""
+    l = _t(spark, sf_dir, "lineitem")
+    gid = (
+        F.grouping("l_returnflag").cast("long") * 2
+        + F.grouping("l_linestatus").cast("long")
+    )
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        gid.alias("gid"), dsum("l_quantity").alias("sum_qty")
+    )
