@@ -711,3 +711,81 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.rollup("l_returnflag", "l_linestatus").agg(
         gid.alias("gid"), dsum("l_quantity").alias("sum_qty")
     )
+
+
+# ------------------------------------------------------ time-series ops
+@register(
+    "events_hourly_gapfill",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_start
+        FROM bounds
+    ),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS hour_start,
+               COUNT(*) AS n, {dsum_sql('value')} AS total_value
+        FROM events GROUP BY 1
+    )
+    SELECT s.hour_start, COALESCE(n, 0) AS n,
+           COALESCE(total_value, 0.0) AS total_value
+    FROM spine s LEFT JOIN hourly h ON s.hour_start = h.hour_start
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill: hours with no events appear as zero rows.
+    The spine is generated from a one-row min/max aggregate via sequence()
+    — no driver collect — and the fill is a left join from spine to the
+    hourly aggregate. At scale the spine is tiny (8.8k rows/year) and
+    broadcast; the aggregate side is the usual map-side-combined rollup."""
+    e = load_events(spark, sf_dir)
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.count("*").alias("n"), dsum("value").alias("total_value")
+    )
+    return spine.join(hourly, "hour_start", "left_outer").select(
+        "hour_start",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
+
+
+@register(
+    "events_value_locf",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           LAST_VALUE(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+    FROM events
+    """,
+)
+def events_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward interpolation: null values take the
+    most recent non-null value per user — one window with IGNORE NULLS,
+    a single shuffle on user_id."""
+    e = load_events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.last("value", ignorenulls=True).over(w).alias("value_filled"),
+    )
