@@ -789,3 +789,96 @@ def events_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.last("value", ignorenulls=True).over(w).alias("value_filled"),
     )
+
+
+# ----------------------------------------------------------------- q20 shape
+@register(
+    "q20_excess_stock_suppliers",
+    oracle=f"""
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'SMALL'
+        GROUP BY l_suppkey, l_partkey
+        HAVING {dsum_sql('l_quantity')} > 400
+    )
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested IN over a grouped HAVING subquery): suppliers
+    who shipped an excess quantity of some small part. Spark-first: the
+    subquery is an aggregate (map-side combinable, HAVING before any join)
+    and the IN is a left_semi join — payload columns never move."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    excess = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 400)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+# ----------------------------------------------------------------- q21 shape
+@register(
+    "q21_sole_returned_supplier",
+    oracle="""
+    SELECT s_suppkey, s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (correlated EXISTS + NOT EXISTS on the same table):
+    suppliers solely responsible for returns in multi-supplier finished
+    orders. Spark-first rewrite: both correlated subqueries collapse into
+    ONE per-order aggregate — distinct supplier count and distinct
+    R-flagged supplier count — joined back on the order key. One extra
+    aggregate replaces two correlated re-scans; at 100 TB lineitem is
+    scanned twice total (fact + order profile), not once per row.
+
+    EXISTS(other supplier)            == n_suppliers > 1
+    NOT EXISTS(other R-supplier)      == every R row belongs to this
+                                         supplier == n_r_suppliers = 1
+    (l1 itself has flag R, so the R-supplier set is exactly {l1.supplier})."""
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem")
+    order_profile = l.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_suppliers"),
+    )
+    l1 = l.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(order_profile, l1.l_orderkey == F.col("po_orderkey"))
+        .filter((F.col("n_suppliers") > 1) & (F.col("n_r_suppliers") == 1))
+        .join(s, l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
