@@ -123,3 +123,64 @@ def window_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_rf
         """
     )
+
+
+# --------------------------------------------------- map explode over JSON
+@register(
+    "events_json_kv_counts",
+    oracle="""
+    SELECT prop_key, COUNT(*) AS n,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM (
+        SELECT event_type, unnest(json_keys(props)) AS prop_key
+        FROM events WHERE props IS NOT NULL
+    )
+    GROUP BY prop_key
+    """,
+)
+def events_json_kv_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-less JSON: parse props into a MAP and explode to key rows —
+    the dynamic-key path where get_json_object's fixed paths don't work.
+    All JVM-side (from_json + explode); one shuffle on the key."""
+    e = load_events(spark, sf_dir)
+    m = F.from_json("props", "map<string,string>")
+    return (
+        e.filter(F.col("props").isNotNull())
+        .select("event_type", F.explode_outer(m).alias("prop_key", "prop_value"))
+        .filter(F.col("prop_key").isNotNull())
+        .groupBy("prop_key")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+# ------------------------------------------------- array higher-order fns
+@register(
+    "embedding_array_stats",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4)
+               AS l2_norm,
+           CAST(list_max(embedding::DOUBLE[]) AS DOUBLE) AS max_elem,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_positive
+    FROM embeddings
+    """,
+)
+def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (aggregate/filter/max) over the
+    embedding column — per-vector stats computed element-wise in codegen,
+    no explode, no shuffle."""
+    from polars_ad_etl_spark.functions.vectors import norm
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.round(norm(F.col("embedding")), 4).alias("l2_norm"),
+        F.array_max(as_double).alias("max_elem"),
+        F.size(F.filter(as_double, lambda x: x > 0)).cast("long").alias(
+            "n_positive"
+        ),
+    )
