@@ -437,3 +437,118 @@ def curation_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+# ------------------------------------------- near-dup connected components
+def _lsh_pairs_oracle() -> str:
+    from polars_ad_etl_spark.operators.registry import ORACLES
+
+    return ORACLES["dedup_minhash_lsh_pairs"]
+
+
+def _components_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_lsh_pairs_oracle()}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+    )
+    SELECT node AS doc_id, MIN(r) AS component_id
+    FROM reach GROUP BY node
+    """
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate graph: every document in
+    a near-dup cluster gets the cluster's minimum doc_id as component_id.
+
+    This is the engine's iterative-algorithm surface: min-label propagation
+    run as a driver loop of DataFrame joins until fixpoint. Each iteration
+    is one shuffle (edges join labels, min-aggregate); the loop count is
+    the graph diameter, which for near-dup clusters is tiny (clusters are
+    near-cliques — LSH fires on most intra-cluster pairs). At 100 TB-scale
+    graph diameters, switch the iteration body to the large-star/small-star
+    contraction, which keeps this exact loop structure. The DuckDB oracle
+    re-derives components with a recursive CTE, so the fixpoint itself is
+    verified, not just the plumbing.
+
+    The edge set is cached: every iteration re-reads it, and without
+    caching each pass would re-run the whole MinHash pipeline."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.selectExpr("doc_a AS a", "doc_b AS b")
+        .unionByName(pairs.selectExpr("doc_b AS a", "doc_a AS b"))
+        .persist()
+    )
+    try:
+        labels = edges.select(F.col("a").alias("node")).distinct().select(
+            "node", F.col("node").alias("component_id")
+        )
+        while True:
+            neighbor_min = (
+                edges.join(labels, edges.b == labels.node)
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.min("component_id").alias("nbr_min"))
+            )
+            updated = (
+                labels.join(neighbor_min, "node", "left_outer")
+                .select(
+                    "node",
+                    F.least(
+                        "component_id", F.coalesce("nbr_min", "component_id")
+                    ).alias("component_id"),
+                    (
+                        F.coalesce("nbr_min", "component_id")
+                        < F.col("component_id")
+                    ).alias("changed"),
+                )
+                .persist()
+            )
+            n_changed = updated.filter("changed").count()
+            labels.unpersist()
+            labels = updated.drop("changed")
+            if n_changed == 0:
+                break
+        return labels.select(F.col("node").alias("doc_id"), "component_id")
+    finally:
+        edges.unpersist()
+
+
+register("dedup_connected_components", oracle=_components_oracle())(
+    dedup_connected_components
+)
+
+
+@register(
+    "dedup_near_dup_keep_list",
+    oracle=f"""
+    WITH comp AS ({_components_oracle()})
+    SELECT d.doc_id,
+           COALESCE(c.component_id, d.doc_id) AS component_id,
+           (c.doc_id IS NULL OR c.component_id = d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def dedup_near_dup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deliverable of near-dedup: one keep/drop decision per document —
+    keep the minimum doc_id of every near-dup cluster plus all unclustered
+    documents. Composes the full pipeline (shingle MinHash -> banded LSH ->
+    connected components -> selection) into the shape a training-data
+    curation job consumes."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    comp = dedup_connected_components(spark, sf_dir)
+    return d.join(comp, "doc_id", "left_outer").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("component_id"),
+        (
+            F.col("component_id").isNull()
+            | (F.col("component_id") == F.col("doc_id"))
+        ).alias("keep"),
+    )
