@@ -103,3 +103,58 @@ import pytest  # noqa: E402
 @pytest.fixture()
 def spark_session_holder(spark):
     return spark
+
+
+def test_hash_split_invariant_under_repartition(spark):
+    """The curation split must be a pure function of the data: repartitioning
+    the input cannot move any document across splits (split leakage ==
+    train/test contamination)."""
+    from polars_ad_etl_spark.operators.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    base = {
+        r.doc_id: r.split
+        for r in QUERIES["curation_hash_split"](spark, sf).collect()
+    }
+    repart = spark.read.parquet(f"{sf}/documents.parquet").repartition(17)
+    repart.createOrReplaceTempView("documents_repart")
+    # same expression over the repartitioned frame
+    from polars_ad_etl_spark.operators.curation import _bucket
+    from pyspark.sql import functions as F
+
+    b = _bucket(F.col("doc_id"), "split42")
+    split = (
+        F.when(b < 9000, F.lit("train"))
+        .when(b < 9500, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    got = {r.doc_id: r.split for r in repart.select("doc_id", split.alias("split")).collect()}
+    assert got == base
+
+
+def test_two_phase_topk_equals_single_window(spark):
+    """The salted two-phase ranking must produce exactly the rows a naive
+    single window would."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from polars_ad_etl_spark.functions.exact import dsum
+    from polars_ad_etl_spark.operators.registry import QUERIES
+    from polars_ad_etl_spark.operators.relational import _revenue
+
+    sf = "/root/testdata/sf0.01"
+    got = sorted(
+        tuple(r) for r in QUERIES["window_rank_parts_by_revenue"](spark, sf).collect()
+    )
+    l = spark.read.parquet(f"{sf}/lineitem.parquet")
+    by_part = l.groupBy("l_returnflag", "l_partkey").agg(
+        dsum(_revenue()).alias("revenue")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.col("revenue").desc(), "l_partkey")
+    naive = sorted(
+        tuple(r)
+        for r in by_part.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 5)
+        .collect()
+    )
+    assert got == naive
