@@ -51,6 +51,11 @@ HEADLINE = [
     "q13_customer_order_distribution",
     "q17_small_quantity_revenue",
     "stats_moments_lineitem",
+    "sim_ivf_probe_topk",
+    "dedup_near_dup_keep_list",
+    "events_multi_grain_rollup",
+    "curation_doc_chunks",
+    "q21_sole_returned_supplier",
 ]
 
 

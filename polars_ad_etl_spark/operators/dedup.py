@@ -479,13 +479,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives components with a recursive CTE, so the fixpoint itself is
     verified, not just the plumbing.
 
-    The edge set is cached: every iteration re-reads it, and without
-    caching each pass would re-run the whole MinHash pipeline."""
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
-    edges = (
-        pairs.selectExpr("doc_a AS a", "doc_b AS b")
-        .unionByName(pairs.selectExpr("doc_b AS a", "doc_a AS b"))
-        .persist()
+    The *pair list* is what gets cached — not the symmetrized edge union:
+    an uncached union references the pair subplan twice, and cache
+    materialization runs without AQE exchange reuse, so persisting the
+    union was measured to execute the entire MinHash pipeline twice
+    (9.5s vs ~1.5s at sf0.1). Every iteration then derives edges from the
+    cached pairs for pennies."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).persist()
+    pairs.count()  # materialize the candidate graph exactly once
+    edges = pairs.selectExpr("doc_a AS a", "doc_b AS b").unionByName(
+        pairs.selectExpr("doc_b AS a", "doc_a AS b")
     )
     try:
         labels = edges.select(F.col("a").alias("node")).distinct().select(
@@ -518,7 +521,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
         return labels.select(F.col("node").alias("doc_id"), "component_id")
     finally:
-        edges.unpersist()
+        pairs.unpersist()
 
 
 register("dedup_connected_components", oracle=_components_oracle())(
