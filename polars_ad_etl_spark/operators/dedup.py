@@ -479,49 +479,51 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives components with a recursive CTE, so the fixpoint itself is
     verified, not just the plumbing.
 
-    The *pair list* is what gets cached — not the symmetrized edge union:
-    an uncached union references the pair subplan twice, and cache
-    materialization runs without AQE exchange reuse, so persisting the
-    union was measured to execute the entire MinHash pipeline twice
-    (9.5s vs ~1.5s at sf0.1). Every iteration then derives edges from the
-    cached pairs for pennies."""
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).persist()
-    pairs.count()  # materialize the candidate graph exactly once
+    Lineage is truncated with `localCheckpoint`, not `persist`: the MinHash
+    pipeline behind the pair list is a ~40-node plan, and an iterative loop
+    built on a persisted frame still carries that full logical plan into
+    every iteration — each `count()` re-analyzes it on the driver (measured
+    3-4s/iteration at sf0.1, pure planning). Checkpointing materializes the
+    256-row candidate graph once and gives the loop a leaf plan, so each
+    iteration is a tiny join over a tiny lineage (~0.2s). Persisted-cache
+    materialization additionally runs without AQE, losing the runtime
+    broadcast conversion inside the LSH self-join. On a cluster, swap
+    `localCheckpoint` for a reliable `checkpoint` directory — same loop."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
     edges = pairs.selectExpr("doc_a AS a", "doc_b AS b").unionByName(
         pairs.selectExpr("doc_b AS a", "doc_a AS b")
     )
-    try:
-        labels = edges.select(F.col("a").alias("node")).distinct().select(
-            "node", F.col("node").alias("component_id")
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component_id"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component_id").alias("nbr_min"))
         )
-        while True:
-            neighbor_min = (
-                edges.join(labels, edges.b == labels.node)
-                .groupBy(F.col("a").alias("node"))
-                .agg(F.min("component_id").alias("nbr_min"))
+        updated = (
+            labels.join(neighbor_min, "node", "left_outer")
+            .select(
+                "node",
+                F.least(
+                    "component_id", F.coalesce("nbr_min", "component_id")
+                ).alias("component_id"),
+                (
+                    F.coalesce("nbr_min", "component_id")
+                    < F.col("component_id")
+                ).alias("changed"),
             )
-            updated = (
-                labels.join(neighbor_min, "node", "left_outer")
-                .select(
-                    "node",
-                    F.least(
-                        "component_id", F.coalesce("nbr_min", "component_id")
-                    ).alias("component_id"),
-                    (
-                        F.coalesce("nbr_min", "component_id")
-                        < F.col("component_id")
-                    ).alias("changed"),
-                )
-                .persist()
-            )
-            n_changed = updated.filter("changed").count()
-            labels.unpersist()
-            labels = updated.drop("changed")
-            if n_changed == 0:
-                break
-        return labels.select(F.col("node").alias("doc_id"), "component_id")
-    finally:
-        pairs.unpersist()
+            .localCheckpoint(eager=True)
+        )
+        n_changed = updated.filter("changed").count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component_id")
 
 
 register("dedup_connected_components", oracle=_components_oracle())(
