@@ -20,5 +20,6 @@ from polars_ad_etl_spark.operators import curation  # noqa: E402,F401
 from polars_ad_etl_spark.operators import asof  # noqa: E402,F401
 from polars_ad_etl_spark.operators import skew  # noqa: E402,F401
 from polars_ad_etl_spark.operators import semistructured  # noqa: E402,F401
+from polars_ad_etl_spark.operators import quality  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -121,3 +121,23 @@ def test_window_rank_two_phase(spark):
     window only sees pruned rows — the 3-partition bottleneck is gone."""
     plan = formatted_plan(QUERIES["window_rank_parts_by_revenue"](spark, SF_DIR))
     assert plan.count("(") and plan.count("Window") >= 2
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """The benchmark/eval n-gram set must broadcast: the 100 TB training
+    side of the contamination join may never shuffle."""
+    plan = formatted_plan(QUERIES["curation_contamination_check"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_budget_window_over_buckets_only(spark):
+    """The running-sum window must consume the bucket aggregate (bounded
+    10k rows), never the document table: exactly one single-partition
+    exchange feeds the Window, and an aggregate sits below it."""
+    plan = formatted_plan(QUERIES["curation_token_budget_sample"](spark, SF_DIR))
+    assert "Window" in plan
+    # tree prints parent first: the window's child subtree (printed after it)
+    # must aggregate to buckets before the single-partition sort
+    below_window = plan.split("Window", 1)[1]
+    assert "HashAggregate" in below_window.split("Scan parquet", 1)[0]
