@@ -582,6 +582,51 @@ def events_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_purchase_click_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id,
+           date_diff('microsecond', c.ts, p.ts) AS lag_us
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def events_purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) self-join: every click by the same user in the hour
+    before a purchase — last-touch-window attribution. The equi-key
+    (user_id) drives the shuffle; the time range is a post-join filter on
+    the sorted streams, so this scales like any key join, not like a cross
+    join. The lag is computed in exact microseconds (timestampdiff), which
+    both engines agree on bit-for-bit — second-granularity date_diff
+    semantics differ (boundary-crossing vs elapsed). Streaming twin:
+    streaming/events.py::attribute_purchases_stream (stream-stream join)."""
+    e = load_events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.expr("p_ts - INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)").alias("lag_us"),
+    )
+
+
+@register(
     "events_session_windows",
     oracle=f"""
     WITH ordered AS (

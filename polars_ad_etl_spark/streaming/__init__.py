@@ -4,6 +4,7 @@ from polars_ad_etl_spark.streaming.events import (
     sessionize_stream,
     sliding_rollup_stream,
     enrich_purchases_stream,
+    attribute_purchases_stream,
     user_totals_stream,
     dedup_events_stream,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "sessionize_stream",
     "sliding_rollup_stream",
     "enrich_purchases_stream",
+    "attribute_purchases_stream",
     "user_totals_stream",
     "dedup_events_stream",
 ]

@@ -141,6 +141,39 @@ def enrich_purchases_stream(events: DataFrame, customer: DataFrame) -> DataFrame
     )
 
 
+def attribute_purchases_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval self-join: purchases joined to the same user's
+    clicks from the preceding hour. Both sides carry a watermark and the
+    join condition bounds event-time distance, so Spark can expire click
+    state once it falls an hour + watermark behind — without the time bound
+    a stream-stream join would buffer both sides forever. Batch twin:
+    ``events_purchase_click_attribution`` (oracle-checked range join)."""
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            "p_user = c_user"
+            " AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)").alias("lag_us"),
+    )
+
+
 def user_totals_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: running
     per-user event count + value total, emitted every micro-batch.

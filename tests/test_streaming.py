@@ -123,3 +123,17 @@ def test_user_totals_stateful_stream_matches_batch(spark):
     for uid in want:
         assert got[uid][0] == want[uid][0], uid
         assert abs(got[uid][1] - want[uid][1]) < 1e-6, uid
+
+
+def test_attribute_purchases_stream_matches_batch(spark):
+    """Stream-stream interval self-join (purchases x preceding-hour clicks)
+    must emit exactly the batch range-join's pairs."""
+    from polars_ad_etl_spark.streaming import attribute_purchases_stream
+
+    stream = read_events_stream(spark, SF_DIR)
+    _run_to_completion(attribute_purchases_stream(stream), "attributed_out")
+    got = _sorted_rows(spark.sql("SELECT * FROM attributed_out"))
+    want = _sorted_rows(
+        QUERIES["events_purchase_click_attribution"](spark, SF_DIR)
+    )
+    assert got == want
