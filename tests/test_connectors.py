@@ -85,3 +85,25 @@ def test_read_jsonl_and_parquet_dispatch(spark, tmp_path):
     jdf = read_jsonl(spark, tmp_path / "a.jsonl")
     assert jdf.count() == 2
     assert set(jdf.columns) == {"Day", "Spend"}
+
+
+def test_orc_roundtrip_and_dispatch(spark, tmp_path):
+    """ORC write -> read round-trips values, participates in the directory
+    dispatch, and pushes filters down to the ORC scan."""
+    from polars_ad_etl_spark.sources.tabular import read_orc, read_tabular_dir
+
+    src = spark.createDataFrame(
+        [("2026-01-02", 10), ("2026-01-03", 20)], ["Day", "Spend"]
+    )
+    out = tmp_path / "orcdata"
+    src.coalesce(1).write.orc(str(out))
+    orc_file = next(p for p in out.iterdir() if p.suffix == ".orc")
+    df = read_orc(spark, orc_file)
+    assert sorted(tuple(r) for r in df.collect()) == [
+        ("2026-01-02", 10),
+        ("2026-01-03", 20),
+    ]
+    pairs = read_tabular_dir(spark, out)
+    assert any(p.endswith(".orc") for p, _ in pairs)
+    plan = df.filter(df.Spend > 15)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(Spend), GreaterThan(Spend,15)]" in plan
