@@ -56,6 +56,9 @@ HEADLINE = [
     "events_multi_grain_rollup",
     "curation_doc_chunks",
     "q21_sole_returned_supplier",
+    "text_repetition_scores",
+    "curation_contamination_check",
+    "events_purchase_click_attribution",
 ]
 
 

@@ -894,3 +894,75 @@ def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------- table profiling
+# The ETL QC primitive: per-column null counts, exact distinct counts, and
+# min/max rendered to strings. One scan; the multi-countDistinct Expand is
+# the deliberate trade-off for a single pass (a profiler reads every column
+# anyway, so there is nothing to prune — the approx variant for 100 TB is
+# the HLL-sketch family in `approx_stats_orders`). min/max of the double
+# column go through DECIMAL(18,2) so both engines render identical strings.
+_PROFILE_COLS = ("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+
+
+def _profile_min_max_sql(c: str) -> tuple[str, str]:
+    if c == "o_totalprice":
+        return (
+            f"CAST(CAST(MIN({c}) AS DECIMAL(18,2)) AS VARCHAR)",
+            f"CAST(CAST(MAX({c}) AS DECIMAL(18,2)) AS VARCHAR)",
+        )
+    return f"CAST(MIN({c}) AS VARCHAR)", f"CAST(MAX({c}) AS VARCHAR)"
+
+
+@register(
+    "profile_orders_columns",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               {_profile_min_max_sql(c)[0]} AS min_value,
+               {_profile_min_max_sql(c)[1]} AS max_value
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler over orders: nulls, exact distincts, min/max — the
+    stats a pipeline asserts before trusting a new drop. All four columns
+    profile in ONE wide aggregate (single scan), then unpivot to one row
+    per column driver-side (4 literals, no shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def mm(c: str):
+        col = F.col(c)
+        if c == "o_totalprice":
+            col = col.cast("decimal(18,2)")
+        return F.min(col).cast("string"), F.max(col).cast("string")
+
+    aggs = []
+    for c in _PROFILE_COLS:
+        lo, hi = mm(c)
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            lo.alias(f"{c}__min"),
+            hi.alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    per_col = [
+        wide.select(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    out = per_col[0]
+    for p in per_col[1:]:
+        out = out.unionByName(p)
+    return out
