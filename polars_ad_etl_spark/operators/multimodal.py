@@ -90,6 +90,79 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = "doc_id long, width int, height int, pixels binary"
+FRAME_SCHEMA = "doc_id long, frame_idx int, n_frames int, frame_blob binary"
+
+
+def resize_images(
+    media: DataFrame, width: int = 8, height: int = 8, fake: bool = True
+) -> DataFrame:
+    """Resize plumbing for image rows: binary in, fixed (width x height)
+    pixel buffer out, via ``mapInPandas``. The fake resampler picks a
+    deterministic byte grid from the blob (nearest-neighbor shape); real
+    mode raises until a codec library is present. Output size is constant
+    per row, so downstream batch memory is exactly predictable."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+
+        def fake_resize(blob: bytes) -> bytes:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires a codec library (PIL) "
+                    "not present in this environment"
+                )
+            if blob is None or len(blob) == 0:
+                return bytes(n)
+            step = max(len(blob) // n, 1)
+            return bytes(blob[min(i * step, len(blob) - 1)] for i in range(n))
+
+        for pdf in batches:
+            img = pdf[pdf["media_type"] == "image"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": img["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "pixels": [fake_resize(b) for b in img["blob"]],
+                }
+            )
+
+    return media.mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, fake: bool = True
+) -> DataFrame:
+    """Frame sampling for video rows: a row-fan-out ``mapInPandas`` — one
+    input video emits ``n_frames`` output rows (frame index + frame bytes),
+    the shape a real pyav-backed sampler would produce. The fake sampler
+    slices the blob into equal spans; real mode raises loudly. Fan-out
+    happens partition-locally (no shuffle), and because output rows are
+    bounded per input row, Arrow batch memory stays bounded too."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError(
+                "frame sampling requires a codec library (pyav) "
+                "not present in this environment"
+            )
+        for pdf in batches:
+            vid = pdf[pdf["media_type"] == "video"]
+            out = {"doc_id": [], "frame_idx": [], "n_frames": [], "frame_blob": []}
+            for doc_id, blob in zip(vid["doc_id"], vid["blob"]):
+                blob = blob or b""
+                span = max(len(blob) // n_frames, 1)
+                for i in range(n_frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["n_frames"].append(n_frames)
+                    out["frame_blob"].append(blob[i * span : (i + 1) * span])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
 @register(
     "multimodal_metadata",
     oracle="""

@@ -47,3 +47,39 @@ def test_decode_media_deterministic_fake():
 def test_decode_media_real_mode_is_loud():
     with pytest.raises(NotImplementedError, match="codec"):
         decode_media(b"x", "image", fake=False)
+
+
+def test_resize_images_fixed_output(spark):
+    from polars_ad_etl_spark.operators.multimodal import media_table, resize_images
+
+    media = media_table(spark, SF_DIR)
+    out = resize_images(media, width=4, height=4).collect()
+    n_images = media.filter("media_type = 'image'").count()
+    assert len(out) == n_images
+    assert all(len(r.pixels) == 16 for r in out)
+    # deterministic: same input -> same pixels
+    again = resize_images(media, width=4, height=4).collect()
+    assert sorted((r.doc_id, bytes(r.pixels)) for r in out) == sorted(
+        (r.doc_id, bytes(r.pixels)) for r in again
+    )
+
+
+def test_sample_frames_fan_out(spark):
+    from polars_ad_etl_spark.operators.multimodal import media_table, sample_frames
+
+    media = media_table(spark, SF_DIR)
+    frames = sample_frames(media, n_frames=3)
+    n_videos = media.filter("media_type = 'video'").count()
+    assert frames.count() == n_videos * 3
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 3 for r in per_doc)
+
+
+def test_resize_and_frames_real_mode_loud(spark):
+    import pytest as _pytest
+
+    from polars_ad_etl_spark.operators.multimodal import media_table, sample_frames
+
+    media = media_table(spark, SF_DIR).limit(3)
+    with _pytest.raises(Exception):
+        sample_frames(media, fake=False).collect()
