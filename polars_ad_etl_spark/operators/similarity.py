@@ -314,3 +314,111 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("centroid")
         )
     )
+
+
+# ------------------------------------------------------------ k-means (Lloyd)
+KMEANS_K = 8
+KMEANS_MAX_ITER = 8
+KMEANS_TOL = 1e-4
+
+
+def _l2sq_to(emb: F.Column, centroid: list[float]) -> F.Column:
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(
+            emb, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Assign each vector to its nearest centroid. The centroids ride the
+    plan as literal arrays (K x D doubles — always driver-sized), so the
+    assignment is a scan-local projection: no join, no shuffle, no growing
+    lineage across iterations."""
+    dists = F.array(*[_l2sq_to(F.col("embedding"), c) for c in centroids])
+    return df.select(
+        "vec_id",
+        "embedding",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(
+            "cluster"
+        ),
+        F.array_min(dists).alias("sse"),
+    )
+
+
+def kmeans_train(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    max_iter: int = KMEANS_MAX_ITER,
+    tol: float = KMEANS_TOL,
+) -> tuple[list[list[float]], list[float]]:
+    """Deterministic Lloyd k-means over the embeddings table — the trainer
+    for an IVF coarse quantizer (sim_ivf_probe_topk uses the label
+    quantizer; this builds one from scratch).
+
+    Init is hash-deterministic (k smallest md5(vec_id) vectors), so runs,
+    engines, and partitionings all converge identically — the same
+    reproducibility stance as the curation operators. Per iteration ONE
+    aggregate computes both the new centroids and the total SSE: posexplode
+    to (cluster, dim) — map-side combinable, K*D output rows — and the SSE
+    summed once per vector on dim 0. Returns (centroids, sse_history);
+    stops on relative SSE improvement < tol."""
+    from polars_ad_etl_spark.functions.hashing import portable_hash32
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    init = (
+        e.select(
+            "vec_id",
+            "embedding",
+            portable_hash32(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r.embedding] for r in init]
+    history: list[float] = []
+    for _ in range(max_iter):
+        assigned = kmeans_assign(e, centroids)
+        rows = (
+            assigned.select(
+                "cluster", "sse", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.avg(F.col("v").cast("double")).alias("m"),
+                F.sum(F.when(F.col("pos") == 0, F.col("sse"))).alias("sse_part"),
+            )
+            .collect()
+        )
+        sse = sum(r.sse_part for r in rows if r.pos == 0 and r.sse_part is not None)
+        new_centroids = [list(c) for c in centroids]  # empty cluster keeps old
+        for r in rows:
+            new_centroids[r.cluster][r.pos] = r.m
+        centroids = new_centroids
+        if history and history[-1] > 0 and (history[-1] - sse) / history[-1] < tol:
+            history.append(sse)
+            break
+        history.append(sse)
+    return centroids, history
+
+
+@register("sim_kmeans_clusters")  # iterative: rows-only check by design
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final k-means assignment (vec_id -> cluster) after Lloyd iterations.
+    Not SQL-expressible (iterative fixpoint), so registered without an
+    oracle; determinism and SSE monotonicity are locked by
+    tests/test_properties.py."""
+    centroids, _ = kmeans_train(spark, sf_dir)
+    return kmeans_assign(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        ),
+        centroids,
+    ).select("vec_id", "cluster")

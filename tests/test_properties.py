@@ -158,3 +158,31 @@ def test_two_phase_topk_equals_single_window(spark):
         .collect()
     )
     assert got == naive
+
+
+def test_kmeans_sse_monotone_and_deterministic(spark):
+    """Lloyd's algorithm must not increase SSE between iterations, and the
+    hash-deterministic init must make the final assignment identical under
+    a different partitioning."""
+    from polars_ad_etl_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_train,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    centroids, history = kmeans_train(spark, sf)
+    assert len(history) >= 2
+    assert all(a >= b - 1e-9 for a, b in zip(history, history[1:]))
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = {r.vec_id: r.cluster for r in kmeans_assign(e, centroids).collect()}
+    repart = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(e.repartition(13), centroids).collect()
+    }
+    assert base == repart
+
+    centroids2, history2 = kmeans_train(spark, sf)
+    assert centroids2 == centroids and history2 == history
