@@ -966,3 +966,72 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in per_col[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ------------------------------------------------ SCD2 / gaps-and-islands
+@register(
+    "events_user_value_bands_scd2",
+    oracle="""
+    WITH banded AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN value < 25 THEN 'low'
+                    WHEN value < 75 THEN 'mid'
+                    ELSE 'high' END AS band
+        FROM events WHERE value IS NOT NULL
+    ),
+    flagged AS (
+        SELECT user_id, ts, band,
+               CASE WHEN band = LAG(band) OVER w THEN 0 ELSE 1 END AS changed
+        FROM banded
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT user_id, ts, band,
+               SUM(changed) OVER (PARTITION BY user_id
+                                  ORDER BY ts ROWS UNBOUNDED PRECEDING)
+                   AS island
+        FROM flagged
+    )
+    SELECT user_id, band, island AS version,
+           MIN(ts) AS valid_from, MAX(ts) AS valid_to,
+           COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, band, island
+    """,
+)
+def events_user_value_bands_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval build via gaps-and-islands: collapse each user's
+    consecutive same-band events into versioned validity intervals
+    [valid_from, valid_to]. Change detection (band != lag(band)) and the
+    running island id share ONE window spec — one shuffle on user_id, one
+    sort, both functions evaluated in the same Window node. Partitioning
+    is per-user, so parallelism scales with the keyspace; no global sort
+    anywhere. This is the standard dimension-versioning move for building
+    slowly-changing dimensions out of an event stream.
+
+    The oracle's LAG window carries the event_id tie-break; rows_between
+    running sum over ts alone is stable because the island id is constant
+    across any equal-ts run by construction."""
+    e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    band = (
+        F.when(F.col("value") < 25, "low")
+        .when(F.col("value") < 75, "mid")
+        .otherwise("high")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    banded = e.select("user_id", "ts", "event_id", band.alias("band"))
+    flagged = banded.withColumn(
+        "changed",
+        F.when(F.col("band") == F.lag("band").over(w), 0).otherwise(1),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("changed").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return islands.groupBy(
+        "user_id", "band", F.col("island").alias("version")
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("valid_to"),
+        F.count("*").alias("n_events"),
+    )

@@ -141,3 +141,13 @@ def test_token_budget_window_over_buckets_only(spark):
     # must aggregate to buckets before the single-partition sort
     below_window = plan.split("Window", 1)[1]
     assert "HashAggregate" in below_window.split("Scan parquet", 1)[0]
+
+
+def test_scd2_single_shuffle(spark):
+    """Gaps-and-islands SCD2: change-detection lag, running island sum, and
+    the final interval aggregate must all reuse ONE user_id exchange."""
+    df = QUERIES["events_user_value_bands_scd2"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("Sort") == 1
