@@ -145,14 +145,28 @@ class MultiSourceAdETL:
         self.frames = out
         return self
 
-    def standardize_dataframes(self) -> "MultiSourceAdETL":
+    def standardize_dataframes(self, mode: str = "strict") -> "MultiSourceAdETL":
         """rename -> add missing columns as typed nulls -> project to schema
         order -> cast to declared types (reference
-        ``multi_source_ad_etl.py:170-200``). With ANSI mode on, a bad cast
-        raises at action time — the Spark equivalent of Polars' strict cast."""
+        ``multi_source_ad_etl.py:170-200``).
+
+        Two strictness modes (SURVEY §1.4):
+
+        - ``"strict"`` (default): plain ``cast`` under the ANSI session — a
+          bad value raises at action time, the Spark equivalent of Polars'
+          raise-on-bad-cast (reference ``multi_source_ad_etl.py:196``).
+        - ``"audit"``: ``try_cast`` — bad values become nulls instead of
+          failing the job, and ``cast_audit()`` returns the per-source,
+          per-column count of rows where the raw value was non-null but the
+          cast nulled it. The production pattern for quarantining a bad
+          drop without losing the night's run.
+        """
+        if mode not in ("strict", "audit"):
+            raise ValueError(f"unknown cast mode {mode!r}")
         schema = self.config.standard_schema
         src_col = self.config.source_column
         out = []
+        self._audits = []
         for f in self.frames:
             if f.source not in self.config.rename_config:
                 raise StandardizeError(
@@ -167,12 +181,61 @@ class MultiSourceAdETL:
             }
             if missing:
                 df = df.withColumns(missing)
+            if mode == "audit":
+                self._audits.append(
+                    (
+                        f.source,
+                        f.path,
+                        df.agg(
+                            *[
+                                F.sum(
+                                    (
+                                        F.col(name).isNotNull()
+                                        & F.col(name).try_cast(dtype).isNull()
+                                    ).cast("long")
+                                ).alias(name)
+                                for name, dtype in schema.items()
+                                if name != src_col
+                            ]
+                        ),
+                    )
+                )
+                cast = lambda c, t: c.try_cast(t)  # noqa: E731
+            else:
+                cast = lambda c, t: c.cast(t)  # noqa: E731
             df = df.select(
-                *[F.col(name).cast(dtype).alias(name) for name, dtype in schema.items()]
+                *[cast(F.col(name), dtype).alias(name) for name, dtype in schema.items()]
             )
             out.append(TaggedFrame(f.source, df, f.path))
         self.frames = out
         return self
+
+    def cast_audit(self) -> DataFrame:
+        """Audit-mode report: one row per (source, path, column) with the
+        count of values the cast nulled out. Each per-file aggregate is one
+        row wide; the unpivot to rows is a literal ``stack`` — no extra
+        shuffle beyond the count aggregates themselves."""
+        if not getattr(self, "_audits", None):
+            raise ValueError(
+                "no audit data — run standardize_dataframes(mode='audit') first"
+            )
+        cols = [
+            name
+            for name in self.config.standard_schema
+            if name != self.config.source_column
+        ]
+        stack_args = ", ".join(f"'{c}', `{c}`" for c in cols)
+        parts = [
+            agg.select(
+                F.lit(source).alias("source"),
+                F.lit(path).alias("path"),
+                F.expr(
+                    f"stack({len(cols)}, {stack_args}) AS (column, n_failed)"
+                ),
+            )
+            for source, path, agg in self._audits
+        ]
+        return functools.reduce(lambda a, b: a.unionByName(b), parts)
 
     def merge(self) -> DataFrame:
         """n-ary vertical union of the standardized frames — all must share

@@ -117,3 +117,46 @@ def test_capitalize_stage(spark, config):
     df = spark.createDataFrame([(1,)], ["aMOUNT SPENT (usd)"])
     etl = MultiSourceAdETL(spark, config).with_frames([(None, df)])
     assert etl.capitalize_col_names().frames[0].df.columns == ["Amount spent (usd)"]
+
+
+def test_audit_cast_mode_nulls_and_reports(spark, tmp_path):
+    """SURVEY §1.4 audit mode: try_cast nulls bad values instead of raising,
+    and cast_audit() counts exactly the nulled cells per source/column."""
+    from pyspark.sql.types import DateType, LongType, StringType
+
+    from polars_ad_etl_spark.plans.config import PipelineConfig
+    from polars_ad_etl_spark.plans.pipeline import MultiSourceAdETL
+
+    (tmp_path / "a.csv").write_text(
+        "Day,Spend\n2026-01-02,10\nBADDATE,20\n2026-01-04,NOPE\n"
+    )
+    cfg = PipelineConfig(
+        rename_config={"S1": {"Day": "Day", "Spend": "Spend"}},
+        standard_schema={
+            "Day": DateType(),
+            "Spend": LongType(),
+            "Source": StringType(),
+        },
+        source_config={"S1": ["Day", "Spend"]},
+    )
+    etl = (
+        MultiSourceAdETL(spark, cfg)
+        .read_tabular_files(str(tmp_path))
+        .assign_source()
+        .clean_dataframes()
+        .standardize_dataframes(mode="audit")
+    )
+    rows = etl.merge().orderBy("Spend").collect()
+    assert len(rows) == 3  # nothing raised, nothing dropped
+    assert sum(1 for r in rows if r.Day is None) == 1
+    assert sum(1 for r in rows if r.Spend is None) == 1
+
+    audit = {
+        (r.source, r.column): r.n_failed for r in etl.cast_audit().collect()
+    }
+    assert audit[("S1", "Day")] == 1
+    assert audit[("S1", "Spend")] == 1
+
+    # strict mode on the same input still raises at action time
+    with pytest.raises(Exception):
+        MultiSourceAdETL(spark, cfg).run(str(tmp_path)).collect()
