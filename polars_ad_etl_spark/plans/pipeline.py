@@ -97,6 +97,30 @@ class MultiSourceAdETL:
         self.frames = [TaggedFrame(tag, df) for tag, df in frames]
         return self
 
+    def read_tabular_files_grouped(self, raw_dir: str | Path) -> "MultiSourceAdETL":
+        """Scale ingest (SURVEY §7.3-3): header-only source detection, then
+        one distributed scan per (source, header) group — at 100k files the
+        driver does O(#files) single-line reads and Spark does a handful of
+        parallel scans, instead of 100k per-file inference passes. Frames
+        arrive pre-tagged; ``assign_source`` keeps the tag and only adds the
+        provenance column."""
+        from polars_ad_etl_spark.sources.tabular import read_csv_dir_grouped
+
+        def detect(cols: list[str]) -> str:
+            # detection must see the names the fingerprints are declared on —
+            # i.e. post-capitalize names when the pipeline capitalizes
+            if self.config.capitalize:
+                cols = [c.capitalize() for c in cols]
+            return self._detect_source(cols)
+
+        self.frames = [
+            TaggedFrame(src, df, ";".join(paths))
+            for src, paths, df in read_csv_dir_grouped(
+                self.spark, raw_dir, detect
+            )
+        ]
+        return self
+
     def capitalize_col_names(self) -> "MultiSourceAdETL":
         """Normalize header case: ``str.capitalize()`` per column — first char
         upper, rest lower (reference ``multi_source_ad_etl.py:110-124``)."""
@@ -124,7 +148,9 @@ class MultiSourceAdETL:
         ``multi_source_ad_etl.py:138-151``)."""
         out = []
         for f in self.frames:
-            src = self._detect_source(f.df.columns)
+            src = f.source if f.source is not None else self._detect_source(
+                f.df.columns
+            )
             tagged = f.df.select(
                 F.lit(src).alias(self.config.source_column), "*"
             )

@@ -84,6 +84,36 @@ def read_csv_header(path: str | Path) -> list[str]:
         return next(csv.reader(fh))
 
 
+def read_csv_dir_grouped(
+    spark: SparkSession,
+    raw_dir: str | Path,
+    detect,
+) -> list[tuple[str, list[str], DataFrame]]:
+    """The 100k-file ingest path (SURVEY §7.3-3): detect each CSV's source
+    from its HEADER LINE only (O(1) driver bytes per file), group files by
+    (source, header), and hand each group to Spark as ONE distributed scan —
+    so schema inference and reading parallelize over the whole group instead
+    of running once per file. Returns ``(source, paths, DataFrame)`` per
+    group, deterministic (sorted paths, insertion-ordered groups)."""
+    groups: dict[tuple[str, tuple[str, ...]], list[str]] = {}
+    for p in sorted(Path(raw_dir).glob("*.csv")):
+        header = tuple(read_csv_header(p))
+        src = detect(list(header))
+        groups.setdefault((src, header), []).append(str(p))
+    if not groups:
+        raise EmptyDirectoryError(f"no .csv files found in {raw_dir}")
+    return [
+        (
+            src,
+            paths,
+            spark.read.option("header", True)
+            .option("inferSchema", True)
+            .csv(paths),
+        )
+        for (src, _), paths in groups.items()
+    ]
+
+
 def read_tabular_dir(
     spark: SparkSession,
     raw_dir: str | Path,
