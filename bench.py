@@ -59,6 +59,8 @@ HEADLINE = [
     "text_repetition_scores",
     "curation_contamination_check",
     "events_purchase_click_attribution",
+    "events_funnel_conversion",
+    "events_weekly_cohort_retention",
 ]
 
 

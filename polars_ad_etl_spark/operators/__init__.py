@@ -21,5 +21,6 @@ from polars_ad_etl_spark.operators import asof  # noqa: E402,F401
 from polars_ad_etl_spark.operators import skew  # noqa: E402,F401
 from polars_ad_etl_spark.operators import semistructured  # noqa: E402,F401
 from polars_ad_etl_spark.operators import quality  # noqa: E402,F401
+from polars_ad_etl_spark.operators import behavior  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -1,0 +1,184 @@
+"""User-behavior analytics over the events table: funnel conversion, weekly
+cohort retention, and statistical anomaly detection.
+
+The reference is an advertising-ETL system (`/root/reference/README.md:3-5`)
+whose downstream analytics (CTR, conversion) are delegated to Google Sheets
+(`README.md:223-228`); these operators bring that analytics layer into the
+engine itself, Spark-first.
+
+Scale notes (100 TB / 1000-executor design):
+
+- **Funnel** is ONE shuffle on ``user_id``: per-user event times are gathered
+  with conditional ``collect_list`` (map-side partial aggregation applies) and
+  the step ordering logic runs JVM-side with array higher-order functions —
+  no self-join per step, no Python. A 3-step funnel over 10^11 events is a
+  single hash aggregation whose state per user is a few timestamps.
+- **Cohort retention** distincts (user, week) *before* joining the per-user
+  first-week table, so the join input is |users|·|weeks|, not |events|; both
+  sides shuffle on ``user_id`` (co-partitioned join, one exchange each).
+- **Anomaly detection** aggregates per-type moments (5 rows) and broadcasts
+  them back across the event scan — the classic two-pass z-score with no
+  window over the full table (a window by event_type would funnel 1/5 of
+  100 TB through single partitions). Thresholding is done on exact-decimal
+  power sums compared in identically-structured double arithmetic, so Spark
+  and the DuckDB oracle agree bit-for-bit (see functions/exact.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_ad_etl_spark.functions.exact import dsum
+from polars_ad_etl_spark.operators.registry import register
+from polars_ad_etl_spark.sources.star import load_events
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS users_view,
+           (SELECT COUNT(*) FROM c) AS users_click_after_view,
+           (SELECT COUNT(*) FROM p) AS users_purchase_after_click
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click → purchase), strictly increasing
+    event time, per user.
+
+    Spark-first: ONE aggregation on user_id gathers each user's click and
+    purchase timestamps as sorted arrays; the "first click after the first
+    view" / "first purchase after that click" steps are array ``filter`` +
+    ``array_min`` — JVM higher-order functions, no per-step self-join. The
+    oracle states the same semantics as the classic 3-CTE join cascade.
+    """
+    e = load_events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("purchases"),
+    )
+    stepped = per_user.withColumn(
+        "t_click", F.expr("array_min(filter(clicks, x -> x > t_view))")
+    ).withColumn(
+        "t_purchase", F.expr("array_min(filter(purchases, x -> x > t_click))")
+    )
+    return stepped.agg(
+        F.count("t_view").alias("users_view"),
+        F.count("t_click").alias("users_click_after_view"),
+        F.count("t_purchase").alias("users_purchase_after_click"),
+    )
+
+
+@register(
+    "events_weekly_cohort_retention",
+    oracle="""
+    WITH f AS (SELECT user_id,
+                      CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS DATE) AS activity_week
+          FROM events)
+    SELECT f.cohort_week,
+           CAST(FLOOR(date_diff('day', f.cohort_week, a.activity_week) / 7)
+                AS BIGINT) AS week_offset,
+           COUNT(*) AS active_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by the ISO week of
+    their first event; ``active_users`` counted per (cohort_week, week_offset).
+
+    Scale shape: (user, week) pairs are distinct-ed BEFORE the join, shrinking
+    the join input from |events| to |users|x|weeks|; the final count needs no
+    DISTINCT because a user contributes one row per activity week by
+    construction. Both the distinct and the join shuffle on user_id, so AQE
+    can reuse the exchange.
+    """
+    e = load_events(spark, sf_dir)
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("activity_week")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("activity_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@register(
+    "events_value_anomalies",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(value) AS n_v,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s_v,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                  AS DOUBLE) AS ss_v
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE 4.0 * (CAST(s.n_v AS DOUBLE) * e.value - s.s_v)
+              * (CAST(s.n_v AS DOUBLE) * e.value - s.s_v)
+              * (CAST(s.n_v AS DOUBLE) - 1.0)
+          > 25.0 * CAST(s.n_v AS DOUBLE)
+               * (CAST(s.n_v AS DOUBLE) * s.ss_v - s.s_v * s.s_v)
+    """,
+)
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose ``value`` is a >2.5-sigma outlier within its event_type
+    (sample stddev).
+
+    Determinism: the test |x - mean| > 2.5*stddev is evaluated with no
+    division or sqrt — squared and multiplied through to
+    ``4(nx-S)^2(n-1) > 25n(nSS - S^2)`` over exact-decimal power sums S, SS.
+    Spark and DuckDB compute the identical double expression tree on
+    identical inputs, so the boundary cannot flip between engines.
+
+    Scale shape: per-type moments are a 5-row aggregate broadcast back into
+    the scan — two passes over events, zero wide shuffles of event rows
+    (a Window.partitionBy(event_type) would hot-spot 1/5 of the table into
+    one partition).
+    """
+    e = load_events(spark, sf_dir)
+    v6 = F.col("value").cast("decimal(18,6)")
+    stats = e.groupBy("event_type").agg(
+        F.count("value").alias("n_v"),
+        dsum("value").alias("s_v"),
+        F.sum(v6 * v6).cast("double").alias("ss_v"),
+    )
+    n = F.col("n_v").cast("double")
+    nx_s = n * F.col("value") - F.col("s_v")
+    lhs = F.lit(4.0) * nx_s * nx_s * (n - F.lit(1.0))
+    rhs = (
+        F.lit(25.0) * n * (n * F.col("ss_v") - F.col("s_v") * F.col("s_v"))
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(lhs > rhs)
+        .select("event_id", "event_type", "value")
+    )
