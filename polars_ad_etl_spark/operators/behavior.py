@@ -29,7 +29,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from polars_ad_etl_spark.functions.exact import dsum
+from pyspark.sql import Window as W
+
+from polars_ad_etl_spark.functions.exact import dsum, dsum_sql
 from polars_ad_etl_spark.operators.registry import register
 from polars_ad_etl_spark.sources.star import load_events
 
@@ -181,4 +183,101 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(stats), "event_type")
         .filter(lhs > rhs)
         .select("event_id", "event_type", "value")
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH o AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    t AS (SELECT event_type, next_type, COUNT(*) AS n_trans
+          FROM o WHERE next_type IS NOT NULL
+          GROUP BY event_type, next_type)
+    SELECT event_type, next_type, n_trans,
+           CAST(n_trans AS DOUBLE)
+             / SUM(n_trans) OVER (PARTITION BY event_type) AS p_trans
+    FROM t
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over each user's event sequence:
+    counts and row-normalized probabilities of event_type -> next event_type.
+
+    Scale shape: ``lead`` shuffles once on user_id (per-user state is one
+    row); the transition count aggregate is map-side combinable into at most
+    |types|^2 rows, and the normalizing window runs over that tiny aggregate,
+    not the event table. Ordering is made total with the unique event_id
+    tie-break, so results are partitioning-independent.
+    """
+    e = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    norm = W.partitionBy("event_type")
+    return trans.withColumn(
+        "p_trans", F.col("n_trans").cast("double") / F.sum("n_trans").over(norm)
+    )
+
+
+@register(
+    "user_rfm_segments",
+    oracle=f"""
+    WITH m AS (
+      SELECT user_id,
+             MAX(ts) AS last_purchase_ts,
+             COUNT(*) AS frequency,
+             {dsum_sql('value')} AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT user_id, frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY last_purchase_ts DESC, user_id)
+                AS INTEGER) AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id)
+                AS INTEGER) AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id)
+                AS INTEGER) AS m_quartile
+    FROM m
+    """,
+)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per purchasing user, recency/frequency/monetary
+    quartiles (1 = best). Ties broken by user_id so NTILE is deterministic;
+    monetary uses the exact-decimal sum.
+
+    Scale note: the NTILE windows are global (empty partitionBy) but run over
+    the POST-aggregation per-user table — |users|, orders of magnitude
+    smaller than |events|. At 10^9+ users the quartile boundaries would come
+    from approx_percentile cutoffs joined back instead; documented here, not
+    needed at this cardinality.
+    """
+    e = load_events(spark, sf_dir)
+    m = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_purchase_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("value").alias("monetary"),
+        )
+    )
+    return m.select(
+        "user_id",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(W.orderBy(F.col("last_purchase_ts").desc(), "user_id"))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("frequency").desc(), "user_id"))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("monetary").desc(), "user_id"))
+        .alias("m_quartile"),
     )

@@ -151,3 +151,31 @@ def test_scd2_single_shuffle(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1
     assert tree.count("Sort") == 1
+
+
+def test_funnel_single_user_shuffle(spark):
+    """The 3-step funnel must be one user_id aggregation + the 3-counter
+    global combine — no per-step self-joins of the event table."""
+    plan = formatted_plan(QUERIES["events_funnel_conversion"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") <= 3  # user_id hash + partial->final combine
+
+
+def test_anomalies_broadcast_moments_no_window(spark):
+    """Per-type moments (5 rows) broadcast back into the event scan; a
+    Window.partitionBy(event_type) over the full table would hot-spot."""
+    plan = formatted_plan(QUERIES["events_value_anomalies"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "Window" not in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_transition_matrix_window_over_aggregate(spark):
+    """The normalizing SUM window must consume the |types|^2 aggregate,
+    not the event table: an aggregate sits between scan and window."""
+    plan = formatted_plan(QUERIES["events_transition_matrix"](spark, SF_DIR))
+    below_norm_window = plan.split("Window", 1)[1]
+    assert "HashAggregate" in below_norm_window.split("Scan parquet", 1)[0]
