@@ -228,6 +228,51 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rolling_active_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+    wau AS (SELECT d2.d AS report_day, COUNT(DISTINCT ud.user_id) AS wau
+            FROM (SELECT DISTINCT d FROM ud) d2
+            JOIN ud ON ud.d BETWEEN d2.d - 6 AND d2.d
+            GROUP BY d2.d)
+    SELECT dau.d AS day, dau.dau, wau.wau
+    FROM dau JOIN wau ON dau.d = wau.report_day
+    """,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users plus trailing-7-day weekly active users, reported
+    for each day that has activity.
+
+    Scale shape: COUNT(DISTINCT) over a sliding window is not window-able
+    directly, and the naive range self-join (the oracle's formulation) is
+    |days| x |user-days| — quadratic-ish and skew-prone at 100 TB. Spark-first
+    instead EXPLODES each distinct (user, day) into the <=7 report days it
+    supports (``sequence`` + ``explode``, JVM-side), distincts, and counts:
+    linear 7x fan-out, both distincts and the count shuffle on the same
+    (user_id, day)-derived keys, no range join anywhere.
+    """
+    e = load_events(spark, sf_dir)
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+                "report_day"
+            ),
+        )
+        .distinct()
+        .groupBy("report_day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.report_day)
+        .select(F.col("d").alias("day"), "dau", "wau")
+    )
+
+
+@register(
     "user_rfm_segments",
     oracle=f"""
     WITH m AS (
