@@ -187,6 +187,41 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (SELECT user_id, event_id, ts, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def cdc_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key — the CDC/upsert compaction primitive (newest
+    state wins; ties broken by event_id so the winner is unique).
+
+    Spark-first: implemented as ``max_by`` with a tie-proof struct ordering
+    key, NOT the row_number window the oracle states. The aggregate is
+    map-side combinable — each partition reduces to one candidate row per
+    key before the shuffle, so the exchange carries |keys| rows, while the
+    window form must shuffle and sort ALL |events| rows. At 100 TB of CDC
+    history that is the difference between a compaction and a global sort.
+    """
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "ts", "event_type", "value"),
+                F.struct("ts", "event_id"),
+            ).alias("r")
+        )
+        .select("user_id", "r.event_id", "r.ts", "r.event_type", "r.value")
+    )
+
+
+@register(
     "events_transition_matrix",
     oracle="""
     WITH o AS (

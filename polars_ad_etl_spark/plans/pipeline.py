@@ -186,13 +186,19 @@ class MultiSourceAdETL:
           per-column count of rows where the raw value was non-null but the
           cast nulled it. The production pattern for quarantining a bad
           drop without losing the night's run.
+        - ``"quarantine"``: rows whose every cast succeeds flow on (cast
+          applied); rows with any failing cast are diverted — ``quarantine()``
+          returns them with their source, path, failing column names, and the
+          raw row as JSON (union-safe across files whose pre-cast types
+          differ). Row-level split, vs audit's column-level counts.
         """
-        if mode not in ("strict", "audit"):
+        if mode not in ("strict", "audit", "quarantine"):
             raise ValueError(f"unknown cast mode {mode!r}")
         schema = self.config.standard_schema
         src_col = self.config.source_column
         out = []
         self._audits = []
+        self._quarantines = []
         for f in self.frames:
             if f.source not in self.config.rename_config:
                 raise StandardizeError(
@@ -226,6 +232,37 @@ class MultiSourceAdETL:
                         ),
                     )
                 )
+                cast = lambda c, t: c.try_cast(t)  # noqa: E731
+            elif mode == "quarantine":
+                data_cols = [
+                    (name, dtype)
+                    for name, dtype in schema.items()
+                    if name != src_col
+                ]
+                bad_names = F.array_compact(
+                    F.array(
+                        *[
+                            F.when(
+                                F.col(name).isNotNull()
+                                & F.col(name).try_cast(dtype).isNull(),
+                                F.lit(name),
+                            )
+                            for name, dtype in data_cols
+                        ]
+                    )
+                )
+                flagged = df.withColumn("_bad_cols", bad_names)
+                self._quarantines.append(
+                    flagged.filter(F.size("_bad_cols") > 0).select(
+                        F.lit(f.source).alias("source"),
+                        F.lit(str(f.path)).alias("path"),
+                        F.col("_bad_cols").alias("bad_columns"),
+                        F.to_json(F.struct(*[n for n, _ in data_cols])).alias(
+                            "raw_row"
+                        ),
+                    )
+                )
+                df = flagged.filter(F.size("_bad_cols") == 0).drop("_bad_cols")
                 cast = lambda c, t: c.try_cast(t)  # noqa: E731
             else:
                 cast = lambda c, t: c.cast(t)  # noqa: E731
@@ -263,6 +300,21 @@ class MultiSourceAdETL:
         ]
         return functools.reduce(lambda a, b: a.unionByName(b), parts)
 
+    def quarantine(self) -> DataFrame:
+        """Quarantine-mode report: one row per diverted input row with
+        (source, path, bad_columns, raw_row-as-JSON). Lazy union; each file's
+        branch shares its scan with the good-row branch until the sink. The
+        JSON raw_row keeps the union schema-stable even when pre-cast column
+        types differ between files."""
+        if not getattr(self, "_quarantines", None):
+            raise ValueError(
+                "no quarantine data — run "
+                "standardize_dataframes(mode='quarantine') first"
+            )
+        return functools.reduce(
+            lambda a, b: a.unionByName(b), self._quarantines
+        )
+
     def merge(self) -> DataFrame:
         """n-ary vertical union of the standardized frames — all must share
         the exact standard schema, which standardize guarantees (reference
@@ -280,7 +332,7 @@ class MultiSourceAdETL:
     merge_and_collect = merge
 
     # ---------------------------------------------------------------- helpers
-    def run(self, raw_dir: str | Path) -> DataFrame:
+    def run(self, raw_dir: str | Path, cast_mode: str = "strict") -> DataFrame:
         """The full default chain in one call."""
         self.read_tabular_files(raw_dir)
         if self.config.capitalize:
@@ -288,7 +340,7 @@ class MultiSourceAdETL:
         return (
             self.assign_source()
             .clean_dataframes()
-            .standardize_dataframes()
+            .standardize_dataframes(mode=cast_mode)
             .merge()
         )
 

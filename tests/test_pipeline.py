@@ -162,6 +162,46 @@ def test_audit_cast_mode_nulls_and_reports(spark, tmp_path):
         MultiSourceAdETL(spark, cfg).run(str(tmp_path)).collect()
 
 
+def test_quarantine_cast_mode_splits_rows(spark, tmp_path):
+    """Quarantine mode: rows whose every cast succeeds flow through typed;
+    rows with any failing cast land in quarantine() with the failing column
+    names and the raw row as JSON."""
+    import json
+
+    from pyspark.sql.types import DateType, LongType, StringType
+
+    from polars_ad_etl_spark.plans.config import PipelineConfig
+    from polars_ad_etl_spark.plans.pipeline import MultiSourceAdETL
+
+    (tmp_path / "a.csv").write_text(
+        "Day,Spend\n2026-01-02,10\nBADDATE,20\n2026-01-04,NOPE\n"
+    )
+    cfg = PipelineConfig(
+        rename_config={"S1": {"Day": "Day", "Spend": "Spend"}},
+        standard_schema={
+            "Day": DateType(),
+            "Spend": LongType(),
+            "Source": StringType(),
+        },
+        source_config={"S1": ["Day", "Spend"]},
+    )
+    etl = (
+        MultiSourceAdETL(spark, cfg)
+        .read_tabular_files(str(tmp_path))
+        .assign_source()
+        .clean_dataframes()
+        .standardize_dataframes(mode="quarantine")
+    )
+    good = etl.merge().collect()
+    assert [(r.Day.isoformat(), r.Spend) for r in good] == [("2026-01-02", 10)]
+    quarantined = etl.quarantine().collect()
+    assert len(quarantined) == 2
+    by_bad = {tuple(r.bad_columns): json.loads(r.raw_row) for r in quarantined}
+    assert by_bad[("Day",)]["Day"] == "BADDATE"
+    assert by_bad[("Spend",)]["Spend"] == "NOPE"
+    assert all(r.source == "S1" for r in quarantined)
+
+
 def test_grouped_ingest_equals_per_file(spark, tmp_path):
     """The 100k-file scale path (header-only detection + one scan per
     source group) must produce exactly the per-file pipeline's rows, with
