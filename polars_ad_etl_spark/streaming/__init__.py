@@ -7,9 +7,13 @@ from polars_ad_etl_spark.streaming.events import (
     attribute_purchases_stream,
     user_totals_stream,
     dedup_events_stream,
+    daily_active_users_stream,
+    daily_active_users_approx_stream,
 )
 
 __all__ = [
+    "daily_active_users_stream",
+    "daily_active_users_approx_stream",
     "read_events_stream",
     "hourly_rollup_stream",
     "sessionize_stream",

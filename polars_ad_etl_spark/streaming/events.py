@@ -210,6 +210,54 @@ def user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def daily_active_users_stream(
+    events: DataFrame, watermark: str = "1 second"
+) -> DataFrame:
+    """EXACT streaming DAU: chained stateful operators — per-day
+    user dedup (state expires with the watermark) feeding a windowed count.
+    Multiple stateful operators require append output mode, so a day's count
+    emits once its window falls behind the watermark; the in-flight day stays
+    in state. That is the correct production semantics for a daily report
+    (emit finalized days); for a live intraday number use
+    :func:`daily_active_users_approx_stream`.
+
+    State size: |users active per un-finalized day| dedup keys + one counter
+    per open window — bounded by the watermark horizon regardless of stream
+    length."""
+    deduped = (
+        events.withWatermark("ts", watermark)
+        .withColumn("day_start", F.date_trunc("DAY", F.col("ts")))
+        .dropDuplicatesWithinWatermark(["user_id", "day_start"])
+    )
+    return (
+        deduped.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("dau"))
+        .select(
+            F.to_date(F.col("w").start.cast("timestamp_ntz")).alias("day"), "dau"
+        )
+    )
+
+
+def daily_active_users_approx_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Approximate streaming DAU: ONE windowed ``approx_count_distinct``
+    (HyperLogLog++) — no dedup state, emits updating intraday counts in
+    complete/update mode. The HLL sketch is deterministic for a given input
+    set, so the streaming result is bit-identical to the same aggregate run
+    in batch (the test's twin). Sketch state is O(1) per day window vs the
+    exact operator's O(|daily users|)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("dau_approx"))
+        .select(
+            F.to_date(F.col("w").start.cast("timestamp_ntz")).alias("day"),
+            "dau_approx",
+        )
+    )
+
+
 def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stateful streaming dedup on event_id within the watermark horizon —
     ``dropDuplicatesWithinWatermark`` keys state by id and expires it with

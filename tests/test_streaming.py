@@ -137,3 +137,56 @@ def test_attribute_purchases_stream_matches_batch(spark):
         QUERIES["events_purchase_click_attribution"](spark, SF_DIR)
     )
     assert got == want
+
+
+def test_daily_active_users_approx_stream_matches_batch(spark):
+    """HLL sketches are deterministic for a given input set: the streaming
+    approx DAU must equal the identical aggregate run in batch, and land
+    within 5% of the exact DAU."""
+    from polars_ad_etl_spark.sources.star import load_events
+    from polars_ad_etl_spark.streaming import daily_active_users_approx_stream
+
+    import pyspark.sql.functions as F
+
+    stream = read_events_stream(spark, SF_DIR)
+    _run_to_completion(
+        daily_active_users_approx_stream(stream), "dau_approx_out", mode="complete"
+    )
+    got = _sorted_rows(spark.sql("SELECT * FROM dau_approx_out"))
+
+    e = load_events(spark, SF_DIR)
+    want = _sorted_rows(
+        e.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("dau_approx"))
+        .select(F.to_date(F.col("w").start).alias("day"), "dau_approx")
+    )
+    assert got == want
+
+    exact = {
+        r.day: r.dau
+        for r in QUERIES["events_rolling_active_users"](spark, SF_DIR).collect()
+    }
+    for day, approx in got:
+        assert abs(approx - exact[day]) <= max(2, 0.05 * exact[day])
+
+
+def test_daily_active_users_exact_stream_finalized_days(spark):
+    """Chained stateful (dedup -> windowed count) in append mode: every
+    FINALIZED day (window end behind the final watermark) must match the
+    oracle-checked batch DAU exactly; the trailing in-flight day is withheld
+    by design."""
+    from polars_ad_etl_spark.streaming import daily_active_users_stream
+
+    stream = read_events_stream(spark, SF_DIR)
+    _run_to_completion(daily_active_users_stream(stream), "dau_exact_out")
+    got = dict(_sorted_rows(spark.sql("SELECT * FROM dau_exact_out")))
+    assert got, "no finalized day emitted"
+
+    batch = {
+        r.day: r.dau
+        for r in QUERIES["events_rolling_active_users"](spark, SF_DIR).collect()
+    }
+    for day, dau in got.items():
+        assert batch[day] == dau
+    # everything except the in-flight tail must have been finalized
+    assert len(got) >= len(batch) - 1
