@@ -43,6 +43,36 @@ def write_bucketed_table(
     return table
 
 
+def compact_sorted(
+    df: DataFrame,
+    path: str | Path,
+    sort_cols: list[str],
+    target_files: int | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Compaction + clustering sink: the maintenance pass that keeps a
+    100 TB table scannable after many small incremental writes.
+
+    ``repartitionByRange`` on the sort keys gives every output file a
+    globally DISJOINT key range (range partitioner, sampled bounds), and
+    ``sortWithinPartitions`` makes parquet row-group min/max stats tight
+    inside each file — so a later read filtered on the sort keys skips
+    whole files and row groups instead of scanning them.
+    ``maxRecordsPerFile`` caps file size without another shuffle.
+    """
+    shuffled = (
+        df.repartitionByRange(target_files, *sort_cols)
+        if target_files
+        else df.repartitionByRange(*sort_cols)
+    ).sortWithinPartitions(*sort_cols)
+    writer = shuffled.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(str(path))
+    return str(path)
+
+
 def read_partitioned(spark: SparkSession, path: str | Path) -> DataFrame:
     return spark.read.parquet(str(path))
 

@@ -134,3 +134,27 @@ def test_stream_foreachbatch_incremental_sink(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in QUERIES["events_enriched_purchases"](spark, sf).collect())
     assert got == want
+
+
+def test_compact_sorted_disjoint_clustered_files(spark, tmp_path):
+    """compact_sorted must (a) hit the target file count, (b) keep all rows,
+    (c) produce files with globally DISJOINT sort-key ranges — the property
+    that lets a key-filtered read skip whole files via parquet stats."""
+    from polars_ad_etl_spark.sinks.parquet import compact_sorted
+
+    e = load_events(spark, SF_DIR).repartition(16)  # simulate small files
+    out = tmp_path / "events_compacted"
+    compact_sorted(e, out, sort_cols=["ts"], target_files=4)
+
+    back = spark.read.parquet(str(out))
+    assert back.count() == e.count()
+
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) == 4
+    spans = sorted([(r.lo, r.hi) for r in per_file])
+    for (_, prev_hi), (next_lo, _) in zip(spans, spans[1:]):
+        assert prev_hi <= next_lo  # disjoint (range-partitioned) key spans
