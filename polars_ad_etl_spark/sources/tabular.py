@@ -43,17 +43,35 @@ def read_csv(
 
 
 def read_excel(spark: SparkSession, path: str | Path) -> DataFrame:
-    """Driver-side xlsx read. Gated: raises a clear error when no engine dep
-    (openpyxl/fastexcel equivalent) is available in the environment."""
+    """Driver-side xlsx read (reference S2, ``multi_source_ad_etl.py:101-102``).
+
+    Prefers a full pandas Excel engine when one is installed; otherwise falls
+    back to the stdlib-only ``xlsx_lite`` parser (ZIP + XML — handles the
+    shared/inline-string + numeric worksheets ad reports actually are).
+    Driver-side by design: ad reports are small (SURVEY §7.3-4); huge xlsx
+    ingest is out of scope for any engine."""
     try:
         import pandas as pd
 
         pdf = pd.read_excel(path)  # needs openpyxl/xlrd at runtime
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            f"xlsx connector needs a pandas excel engine (openpyxl): {exc}"
-        ) from exc
-    return spark.createDataFrame(pdf)
+        return spark.createDataFrame(pdf)
+    except ImportError:
+        from polars_ad_etl_spark.sources.xlsx_lite import (
+            normalize_columns,
+            read_xlsx_rows,
+        )
+
+        rows = read_xlsx_rows(path)
+        if not rows:
+            raise EmptyDirectoryError(f"empty worksheet in {path}")
+        names, data = normalize_columns(rows[0], rows[1:])
+        if data:
+            return spark.createDataFrame(data, schema=names)
+        # header-only sheet: all-string empty frame
+        schema = T.StructType(
+            [T.StructField(n, T.StringType()) for n in names]
+        )
+        return spark.createDataFrame([], schema=schema)
 
 
 def read_jsonl(

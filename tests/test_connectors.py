@@ -107,3 +107,69 @@ def test_orc_roundtrip_and_dispatch(spark, tmp_path):
     assert any(p.endswith(".orc") for p, _ in pairs)
     plan = df.filter(df.Spend > 15)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(Spend), GreaterThan(Spend,15)]" in plan
+
+
+def _write_minimal_xlsx(path):
+    """Build a real (minimal) xlsx with stdlib zipfile: shared strings,
+    inline strings, float/int numerics, and a skipped cell."""
+    import zipfile
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    parts = {
+        "xl/workbook.xml": (
+            f'<workbook xmlns="{ns}" xmlns:r="{rns}"><sheets>'
+            '<sheet name="Report" sheetId="1" r:id="rId1"/></sheets></workbook>'
+        ),
+        "xl/_rels/workbook.xml.rels": (
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>"
+        ),
+        "xl/sharedStrings.xml": (
+            f'<sst xmlns="{ns}"><si><t>Source</t></si><si><t>Spend</t></si>'
+            "<si><t>Clicks</t></si><si><t>Meta</t></si></sst>"
+        ),
+        "xl/worksheets/sheet1.xml": (
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+            '<c r="C1" t="s"><v>2</v></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2"><v>12.5</v></c>'
+            '<c r="C2"><v>3</v></c></row>'
+            '<row r="3"><c r="A3" t="inlineStr"><is><t>TikTok</t></is></c>'
+            '<c r="C3"><v>7</v></c></row>'
+            "</sheetData></worksheet>"
+        ),
+    }
+    with zipfile.ZipFile(path, "w") as zf:
+        for name, xml in parts.items():
+            zf.writestr(name, xml)
+
+
+def test_xlsx_lite_reads_real_workbook(spark, tmp_path):
+    """S2 un-stubbed: the stdlib xlsx parser reads shared/inline strings,
+    numerics, and sparse rows; mixed columns normalize like full-file
+    inference (float column with a hole stays float, int column stays int)."""
+    p = tmp_path / "report.xlsx"
+    _write_minimal_xlsx(p)
+    df = read_excel(spark, p)
+    assert df.columns == ["Source", "Spend", "Clicks"]
+    rows = {r.Source: (r.Spend, r.Clicks) for r in df.collect()}
+    assert rows["Meta"] == (12.5, 3)
+    assert rows["TikTok"] == (None, 7)
+    assert dict(df.dtypes)["Spend"] == "double"
+    assert dict(df.dtypes)["Clicks"] == "bigint"
+
+
+def test_xlsx_dispatch_in_tabular_dir(spark, tmp_path):
+    """Directory dispatch mixes csv and xlsx files (reference S3)."""
+    from polars_ad_etl_spark.sources.tabular import read_tabular_dir
+
+    _write_minimal_xlsx(tmp_path / "b.xlsx")
+    (tmp_path / "a.csv").write_text("Source,Spend,Clicks\nX,1.0,2\n")
+    frames = read_tabular_dir(spark, tmp_path)
+    assert len(frames) == 2
+    suffixes = sorted(p.rsplit(".", 1)[1] for p, _ in frames)
+    assert suffixes == ["csv", "xlsx"]
+    for _, df in frames:
+        assert df.columns == ["Source", "Spend", "Clicks"]
