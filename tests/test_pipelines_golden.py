@@ -130,3 +130,68 @@ def test_like_eat_pipeline(spark, tmp_path):
 def test_configs_validate(mod):
     cfg = mod.config()
     assert cfg.standard_schema
+
+
+def _csv_text_to_xlsx(path, csv_text):
+    """Re-encode simple CSV fixture text as a minimal real xlsx (numerics as
+    number cells, everything else as inline strings)."""
+    import zipfile
+
+    def col_letter(i):
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(ord("A") + r) + s
+        return s
+
+    def cell(ref, v):
+        try:
+            float(v)
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        except ValueError:
+            return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    rows_xml = []
+    for rn, line in enumerate([l for l in csv_text.splitlines() if l], 1):
+        cells = "".join(
+            cell(f"{col_letter(ci)}{rn}", v)
+            for ci, v in enumerate(line.split(","))
+        )
+        rows_xml.append(f'<row r="{rn}">{cells}</row>')
+    parts = {
+        "xl/workbook.xml": (
+            f'<workbook xmlns="{ns}" xmlns:r="{rns}"><sheets>'
+            '<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+        ),
+        "xl/_rels/workbook.xml.rels": (
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>"
+        ),
+        "xl/worksheets/sheet1.xml": (
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            + "".join(rows_xml)
+            + "</sheetData></worksheet>"
+        ),
+    }
+    with zipfile.ZipFile(path, "w") as zf:
+        for name, xml in parts.items():
+            zf.writestr(name, xml)
+
+
+def test_apsl_pipeline_with_xlsx_source(spark, tmp_path):
+    """Mixed-format ingestion: Meta arrives as a real .xlsx (the reference's
+    actual Meta export format), TikTok/X as CSV — identical standardized
+    output to the all-CSV golden run."""
+    _csv_text_to_xlsx(tmp_path / "meta.xlsx", APSL_META)
+    _write(tmp_path, {"tiktok.csv": APSL_TIKTOK, "x.csv": APSL_X})
+    out = apsl.run(spark, tmp_path)
+    rows = {(r["Source"], r["Day"]): r for r in out.collect()}
+    assert len(rows) == 6
+    m = rows[("Meta", dt.date(2024, 3, 2))]
+    assert m["Amount spent (USD)"] == 20.0
+    assert m["Purchases conversion value"] == 399.5
+    assert m["Impressions"] == 2000
