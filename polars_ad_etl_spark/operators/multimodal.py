@@ -163,6 +163,58 @@ def sample_frames(
     return media.mapInPandas(op, schema=FRAME_SCHEMA)
 
 
+AUDIO_CHUNK_SCHEMA = (
+    "doc_id long, chunk_idx int, n_chunks int, sample_rate int, chunk_blob binary"
+)
+
+
+def chunk_audio(
+    media: DataFrame,
+    sample_rate: int = 16000,
+    chunk_seconds: float = 1.0,
+    bytes_per_sample: int = 2,
+    fake: bool = True,
+) -> DataFrame:
+    """Audio chunking for audio rows: split a waveform blob into fixed-length
+    sample windows (the shape an ASR/embedding stage consumes) — completes
+    the image/video/audio triad. One input row fans out into
+    ``ceil(n_bytes / chunk_bytes)`` rows, partition-locally, with the last
+    chunk zero-padded to constant length so downstream batch memory is
+    exactly predictable. The PCM decode itself is stubbed (fake mode treats
+    the blob as raw PCM; real mode raises until a codec library is present).
+    """
+    chunk_bytes = int(sample_rate * chunk_seconds) * bytes_per_sample
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError(
+                "audio decode requires a codec library (soundfile/ffmpeg) "
+                "not present in this environment"
+            )
+        for pdf in batches:
+            aud = pdf[pdf["media_type"] == "audio"]
+            out = {
+                "doc_id": [],
+                "chunk_idx": [],
+                "n_chunks": [],
+                "sample_rate": [],
+                "chunk_blob": [],
+            }
+            for doc_id, blob in zip(aud["doc_id"], aud["blob"]):
+                blob = blob or b""
+                n_chunks = max(-(-len(blob) // chunk_bytes), 1)
+                for i in range(n_chunks):
+                    piece = blob[i * chunk_bytes : (i + 1) * chunk_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(i)
+                    out["n_chunks"].append(n_chunks)
+                    out["sample_rate"].append(sample_rate)
+                    out["chunk_blob"].append(piece.ljust(chunk_bytes, b"\0"))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, schema=AUDIO_CHUNK_SCHEMA)
+
+
 @register(
     "multimodal_metadata",
     oracle="""

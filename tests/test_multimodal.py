@@ -83,3 +83,42 @@ def test_resize_and_frames_real_mode_loud(spark):
     media = media_table(spark, SF_DIR).limit(3)
     with _pytest.raises(Exception):
         sample_frames(media, fake=False).collect()
+
+
+def test_chunk_audio_fixed_length_padded(spark):
+    """Audio chunking: every chunk is exactly chunk_bytes long (last one
+    zero-padded), fan-out is ceil(n_bytes/chunk_bytes), indices contiguous."""
+    from polars_ad_etl_spark.operators.multimodal import chunk_audio, media_table
+
+    media = media_table(spark, SF_DIR)
+    sr, secs, bps = 100, 0.5, 2  # chunk_bytes = 100
+    chunks = chunk_audio(
+        media, sample_rate=sr, chunk_seconds=secs, bytes_per_sample=bps
+    )
+    rows = chunks.collect()
+    assert rows, "no audio rows chunked"
+    chunk_bytes = int(sr * secs) * bps
+    assert all(len(r.chunk_blob) == chunk_bytes for r in rows)
+    assert all(r.sample_rate == sr for r in rows)
+
+    sizes = {
+        r.doc_id: r.n_bytes
+        for r in media.filter("media_type = 'audio'").collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        want = max(-(-sizes[doc_id] // chunk_bytes), 1)
+        assert len(rs) == want
+        assert sorted(r.chunk_idx for r in rs) == list(range(want))
+        assert all(r.n_chunks == want for r in rs)
+
+
+def test_chunk_audio_real_mode_loud(spark):
+    import pytest
+
+    from polars_ad_etl_spark.operators.multimodal import chunk_audio, media_table
+
+    with pytest.raises(Exception, match="codec|NotImplemented"):
+        chunk_audio(media_table(spark, SF_DIR), fake=False).collect()
