@@ -64,14 +64,17 @@ def read_excel(spark: SparkSession, path: str | Path) -> DataFrame:
         rows = read_xlsx_rows(path)
         if not rows:
             raise EmptyDirectoryError(f"empty worksheet in {path}")
-        names, data = normalize_columns(rows[0], rows[1:])
-        if data:
-            return spark.createDataFrame(data, schema=names)
-        # header-only sheet: all-string empty frame
+        names, data, types = normalize_columns(rows[0], rows[1:])
+        spark_type = {
+            "boolean": T.BooleanType(),
+            "double": T.DoubleType(),
+            "long": T.LongType(),
+            "string": T.StringType(),
+        }
         schema = T.StructType(
-            [T.StructField(n, T.StringType()) for n in names]
+            [T.StructField(n, spark_type[t]) for n, t in zip(names, types)]
         )
-        return spark.createDataFrame([], schema=schema)
+        return spark.createDataFrame(data, schema=schema)
 
 
 def read_jsonl(

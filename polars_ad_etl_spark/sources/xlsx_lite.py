@@ -122,18 +122,22 @@ def read_xlsx_rows(
 
 def normalize_columns(
     header: list[object], data: list[list[object]]
-) -> tuple[list[str], list[list[object]]]:
+) -> tuple[list[str], list[list[object]], list[str]]:
     """Whole-table type normalization, mirroring the reference's full-file
     inference (``infer_schema_length=None``): a column where every non-null
     value is numeric stays numeric (float if any float), a pure-bool column
-    stays bool, anything mixed collapses to string."""
+    stays bool, anything mixed collapses to string. Returns explicit Spark
+    type names per column (all-null columns are string) so the caller never
+    relies on row-based inference."""
     names = [str(h) if h is not None else f"col_{i}" for i, h in enumerate(header)]
     cols = list(zip(*data)) if data else [() for _ in names]
     out_cols: list[list[object]] = []
+    types: list[str] = []
     for col in cols:
         vals = [v for v in col if v is not None]
         if vals and all(isinstance(v, bool) for v in vals):
             out_cols.append(list(col))
+            types.append("boolean")
         elif vals and all(
             isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals
         ):
@@ -141,9 +145,12 @@ def normalize_columns(
                 out_cols.append(
                     [float(v) if v is not None else None for v in col]
                 )
+                types.append("double")
             else:
                 out_cols.append(list(col))
+                types.append("long")
         else:
             out_cols.append([str(v) if v is not None else None for v in col])
+            types.append("string")
     rows = [list(t) for t in zip(*out_cols)] if out_cols and data else []
-    return names, rows
+    return names, rows, types

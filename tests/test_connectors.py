@@ -173,3 +173,74 @@ def test_xlsx_dispatch_in_tabular_dir(spark, tmp_path):
     assert suffixes == ["csv", "xlsx"]
     for _, df in frames:
         assert df.columns == ["Source", "Spend", "Clicks"]
+
+
+def test_xlsx_sink_round_trips(spark, tmp_path):
+    """write_xlsx -> read_excel round-trip: schema and values survive,
+    including Korean text, None cells, bools, and numerics."""
+    from polars_ad_etl_spark.sinks.xlsx import write_xlsx
+
+    src = spark.createDataFrame(
+        [
+            ("메타", 10.5, 3, True, None),
+            ("TikTok", None, 7, False, "x,\"y\" <&>"),
+        ],
+        schema=["Source", "Spend", "Clicks", "Active", "Note"],
+    )
+    p = tmp_path / "out.xlsx"
+    write_xlsx(src, p)
+    back = read_excel(spark, p)
+    assert back.columns == src.columns
+    rows = {r.Source: r for r in back.collect()}
+    assert rows["메타"].Spend == 10.5
+    assert rows["메타"].Clicks == 3
+    assert rows["메타"].Active is True
+    assert rows["메타"].Note is None
+    assert rows["TikTok"].Spend is None
+    assert rows["TikTok"].Note == 'x,"y" <&>'
+
+
+def test_xlsx_round_trip_property(spark, tmp_path):
+    """Property: any small (string, double) table survives write_xlsx ->
+    read_excel with values intact; integral doubles may int-ify (documented
+    whole-table inference), so numeric comparison is by float value."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from polars_ad_etl_spark.sinks.xlsx import write_xlsx
+
+    text = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs", "Cc"), max_codepoint=0xFFFF
+        ),
+        min_size=1,
+        max_size=8,
+    )
+    num = st.floats(allow_nan=False, allow_infinity=False, width=32)
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(st.tuples(st.none() | text, st.none() | num), min_size=1, max_size=4))
+    def prop(rows):
+        df = spark.createDataFrame(rows, schema="a string, b double")
+        p = tmp_path / "prop.xlsx"
+        write_xlsx(df, p)
+        back = read_excel(spark, p)
+
+        def norm(recs):
+            out = []
+            for a, b in recs:
+                out.append(
+                    (
+                        str(a) if a is not None else None,
+                        float(b) if b is not None else None,
+                    )
+                )
+            return sorted(out, key=lambda t: (repr(t[0]), repr(t[1])))
+
+        assert norm([tuple(r) for r in back.collect()]) == norm(rows)
+
+    prop()
