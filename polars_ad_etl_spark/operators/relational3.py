@@ -1035,3 +1035,42 @@ def events_user_value_bands_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("valid_to"),
         F.count("*").alias("n_events"),
     )
+
+
+@register(
+    "agg_nation_top_customer_list",
+    oracle="""
+    SELECT n_name,
+           STRING_AGG(c_name, ',' ORDER BY c_acctbal DESC, c_name) AS top_names,
+           COUNT(*) AS n_rich
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 9000
+    GROUP BY n_name
+    """,
+)
+def agg_nation_top_customer_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (the LISTAGG / STRING_AGG family): per
+    nation, rich customers' names concatenated in (acctbal DESC, name) order.
+
+    Spark has no ordered string_agg, so the deterministic rewrite collects
+    ``struct(-acctbal, name)`` pairs, sorts the ARRAY (struct comparison is
+    lexicographic — negated balance makes ascending array order equal the
+    SQL's descending balance order), then projects and joins. Everything is
+    JVM-side; collect_list is map-side combinable and the sort is
+    per-group-size bounded, not a shuffle."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    n = _t(spark, sf_dir, "nation")
+    pair = F.struct((-F.col("c_acctbal")).alias("nb"), F.col("c_name").alias("nm"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(pair)), lambda s: s["nm"]
+                ),
+                ",",
+            ).alias("top_names"),
+            F.count(F.lit(1)).alias("n_rich"),
+        )
+    )

@@ -236,7 +236,9 @@ def test_xlsx_round_trip_property(spark, tmp_path):
                 out.append(
                     (
                         str(a) if a is not None else None,
-                        float(b) if b is not None else None,
+                        # +0.0 collapses signed zero: -0.0 legitimately
+                        # int-ifies to 0 under whole-table inference
+                        float(b) + 0.0 if b is not None else None,
                     )
                 )
             return sorted(out, key=lambda t: (repr(t[0]), repr(t[1])))
