@@ -195,3 +195,25 @@ def test_apsl_pipeline_with_xlsx_source(spark, tmp_path):
     assert m["Amount spent (USD)"] == 20.0
     assert m["Purchases conversion value"] == 399.5
     assert m["Impressions"] == 2000
+
+
+def test_export_daily_csv_and_xlsx(spark, tmp_path):
+    """Export leg: BOM-CSV (reference parity) and xlsx (new sink) both land
+    under processed_dir with the date-range filename; xlsx round-trips."""
+    from polars_ad_etl_spark.pipelines.export import export_daily
+    from polars_ad_etl_spark.sources.tabular import read_excel
+
+    _write(tmp_path, {"meta.csv": APSL_META, "tiktok.csv": APSL_TIKTOK,
+                      "x.csv": APSL_X})
+    out = apsl.run(spark, tmp_path)
+
+    p_csv = export_daily(out, "apsl", tmp_path)
+    assert p_csv.endswith(".csv") and "2024-03-01" in p_csv
+    with open(p_csv, "rb") as f:
+        assert f.read(3) == b"\xef\xbb\xbf"  # UTF-8 BOM
+
+    p_x = export_daily(out, "apsl", tmp_path, fmt="xlsx")
+    assert p_x.endswith(".xlsx")
+    back = read_excel(spark, p_x)
+    assert back.count() == out.count()
+    assert back.columns == out.columns
