@@ -1074,3 +1074,47 @@ def agg_nation_top_customer_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rich"),
         )
     )
+
+
+@register(
+    "recon_orders_vs_shipments_daily",
+    oracle="""
+    WITH o AS (SELECT o_orderdate AS day, COUNT(*) AS n_orders
+               FROM orders GROUP BY o_orderdate),
+    s AS (SELECT l_shipdate AS day, COUNT(*) AS n_ship_lines
+          FROM lineitem GROUP BY l_shipdate)
+    SELECT COALESCE(o.day, s.day) AS day,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(s.n_ship_lines, 0) AS n_ship_lines,
+           CASE WHEN o.day IS NULL THEN 'ship_only'
+                WHEN s.day IS NULL THEN 'order_only'
+                ELSE 'both' END AS status
+    FROM o FULL OUTER JOIN s ON o.day = s.day
+    """,
+)
+def recon_orders_vs_shipments_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily feed reconciliation — the FULL OUTER join surface. Two fact
+    tables aggregate to daily grain FIRST (map-side combinable counts), so
+    the full-outer join runs over |days| rows, not |facts| — at 100 TB the
+    join input is thousands of rows regardless of fact volume. Missing days
+    on either side surface as 'order_only'/'ship_only' with zeroed counts."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("o_day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").alias("s_day"))
+        .agg(F.count(F.lit(1)).alias("n_ship_lines"))
+    )
+    j = o.join(s, o.o_day == s.s_day, "full_outer")
+    return j.select(
+        F.coalesce("o_day", "s_day").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_ship_lines", F.lit(0)).alias("n_ship_lines"),
+        F.when(F.col("o_day").isNull(), "ship_only")
+        .when(F.col("s_day").isNull(), "order_only")
+        .otherwise("both")
+        .alias("status"),
+    )
