@@ -179,3 +179,15 @@ def test_transition_matrix_window_over_aggregate(spark):
     plan = formatted_plan(QUERIES["events_transition_matrix"](spark, SF_DIR))
     below_norm_window = plan.split("Window", 1)[1]
     assert "HashAggregate" in below_norm_window.split("Scan parquet", 1)[0]
+
+
+def test_recon_aggregates_before_full_outer(spark):
+    """The full-outer reconciliation must join two daily AGGREGATES — a
+    HashAggregate on each side below the join, never raw fact scans."""
+    plan = formatted_plan(QUERIES["recon_orders_vs_shipments_daily"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "FullOuter" in tree
+    join_idx = tree.index("Join FullOuter") if "Join FullOuter" in tree else tree.index("FullOuter")
+    below = tree[join_idx:]
+    # both scans sit under aggregates on the join's input side
+    assert below.count("HashAggregate") >= 4  # partial+final per side
