@@ -361,3 +361,34 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.col("monetary").desc(), "user_id"))
         .alias("m_quartile"),
     )
+
+
+@register(
+    "user_modal_event_type",
+    oracle="""
+    SELECT user_id, event_type AS modal_type, n_events
+    FROM (SELECT user_id, event_type, COUNT(*) AS n_events,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY COUNT(*) DESC, event_type) AS rn
+          FROM events GROUP BY user_id, event_type)
+    WHERE rn = 1
+    """,
+)
+def user_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode: each user's most frequent event type (ties broken
+    lexicographically so the winner is unique).
+
+    Spark-first: two stacked aggregates — (user, type) counts, then
+    ``min_by`` over ``struct(-n, type)`` (min of negated count = max count,
+    tie falls to the smaller type string). Both stages are map-side
+    combinable and shuffle only on user-derived keys; no window ever sees
+    the raw event table, unlike the oracle's row_number formulation."""
+    e = load_events(spark, sf_dir)
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    pick = F.struct((-F.col("n_events")).alias("neg_n"), F.col("event_type"))
+    return counts.groupBy("user_id").agg(
+        F.min_by("event_type", pick).alias("modal_type"),
+        F.max("n_events").alias("n_events"),
+    )

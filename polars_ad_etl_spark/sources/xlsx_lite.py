@@ -114,7 +114,13 @@ def read_xlsx_rows(
                         cells.append(None)
                     else:
                         f = float(v.text)
-                        cells.append(int(f) if f.is_integer() else f)
+                        # int-ify only within int64 range — a 9.2e18 cell
+                        # must stay float or the long column overflows
+                        cells.append(
+                            int(f)
+                            if f.is_integer() and -(2**63) <= f < 2**63
+                            else f
+                        )
             rows.append(cells)
     width = max((len(r) for r in rows), default=0)
     return [r + [None] * (width - len(r)) for r in rows]
