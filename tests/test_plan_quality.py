@@ -191,3 +191,21 @@ def test_recon_aggregates_before_full_outer(spark):
     below = tree[join_idx:]
     # both scans sit under aggregates on the join's input side
     assert below.count("HashAggregate") >= 4  # partial+final per side
+
+
+def test_cdc_latest_is_aggregate_not_window(spark):
+    """Latest-per-key must compile to a map-side-combinable aggregate:
+    no Window, no global Sort of the event table."""
+    plan = formatted_plan(QUERIES["cdc_latest_event_per_user"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert "partial_max_by" in plan or "HashAggregate" in tree
+
+
+def test_modal_type_stacked_aggregates_no_window(spark):
+    """Per-group mode: two stacked aggregates, never a window over raw
+    events."""
+    plan = formatted_plan(QUERIES["user_modal_event_type"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert tree.count("Scan parquet") == 1
