@@ -987,9 +987,9 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     islands AS (
         SELECT user_id, ts, band,
-               SUM(changed) OVER (PARTITION BY user_id
-                                  ORDER BY ts ROWS UNBOUNDED PRECEDING)
-                   AS island
+               CAST(SUM(changed) OVER (PARTITION BY user_id
+                                       ORDER BY ts ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS island
         FROM flagged
     )
     SELECT user_id, band, island AS version,

@@ -32,6 +32,27 @@ def test_oracle_match(spark, con, name):
     assert diff is None, f"{name}: {diff}"
 
 
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_has_no_hugeint_columns(con, name):
+    """Guard for the round-1 q12 defect class: DuckDB types SUM(INTEGER) as
+    HUGEINT, which hash-mismatches Spark's bigint in the driver's
+    type-sensitive compare even when every value is identical. The local
+    normalizer coerces ints to Int64 and would mask it — so assert at the
+    *plan* level (relation type resolution, no execution) that no oracle
+    produces a HUGEINT/UHUGEINT column. Fix pattern: CAST(SUM(...) AS BIGINT).
+    """
+    rel = con.sql(ORACLES[name])
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper()
+    ]
+    assert not bad, (
+        f"{name}: oracle columns typed HUGEINT (driver hash will mismatch "
+        f"Spark bigint): {bad} — wrap in CAST(... AS BIGINT)"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(spark, name):
     # queries without an oracle still must execute and return a stable schema
