@@ -2,10 +2,13 @@
 with typed metadata, processed by Arrow-batched Pandas UDFs over
 ``mapInPandas``.
 
-The decode step itself (image decode / resize / frame sampling) needs codec
-libraries this container doesn't ship, so it is STUBBED behind
-``decode_media`` — either a clearly-marked NotImplementedError (real mode) or
-a deterministic fake (test mode). Everything Spark-side is real and tested:
+Real mode (``fake=False``) genuinely decodes WAV audio and 24-bit BMP images
+with the stdlib-only codecs in ``operators/media_codecs.py`` (``wave`` +
+``struct`` — no PIL/librosa/pyav needed), so the audio+image pipelines are
+end-to-end executable in this container. Only video decode remains a
+clearly-marked NotImplementedError stub (no stdlib container parser exists).
+Fake mode keeps the original deterministic byte-derived features for tests
+that don't care about codecs. Everything Spark-side is real and tested:
 schema (binary + metadata struct), partition-sized Arrow batches, UDF
 signatures, and the feature-extraction pipeline shape.
 
@@ -25,7 +28,20 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from polars_ad_etl_spark.operators import media_codecs as mc
 from polars_ad_etl_spark.operators.registry import register
+
+# The mapInPandas closures below reference this package's pure-python codec
+# module. Executor python workers do NOT necessarily have the repo on their
+# sys.path (the driver harness runs from its own cwd), so register the codec
+# module for by-VALUE cloudpickle serialization: the worker receives the
+# functions themselves instead of an import-by-name it cannot resolve.
+try:  # pragma: no cover - registration is a no-op when unavailable
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(mc)
+except Exception:
+    pass
 
 MEDIA_SCHEMA = (
     "doc_id long, blob binary, media_type string, n_bytes long, checksum string"
@@ -52,15 +68,39 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _segment_means(values: list[float]) -> list[float]:
+    """FEATURE_DIM equal-span segment means over a decoded signal — the
+    minimal real feature extractor (per-band energy profile)."""
+    if not values:
+        return [0.0] * FEATURE_DIM
+    n = len(values)
+    out = []
+    for i in range(FEATURE_DIM):
+        lo = i * n // FEATURE_DIM
+        hi = max((i + 1) * n // FEATURE_DIM, lo + 1)
+        seg = values[lo:hi] if lo < n else values[-1:]
+        out.append(sum(seg) / len(seg))
+    return out
+
+
 def decode_media(blob: bytes, media_type: str, fake: bool = True) -> list[float]:
-    """STUB decode. Real mode would dispatch to PIL/librosa/pyav — none of
-    which are installed here — so ``fake=False`` raises loudly rather than
-    pretending. Fake mode derives a deterministic fixed-width feature vector
-    from the bytes, preserving the exact dataflow shape of a real extractor."""
+    """Feature-vector decode. Fake mode derives a deterministic byte-sampled
+    vector (no codec involved). Real mode genuinely parses the container:
+    WAV → PCM16 samples → per-band mean |amplitude|; BMP → RGB pixels →
+    per-band mean luma. Video (and any container the stdlib can't parse)
+    raises loudly rather than pretending — the honest remaining stub."""
     if not fake:
+        kind = mc.sniff_media_container(blob or b"")
+        if kind == "wav":
+            _meta, samples = mc.decode_wav(blob)
+            return _segment_means([abs(s) / 32768.0 for s in samples])
+        if kind == "bmp":
+            _meta, pixels = mc.decode_bmp(blob)
+            return _segment_means([(r + g + b) / (3 * 255.0) for r, g, b in pixels])
         raise NotImplementedError(
-            "media decoding requires codec libraries (PIL/librosa/pyav) "
-            "not present in this environment"
+            f"real decode for container {kind!r} (media_type={media_type}) "
+            "requires codec libraries (PIL/librosa/pyav) not present in this "
+            "environment; stdlib-real formats are WAV and BMP"
         )
     if blob is None or len(blob) == 0:
         return [0.0] * FEATURE_DIM
@@ -98,20 +138,23 @@ def resize_images(
     media: DataFrame, width: int = 8, height: int = 8, fake: bool = True
 ) -> DataFrame:
     """Resize plumbing for image rows: binary in, fixed (width x height)
-    pixel buffer out, via ``mapInPandas``. The fake resampler picks a
-    deterministic byte grid from the blob (nearest-neighbor shape); real
-    mode raises until a codec library is present. Output size is constant
-    per row, so downstream batch memory is exactly predictable."""
+    grayscale pixel buffer out, via ``mapInPandas``. Real mode decodes BMP
+    blobs with the stdlib codec and nearest-neighbor-resamples the actual
+    pixels; fake mode picks a deterministic byte grid from the raw blob
+    (same output shape, no codec). Output size is constant per row, so
+    downstream batch memory is exactly predictable."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = width * height
 
+        def real_resize(blob: bytes) -> bytes:
+            meta, pixels = mc.decode_bmp(blob or b"")
+            small = mc.resize_nearest(pixels, meta.width, meta.height, width, height)
+            return bytes((r + g + b) // 3 for r, g, b in small)
+
         def fake_resize(blob: bytes) -> bytes:
             if not fake:
-                raise NotImplementedError(
-                    "image resize requires a codec library (PIL) "
-                    "not present in this environment"
-                )
+                return real_resize(blob)
             if blob is None or len(blob) == 0:
                 return bytes(n)
             step = max(len(blob) // n, 1)
@@ -180,17 +223,12 @@ def chunk_audio(
     the image/video/audio triad. One input row fans out into
     ``ceil(n_bytes / chunk_bytes)`` rows, partition-locally, with the last
     chunk zero-padded to constant length so downstream batch memory is
-    exactly predictable. The PCM decode itself is stubbed (fake mode treats
-    the blob as raw PCM; real mode raises until a codec library is present).
+    exactly predictable. Fake mode treats the blob as raw PCM at the given
+    nominal rate; real mode genuinely parses the WAV container (stdlib
+    ``wave``) and chunks the decoded PCM at the file's own sample rate.
     """
-    chunk_bytes = int(sample_rate * chunk_seconds) * bytes_per_sample
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError(
-                "audio decode requires a codec library (soundfile/ffmpeg) "
-                "not present in this environment"
-            )
         for pdf in batches:
             aud = pdf[pdf["media_type"] == "audio"]
             out = {
@@ -202,17 +240,138 @@ def chunk_audio(
             }
             for doc_id, blob in zip(aud["doc_id"], aud["blob"]):
                 blob = blob or b""
-                n_chunks = max(-(-len(blob) // chunk_bytes), 1)
+                if fake:
+                    rate, pcm, bps = sample_rate, blob, bytes_per_sample
+                else:
+                    if mc.sniff_media_container(blob) != "wav":
+                        raise NotImplementedError(
+                            "real audio decode supports WAV only (stdlib wave); "
+                            "other containers need codec libraries "
+                            "(soundfile/ffmpeg) not present in this environment"
+                        )
+                    meta, samples = mc.decode_wav(blob)
+                    rate = meta.sample_rate
+                    pcm = b"".join(
+                        s.to_bytes(2, "little", signed=True) for s in samples
+                    )
+                    bps = meta.sample_width
+                chunk_bytes = max(int(rate * chunk_seconds) * bps, 1)
+                n_chunks = max(-(-len(pcm) // chunk_bytes), 1)
                 for i in range(n_chunks):
-                    piece = blob[i * chunk_bytes : (i + 1) * chunk_bytes]
+                    piece = pcm[i * chunk_bytes : (i + 1) * chunk_bytes]
                     out["doc_id"].append(doc_id)
                     out["chunk_idx"].append(i)
                     out["n_chunks"].append(n_chunks)
-                    out["sample_rate"].append(sample_rate)
+                    out["sample_rate"].append(rate)
                     out["chunk_blob"].append(piece.ljust(chunk_bytes, b"\0"))
             yield pd.DataFrame(out)
 
     return media.mapInPandas(op, schema=AUDIO_CHUNK_SCHEMA)
+
+
+REAL_MEDIA_SCHEMA = "doc_id long, media_type string, blob binary"
+REAL_DECODE_SCHEMA = (
+    "doc_id long, container string, width long, height long, "
+    "sample_rate long, n_frames long, duration_ms long, payload_sum long"
+)
+
+
+def synth_real_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A media table whose blobs are GENUINE containers: even doc_ids get a
+    real 24-bit BMP, odd doc_ids a real PCM16 WAV, both synthesized
+    deterministically from doc_id by the stdlib encoders in
+    ``media_codecs.py``. Synthesis runs in ``mapInPandas`` (partition-local,
+    Arrow-batched) — the distributed shape a blob-fetch from object storage
+    would have."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, types = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    w, h, v = 4 + d % 13, 3 + d % 7, d % 256
+                    blobs.append(mc.encode_bmp(w, h, [(v, v, v)] * (w * h)))
+                    types.append("image")
+                else:
+                    rate = 8000 + (d % 3) * 4000
+                    n = 100 + d % 50
+                    blobs.append(mc.encode_wav([d % 1000] * n, rate))
+                    types.append("audio")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_type": types, "blob": blobs}
+            )
+
+    return docs.mapInPandas(op, schema=REAL_MEDIA_SCHEMA)
+
+
+def decode_real_media(media: DataFrame) -> DataFrame:
+    """Real (non-fake) container decode over ``mapInPandas``: dispatch on
+    sniffed magic bytes, parse WAV headers + PCM with ``wave`` and BMP
+    headers + pixels with ``struct``, and emit typed metadata plus a payload
+    checksum (sum of all decoded pixel bytes / PCM samples) that proves the
+    payload — not just the header — round-tripped."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "container", "width", "height",
+                "sample_rate", "n_frames", "duration_ms", "payload_sum",
+            )}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                kind = mc.sniff_media_container(blob or b"")
+                row = dict.fromkeys(out)
+                row["doc_id"], row["container"] = doc_id, kind
+                if kind == "bmp":
+                    meta, pixels = mc.decode_bmp(blob)
+                    row["width"], row["height"] = meta.width, meta.height
+                    row["payload_sum"] = sum(r + g + b for r, g, b in pixels)
+                elif kind == "wav":
+                    meta, samples = mc.decode_wav(blob)
+                    row["sample_rate"] = meta.sample_rate
+                    row["n_frames"] = meta.n_frames
+                    row["duration_ms"] = meta.duration_ms
+                    row["payload_sum"] = sum(samples)
+                else:
+                    raise NotImplementedError(
+                        f"unparseable container {kind!r} in real decode path"
+                    )
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, schema=REAL_DECODE_SCHEMA)
+
+
+@register(
+    "multimodal_real_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS container,
+           CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 13 END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 7 END AS height,
+           CASE WHEN doc_id % 2 = 1
+                THEN 8000 + (doc_id % 3) * 4000 END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1 THEN 100 + doc_id % 50 END AS n_frames,
+           CASE WHEN doc_id % 2 = 1
+                THEN ((100 + doc_id % 50) * 1000)
+                     // (8000 + (doc_id % 3) * 4000) END AS duration_ms,
+           CASE WHEN doc_id % 2 = 0
+                THEN (4 + doc_id % 13) * (3 + doc_id % 7) * 3 * (doc_id % 256)
+                ELSE (100 + doc_id % 50) * (doc_id % 1000) END AS payload_sum
+    FROM documents
+    """,
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL media decode: synthesize genuine BMP/WAV containers
+    from doc_id, then parse them back with the stdlib codecs — headers AND
+    payload bytes. The oracle recomputes every decoded field from the
+    synthesis arithmetic, so a hash match proves the encode→decode round
+    trip is faithful (dimensions, sample rate, frame count, duration, and a
+    full-payload checksum). This closes the round-1 gap where real mode was
+    a NotImplementedError stub."""
+    return decode_real_media(synth_real_media_table(spark, sf_dir))
 
 
 @register(

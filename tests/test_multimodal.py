@@ -115,10 +115,173 @@ def test_chunk_audio_fixed_length_padded(spark):
         assert all(r.n_chunks == want for r in rs)
 
 
-def test_chunk_audio_real_mode_loud(spark):
+def test_chunk_audio_real_mode_loud_on_non_wav(spark):
     import pytest
 
     from polars_ad_etl_spark.operators.multimodal import chunk_audio, media_table
 
+    # media_table blobs are raw text bytes, not WAV containers -> real mode
+    # must refuse loudly rather than chunk garbage
     with pytest.raises(Exception, match="codec|NotImplemented"):
         chunk_audio(media_table(spark, SF_DIR), fake=False).collect()
+
+
+# ------------------------------------------------- real stdlib codec paths
+
+
+def test_wav_roundtrip_nonuniform():
+    from polars_ad_etl_spark.operators.media_codecs import decode_wav, encode_wav
+
+    samples = [((i * 37 + 11) % 2048) - 1024 for i in range(501)]  # odd length
+    blob = encode_wav(samples, sample_rate=12000)
+    meta, got = decode_wav(blob)
+    assert (meta.sample_rate, meta.n_channels, meta.sample_width) == (12000, 1, 2)
+    assert meta.n_frames == 501
+    assert meta.duration_ms == 501 * 1000 // 12000
+    assert got == samples
+
+
+def test_wav_stereo_roundtrip():
+    from polars_ad_etl_spark.operators.media_codecs import decode_wav, encode_wav
+
+    samples = [v for i in range(100) for v in (i, -i)]  # L/R interleaved
+    blob = encode_wav(samples, sample_rate=8000, n_channels=2)
+    meta, got = decode_wav(blob)
+    assert meta.n_channels == 2
+    assert meta.n_frames == 100
+    assert got == samples
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (2, 3), (4, 4), (5, 2), (7, 3)])
+def test_bmp_roundtrip_all_padding_widths(w, h):
+    # w=1,5,7 exercise nonzero row padding; w=4 exercises zero padding
+    from polars_ad_etl_spark.operators.media_codecs import decode_bmp, encode_bmp
+
+    pixels = [
+        ((x * 7 + y * 13) % 256, (x * 3) % 256, (y * 5 + 1) % 256)
+        for y in range(h)
+        for x in range(w)
+    ]
+    meta, got = decode_bmp(encode_bmp(w, h, pixels))
+    assert (meta.width, meta.height, meta.bits_per_pixel) == (w, h, 24)
+    assert got == pixels
+
+
+def test_png_header_parse():
+    import struct
+    import zlib
+
+    from polars_ad_etl_spark.operators.media_codecs import (
+        decode_png_header,
+        sniff_media_container,
+    )
+
+    ihdr = struct.pack(">IIBB", 640, 480, 8, 2) + b"\x00\x00\x00"
+    chunk = struct.pack(">I", 13) + b"IHDR" + ihdr
+    chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    blob = b"\x89PNG\r\n\x1a\n" + chunk
+    assert sniff_media_container(blob) == "png"
+    meta = decode_png_header(blob)
+    assert (meta.width, meta.height, meta.bit_depth, meta.color_type) == (640, 480, 8, 2)
+
+
+def test_sniff_media_container():
+    from polars_ad_etl_spark.operators.media_codecs import (
+        encode_bmp,
+        encode_wav,
+        sniff_media_container,
+    )
+
+    assert sniff_media_container(encode_bmp(1, 1, [(1, 2, 3)])) == "bmp"
+    assert sniff_media_container(encode_wav([0], 8000)) == "wav"
+    assert sniff_media_container(b"plain text") == "unknown"
+
+
+def test_decode_media_real_wav_and_bmp():
+    from polars_ad_etl_spark.operators.media_codecs import encode_bmp, encode_wav
+    from polars_ad_etl_spark.operators.multimodal import FEATURE_DIM, decode_media
+
+    wav = encode_wav([1024] * 400, sample_rate=8000)
+    feats = decode_media(wav, "audio", fake=False)
+    assert len(feats) == FEATURE_DIM
+    assert all(abs(f - 1024 / 32768.0) < 1e-9 for f in feats)
+
+    bmp = encode_bmp(6, 4, [(90, 90, 90)] * 24)
+    feats = decode_media(bmp, "image", fake=False)
+    assert all(abs(f - 90 / 255.0) < 1e-9 for f in feats)
+
+
+def test_resize_images_real_mode_actual_pixels(spark):
+    """Real-mode resize decodes genuine BMPs and nearest-neighbor-resamples
+    the actual pixel grid: a half-black/half-white source image must come
+    out half-0 / half-255 after downsampling."""
+    import pandas as pd
+
+    from polars_ad_etl_spark.operators.media_codecs import encode_bmp
+    from polars_ad_etl_spark.operators.multimodal import resize_images
+
+    w, h = 16, 8
+    pixels = [
+        (0, 0, 0) if x < w // 2 else (255, 255, 255)
+        for y in range(h)
+        for x in range(w)
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "media_type": ["image"],
+                "blob": [encode_bmp(w, h, pixels)],
+            }
+        )
+    )
+    (row,) = resize_images(media, width=4, height=2, fake=False).collect()
+    assert bytes(row.pixels) == bytes([0, 0, 255, 255] * 2)
+
+
+def test_chunk_audio_real_mode_uses_file_rate(spark):
+    """Real-mode chunking parses the WAV header and chunks at the file's own
+    sample rate, not the nominal parameter."""
+    import pandas as pd
+
+    from polars_ad_etl_spark.operators.media_codecs import encode_wav
+    from polars_ad_etl_spark.operators.multimodal import chunk_audio
+
+    rate, n = 4000, 4000 + 123  # 1.0s + a partial chunk
+    samples = [(i % 256) - 128 for i in range(n)]
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [7],
+                "media_type": ["audio"],
+                "blob": [encode_wav(samples, sample_rate=rate)],
+            }
+        )
+    )
+    rows = chunk_audio(
+        media, sample_rate=999, chunk_seconds=1.0, fake=False
+    ).collect()
+    assert len(rows) == 2
+    assert all(r.sample_rate == rate for r in rows)  # file rate wins
+    chunk_bytes = rate * 2
+    assert all(len(r.chunk_blob) == chunk_bytes for r in rows)
+    # payload round-trip: concatenated chunks minus padding == original PCM
+    import struct as _struct
+
+    joined = b"".join(
+        bytes(r.chunk_blob) for r in sorted(rows, key=lambda r: r.chunk_idx)
+    )
+    got = list(_struct.unpack(f"<{n}h", joined[: n * 2]))
+    assert got == samples
+    assert all(b == 0 for b in joined[n * 2 :])  # zero padding
+
+
+def test_synth_real_media_table_blobs_parse(spark):
+    from polars_ad_etl_spark.operators.media_codecs import sniff_media_container
+    from polars_ad_etl_spark.operators.multimodal import synth_real_media_table
+
+    rows = synth_real_media_table(spark, SF_DIR).limit(12).collect()
+    assert rows
+    for r in rows:
+        want = "bmp" if r.doc_id % 2 == 0 else "wav"
+        assert sniff_media_container(bytes(r.blob)) == want
