@@ -409,16 +409,162 @@ def kmeans_train(
     return centroids, history
 
 
-@register("sim_kmeans_clusters")  # iterative: rows-only check by design
-def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Final k-means assignment (vec_id -> cluster) after Lloyd iterations.
-    Not SQL-expressible (iterative fixpoint), so registered without an
-    oracle; determinism and SSE monotonicity are locked by
-    tests/test_properties.py."""
-    centroids, _ = kmeans_train(spark, sf_dir)
-    return kmeans_assign(
+# ------------------------------------- integer-exact fixed-iteration Lloyd
+# Quantization for cross-engine bit-exactness: q = floor(v * 1e6) + OFFSET.
+# floor of a double is identical on every IEEE engine; OFFSET keeps every
+# quantized value non-negative so integer division is floor division on both
+# Spark ("div") and DuckDB ("//"). |q - c| <= 4e6, so a squared term is
+# <= 1.6e13 and a 64-dim distance <= ~1e15 — exact in int64 AND in double.
+KMEANS_Q_SCALE = 1_000_000
+KMEANS_Q_OFFSET = 2_000_000
+
+
+def _quantized(df: DataFrame) -> DataFrame:
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * KMEANS_Q_SCALE).cast("long")
+        + F.lit(KMEANS_Q_OFFSET),
+    )
+    return df.select("vec_id", q.alias("qe"))
+
+
+def _assign_quantized(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    def dist_to(c: list[int]) -> F.Column:
+        carr = F.array(*[F.lit(int(v)) for v in c])
+        return F.aggregate(
+            F.zip_with(F.col("qe"), carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(*[dist_to(c) for c in centroids])
+    return q.select(
+        "vec_id",
+        "qe",
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cluster"),
+    )
+
+
+def kmeans_fixed(
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, iters: int = 2
+) -> tuple[list[list[int]], DataFrame]:
+    """Fixed-iteration Lloyd in exact integer arithmetic — every step
+    (quantize, distance, argmin with lowest-index tie-break, floor-divided
+    centroid update) is bit-identical across engines, which is what makes
+    ``sim_kmeans_clusters`` oracle-checkable instead of rows-only. The
+    tolerance-based double-precision trainer (:func:`kmeans_train`) remains
+    the production path; this is its verification twin with identical
+    structure. Returns (final integer centroids, quantized DataFrame)."""
+    from polars_ad_etl_spark.functions.hashing import portable_hash32
+
+    q = _quantized(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             "vec_id", "embedding"
-        ),
-        centroids,
-    ).select("vec_id", "cluster")
+        )
+    )
+    init = (
+        q.select(
+            "vec_id", "qe", portable_hash32(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[int(x) for x in r.qe] for r in init]
+    for _ in range(iters):
+        assigned = _assign_quantized(q, centroids)
+        rows = (
+            assigned.select("cluster", F.posexplode("qe").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # empty cluster keeps old
+        for r in rows:
+            new_centroids[r.cluster][r.pos] = int(r.s) // int(r.n)
+        centroids = new_centroids
+    return centroids, q
+
+
+def _kmeans_oracle_sql(k: int = KMEANS_K, iters: int = 2, dims: int = 64) -> str:
+    """Unrolled fixed-iteration Lloyd as DuckDB SQL, mirroring
+    :func:`kmeans_fixed` step for step in the same exact integer arithmetic.
+    Intermediate HUGEINT sums are harmless (only compared/divided, never in
+    the output schema)."""
+    from polars_ad_etl_spark.functions.hashing import portable_hash32_sql
+
+    h = portable_hash32_sql("vec_id::VARCHAR")
+    sql = f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {KMEANS_Q_SCALE}) AS BIGINT)
+                        + {KMEANS_Q_OFFSET}) AS qe
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT cluster, t.dim - 1 AS dim, qe[t.dim] AS cq
+        FROM (
+            SELECT qe, row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cluster
+            FROM q QUALIFY cluster < {k}
+        ), generate_series(1, {dims}) AS t(dim)
+    )"""
+    prev = "c0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    d{i} AS (
+        SELECT v.vec_id, c.cluster,
+               SUM((v.qe[c.dim + 1] - c.cq) * (v.qe[c.dim + 1] - c.cq)) AS dist
+        FROM q v CROSS JOIN {prev} c
+        GROUP BY v.vec_id, c.cluster
+    ),
+    a{i} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM d{i}
+        ) WHERE rn = 1
+    ),
+    c{i} AS (
+        SELECT p.cluster, p.dim,
+               CAST(COALESCE(u.cq, p.cq) AS BIGINT) AS cq
+        FROM {prev} p LEFT JOIN (
+            SELECT a.cluster, t.dim - 1 AS dim,
+                   CAST(SUM(v.qe[t.dim]) // COUNT(*) AS BIGINT) AS cq
+            FROM a{i} a JOIN q v USING (vec_id),
+                 generate_series(1, {dims}) AS t(dim)
+            GROUP BY a.cluster, t.dim
+        ) u ON u.cluster = p.cluster AND u.dim = p.dim
+    )"""
+        prev = f"c{i}"
+    final = iters + 1
+    sql += f""",
+    dF AS (
+        SELECT v.vec_id, c.cluster,
+               SUM((v.qe[c.dim + 1] - c.cq) * (v.qe[c.dim + 1] - c.cq)) AS dist
+        FROM q v CROSS JOIN {prev} c
+        GROUP BY v.vec_id, c.cluster
+    )
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM dF
+    ) WHERE rn = 1
+    """
+    return sql
+
+
+@register("sim_kmeans_clusters", oracle=_kmeans_oracle_sql())
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final k-means assignment (vec_id -> cluster) after a FIXED number of
+    Lloyd iterations in exact integer arithmetic (see :func:`kmeans_fixed`).
+    Fixed iterations + quantized math make the iterative algorithm fully
+    SQL-expressible, so this carries a real DuckDB oracle (unrolled Lloyd)
+    instead of the round-1 rows-only check. The tolerance-stopped
+    double-precision trainer is exercised by tests/test_properties.py."""
+    centroids, q = kmeans_fixed(spark, sf_dir)
+    return _assign_quantized(q, centroids).select("vec_id", "cluster")
