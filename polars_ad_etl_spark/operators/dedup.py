@@ -465,43 +465,26 @@ def _components_oracle() -> str:
     """
 
 
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the LSH candidate graph: every document in
-    a near-dup cluster gets the cluster's minimum doc_id as component_id.
-
-    This is the engine's iterative-algorithm surface: min-label propagation
-    run as a driver loop of DataFrame joins until fixpoint. Each iteration
-    is one shuffle (edges join labels, min-aggregate); the loop count is
-    the graph diameter, which for near-dup clusters is tiny (clusters are
-    near-cliques — LSH fires on most intra-cluster pairs). At 100 TB-scale
-    graph diameters, switch the iteration body to the large-star/small-star
-    contraction, which keeps this exact loop structure. The DuckDB oracle
-    re-derives components with a recursive CTE, so the fixpoint itself is
-    verified, not just the plumbing.
-
-    Lineage is truncated with `localCheckpoint`, not `persist`: the MinHash
-    pipeline behind the pair list is a ~40-node plan, and an iterative loop
-    built on a persisted frame still carries that full logical plan into
-    every iteration — each `count()` re-analyzes it on the driver (measured
-    3-4s/iteration at sf0.1, pure planning). Checkpointing materializes the
-    256-row candidate graph once and gives the loop a leaf plan, so each
-    iteration is a tiny join over a tiny lineage (~0.2s). Persisted-cache
-    materialization additionally runs without AQE, losing the runtime
-    broadcast conversion inside the LSH self-join. On a cluster, swap
-    `localCheckpoint` for a reliable `checkpoint` directory — same loop."""
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
-    edges = pairs.selectExpr("doc_a AS a", "doc_b AS b").unionByName(
-        pairs.selectExpr("doc_b AS a", "doc_a AS b")
-    )
+def connected_components_propagate(edges: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected edge list (columns ``a``,
+    ``b``; either direction, self-loops ignored) → (node, component_id).
+    One shuffle per iteration; iteration count = graph DIAMETER. The right
+    tool when components are near-cliques (the LSH candidate graph). For
+    high-diameter graphs use :func:`connected_components_star` (O(log d)
+    rounds)."""
+    sym = edges.filter(F.col("a") != F.col("b"))
+    sym = sym.unionByName(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = (
-        edges.select(F.col("a").alias("node"))
+        sym.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component_id"))
         .localCheckpoint(eager=True)
     )
     while True:
         neighbor_min = (
-            edges.join(labels, edges.b == labels.node)
+            sym.join(labels, sym.b == labels.node)
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
@@ -523,12 +506,141 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated.drop("changed")
         if n_changed == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"), "component_id")
+    return labels
+
+
+def _canonical_edges(e: DataFrame) -> DataFrame:
+    return (
+        e.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+
+
+def connected_components_star(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) over an undirected edge
+    list → (node, component_id = component minimum).
+
+    This is the 100 TB high-diameter path promised by round 1's docstring:
+    where min-label propagation needs DIAMETER iterations, the alternating
+    star contraction converges in O(log d) rounds, each round two
+    groupBy-join shuffles over an edge set that only shrinks:
+
+    - **large-star**: per node u with m = min(N(u) ∪ {u}), rewire every
+      LARGER neighbor v > u to (v, m);
+    - **small-star**: per node u, rewire every SMALLER neighbor (and u
+      itself) to (v, m).
+
+    At the fixpoint the edge set is a star forest rooted at each
+    component's minimum, read off directly as labels. Convergence is
+    checked exactly (symmetric set difference — two subtracts over the
+    contracted, ever-shrinking edge set); at extreme scale swap that for a
+    (count, hash-sum) signature comparison. Each round localCheckpoints to
+    keep the loop's lineage flat, same rationale as the propagate loop."""
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = _canonical_edges(edges).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
+        m = F.least(F.col("a"), F.col("mb"))
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), m.alias("b"))
+        )
+        le = _canonical_edges(large)
+        sym2 = le.unionByName(
+            le.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins2 = sym2.groupBy("a").agg(F.min("b").alias("mb"))
+        m2 = F.least(F.col("a"), F.col("mb"))
+        small = (
+            sym2.join(mins2, "a")
+            .filter(F.col("b") < F.col("a"))
+            .select(F.col("b").alias("a"), m2.alias("b"))
+            .unionByName(
+                mins2.select(
+                    F.col("a"), F.least("a", "mb").alias("b")
+                )
+            )
+        )
+        new_e = _canonical_edges(small).localCheckpoint(eager=True)
+        n_diff = new_e.exceptAll(e).count() + e.exceptAll(new_e).count()
+        e = new_e
+        if n_diff == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds"
+        )
+    # fixpoint edge set is a star forest (a = component min, b = member)
+    stars = e.select(F.col("b").alias("node"), F.col("a").alias("cid"))
+    return (
+        nodes.join(stars, "node", "left_outer")
+        .groupBy("node")
+        .agg(F.min("cid").alias("cid"))
+        .select(
+            "node", F.coalesce("cid", F.col("node")).alias("component_id")
+        )
+    )
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate graph: every document in
+    a near-dup cluster gets the cluster's minimum doc_id as component_id.
+
+    This is the engine's iterative-algorithm surface: min-label propagation
+    run as a driver loop of DataFrame joins until fixpoint. Each iteration
+    is one shuffle (edges join labels, min-aggregate); the loop count is
+    the graph diameter, which for near-dup clusters is tiny (clusters are
+    near-cliques — LSH fires on most intra-cluster pairs). For 100 TB-scale
+    graph diameters, :func:`connected_components_star` implements the
+    large-star/small-star contraction (O(log d) rounds) over the same edge
+    contract — registered as ``dedup_cc_star`` against the same oracle, and
+    proven equivalent on high-diameter synthetic graphs in
+    tests/test_properties.py. The DuckDB oracle re-derives components with
+    a recursive CTE, so the fixpoint itself is verified, not just the
+    plumbing.
+
+    Lineage is truncated with `localCheckpoint`, not `persist`: the MinHash
+    pipeline behind the pair list is a ~40-node plan, and an iterative loop
+    built on a persisted frame still carries that full logical plan into
+    every iteration — each `count()` re-analyzes it on the driver (measured
+    3-4s/iteration at sf0.1, pure planning). Checkpointing materializes the
+    256-row candidate graph once and gives the loop a leaf plan, so each
+    iteration is a tiny join over a tiny lineage (~0.2s). Persisted-cache
+    materialization additionally runs without AQE, losing the runtime
+    broadcast conversion inside the LSH self-join. On a cluster, swap
+    `localCheckpoint` for a reliable `checkpoint` directory — same loop."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    return connected_components_propagate(
+        pairs.selectExpr("doc_a AS a", "doc_b AS b")
+    ).select(F.col("node").alias("doc_id"), "component_id")
 
 
 register("dedup_connected_components", oracle=_components_oracle())(
     dedup_connected_components
 )
+
+
+@register("dedup_cc_star", oracle=_components_oracle())
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate graph via the
+    large-star/small-star contraction — the high-diameter 100 TB path,
+    driver-checked against the SAME recursive-CTE oracle as the propagate
+    version (both must produce identical min-labeled components)."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    return connected_components_star(
+        pairs.selectExpr("doc_a AS a", "doc_b AS b")
+    ).select(F.col("node").alias("doc_id"), "component_id")
 
 
 @register(

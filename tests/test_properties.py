@@ -186,3 +186,70 @@ def test_kmeans_sse_monotone_and_deterministic(spark):
 
     centroids2, history2 = kmeans_train(spark, sf)
     assert centroids2 == centroids and history2 == history
+
+
+def _union_find(n_edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in n_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_star_cc_high_diameter_chain(spark):
+    """The large-star/small-star path must solve a deliberately chain-shaped
+    (diameter-100) graph — the exact case where min-label propagation needs
+    100 rounds — and agree with the propagate path label for label."""
+    import pyspark.sql.functions as F
+
+    from polars_ad_etl_spark.operators.dedup import (
+        connected_components_propagate,
+        connected_components_star,
+    )
+
+    # one long chain (high diameter), a triangle, and an isolated edge;
+    # ids deliberately non-contiguous and interleaved
+    edges = [(i * 3 + 7, (i + 1) * 3 + 7) for i in range(100)]
+    edges += [(1000, 1001), (1001, 1002), (1002, 1000), (2000, 2001)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    want = _union_find(edges)
+    star = {
+        r.node: r.component_id
+        for r in connected_components_star(df, max_iter=12).collect()
+    }
+    assert star == want  # O(log d) rounds suffice on a diameter-100 chain
+    prop = {
+        r.node: r.component_id for r in connected_components_propagate(df).collect()
+    }
+    assert prop == want and prop == star
+
+
+def test_star_cc_random_graphs_agree(spark):
+    """Star contraction == union-find ground truth on random graphs of mixed
+    shape (fixed seeds -> reproducible)."""
+    import random
+
+    from polars_ad_etl_spark.operators.dedup import connected_components_star
+
+    for seed in (11, 29):
+        rng = random.Random(seed)
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(140)
+        ]  # includes self-loops and duplicates on purpose
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r.node: r.component_id
+            for r in connected_components_star(df).collect()
+        }
+        want = _union_find(edges)
+        assert got == want, f"seed={seed}"
