@@ -261,6 +261,109 @@ def curation_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.join(F.broadcast(keep), "bk").select("doc_id", "n_tokens")
 
 
+# ------------------------------------------------------ Gopher rule suite
+# The document-level quality gate of Rae et al. 2021 (Gopher, Table A1),
+# restated for this corpus: word-count bounds, mean-word-length band,
+# symbol-to-word ratio, and alphabetic-word fraction. Thresholds are the
+# published ones except the minimum word count (20 instead of 50 — this
+# corpus is synthetic short text, 10..99 words, and a 50-floor would reject
+# half of it; the *rule* is what's under test, not Gopher's web tuning).
+# Line-shape rules (bullet/ellipsis line ratios) are omitted: the corpus is
+# single-line by construction, so they would be constant-false columns.
+_G_MIN_WORDS = 20
+_G_MAX_WORDS = 100_000
+_G_MIN_MEAN_WLEN = 3.0
+_G_MAX_MEAN_WLEN = 10.0
+_G_MAX_SYMBOL_RATIO = 0.1
+_G_MIN_ALPHA_RATIO = 0.8
+_G_SYMBOL_RE = "#|[.][.][.]"  # hash marks and ASCII ellipses, RE2-safe
+
+
+@register(
+    "text_gopher_filters",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST(list_sum(list_transform(toks, x -> len(x)))
+                              AS DOUBLE) / len(toks)
+               END AS mean_word_len,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST(len(regexp_extract_all(text, '{_G_SYMBOL_RE}'))
+                              AS DOUBLE) / len(toks)
+               END AS symbol_ratio,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(toks,
+                                   x -> regexp_matches(x, '[a-z]')))
+                              AS DOUBLE) / len(toks)
+               END AS alpha_word_ratio
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+           (n_words >= {_G_MIN_WORDS} AND n_words <= {_G_MAX_WORDS}
+            AND mean_word_len >= {_G_MIN_MEAN_WLEN}
+            AND mean_word_len <= {_G_MAX_MEAN_WLEN}
+            AND symbol_ratio <= {_G_MAX_SYMBOL_RATIO}
+            AND alpha_word_ratio >= {_G_MIN_ALPHA_RATIO}) AS keep
+    FROM m
+    """,
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality gate: per-document word count, mean word
+    length, symbol-to-word ratio, and alphabetic-word fraction, folded into
+    one keep/drop decision. Pure projection — every measure is a
+    higher-order array expression over the token array (no shuffle, no
+    Python), so at 100 TB this is scan-bound and pushes the text-column
+    read down to the parquet scan. The ratio divisions are exact-integer
+    over exact-integer, so the doubles are bit-identical across engines
+    (no rounding needed). Complements :func:`text_repetition_scores`,
+    which covers Gopher's repetition family."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id", "text", tokens(F.col("text")).alias("toks")
+    )
+    n = F.size("toks")
+    zero = F.lit(0.0)
+    mean_wlen = F.when(n == 0, zero).otherwise(
+        F.aggregate(
+            F.transform(F.col("toks"), lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n
+    )
+    symbol_ratio = F.when(n == 0, zero).otherwise(
+        F.regexp_count("text", F.lit(_G_SYMBOL_RE)).cast("double") / n
+    )
+    alpha_ratio = F.when(n == 0, zero).otherwise(
+        F.size(F.filter(F.col("toks"), lambda x: x.rlike("[a-z]"))).cast(
+            "double"
+        )
+        / n
+    )
+    m = t.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+    )
+    return m.select(
+        "*",
+        (
+            (F.col("n_words") >= _G_MIN_WORDS)
+            & (F.col("n_words") <= _G_MAX_WORDS)
+            & (F.col("mean_word_len") >= _G_MIN_MEAN_WLEN)
+            & (F.col("mean_word_len") <= _G_MAX_MEAN_WLEN)
+            & (F.col("symbol_ratio") <= _G_MAX_SYMBOL_RATIO)
+            & (F.col("alpha_word_ratio") >= _G_MIN_ALPHA_RATIO)
+        ).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------- PII redaction
 # Patterns restricted to syntax RE2 (DuckDB) and the JVM regex engine parse
 # identically: explicit classes, no backrefs, no lookaround.
