@@ -37,6 +37,8 @@ from polars_ad_etl_spark.functions.hashing import (
     perm_constants,
     portable_hash32,
     portable_hash32_sql,
+    portable_hash60,
+    portable_hash60_sql,
     tokens,
     tokens_sql,
 )
@@ -668,4 +670,102 @@ def dedup_near_dup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("component_id").isNull()
             | (F.col("component_id") == F.col("doc_id"))
         ).alias("keep"),
+    )
+
+
+# ------------------------------------------------- passage-level duplication
+# Cross-document repeated passages, the signal behind substring-granular
+# dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better", which uses suffix arrays for exact 50-token substrings). A suffix
+# array is a single-machine structure; the distributed re-expression is the
+# standard one: slide a fixed-width token window over each document, hash the
+# window, and count distinct documents per window hash. Passages seen in >= 2
+# documents are "shared"; a document whose text is mostly shared passages is
+# a near-copy at passage granularity even when whole-document MinHash misses
+# it (e.g. long docs that embed a common boilerplate block).
+#
+# Scale (100 TB): the window expansion is a projection (one 8-byte hash per
+# window, never the window text); the per-hash doc count is one map-side-
+# combinable shuffle on the hash; the join back to occurrences re-uses the
+# same hash partitioning (no extra exchange under AQE); the final per-doc
+# rollup is a second combinable shuffle. Nothing is quadratic and no string
+# longer than one window ever moves.
+_PASSAGE_N = 8  # window width in tokens (docs here are 10..99 tokens)
+_SHARED_RATIO_FLAG = 0.5
+
+_PASSAGES_SPARK = f"""
+    CASE WHEN size(toks) >= {_PASSAGE_N} THEN
+        transform(sequence(0, size(toks) - {_PASSAGE_N}),
+                  i -> concat_ws(' ', slice(toks, i + 1, {_PASSAGE_N})))
+    ELSE array() END
+"""
+
+_PASSAGES_DUCK = (
+    f"[array_to_string(toks[i:i+{_PASSAGE_N - 1}], ' ') "
+    f"for i in generate_series(1, len(toks) - {_PASSAGE_N - 1})]"
+)
+
+
+@register(
+    "dedup_duplicate_passages",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id, {portable_hash60_sql('p')} AS h
+        FROM (SELECT doc_id, unnest({_PASSAGES_DUCK}) AS p FROM t)
+    ),
+    stats AS (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY h
+    ),
+    per_doc AS (
+        SELECT g.doc_id,
+               COUNT(*) AS n_passages,
+               COUNT(*) FILTER (WHERE s.nd >= 2) AS n_shared
+        FROM g JOIN stats s USING (h)
+        GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_passages, 0) AS n_passages,
+           COALESCE(p.n_shared, 0) AS n_shared,
+           CASE WHEN COALESCE(p.n_passages, 0) = 0 THEN 0.0
+                ELSE CAST(p.n_shared AS DOUBLE) / p.n_passages
+           END AS shared_ratio,
+           (CASE WHEN COALESCE(p.n_passages, 0) = 0 THEN 0.0
+                 ELSE CAST(p.n_shared AS DOUBLE) / p.n_passages
+            END >= {_SHARED_RATIO_FLAG}) AS flagged
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document passage-duplication profile: how many of a document's
+    {_PASSAGE_N}-token windows also appear in at least one other document.
+    The distributed stand-in for suffix-array substring dedup — see the
+    section comment for the plan shape (two combinable shuffles on 8-byte
+    keys, no O(n^2) step, window text never shuffled)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    g = t.select(
+        "doc_id", F.explode(F.expr(_PASSAGES_SPARK)).alias("p")
+    ).select("doc_id", portable_hash60(F.col("p")).alias("h"))
+    stats = g.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    per_doc = (
+        g.join(stats, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.count(F.when(F.col("nd") >= 2, True)).alias("n_shared"),
+        )
+    )
+    n_p = F.coalesce("n_passages", F.lit(0))
+    ratio = F.when(n_p == 0, F.lit(0.0)).otherwise(
+        F.col("n_shared").cast("double") / F.col("n_passages")
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left_outer").select(
+        "doc_id",
+        n_p.alias("n_passages"),
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        ratio.alias("shared_ratio"),
+        (ratio >= _SHARED_RATIO_FLAG).alias("flagged"),
     )
