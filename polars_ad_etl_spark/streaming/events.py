@@ -20,20 +20,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Schema of the events table with ts already normalized to micros NTZ
-# (sources/star.py::load_events does this for batch; for streaming we read the
-# raw nanos as long and do the same conversion in the plan).
-RAW_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 # Streaming watermarks require TIMESTAMP (with local tz), not NTZ — so the
 # stream path works on LTZ instants with the session pinned to UTC, and window
 # bounds are cast back to NTZ at the output so results line up with the batch
@@ -41,21 +27,45 @@ RAW_EVENTS_SCHEMA = T.StructType(
 _TS_EXPR = "timestamp_micros(ts div 1000)"
 
 
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """File-source stream over the events parquet (in production: Kafka —
-    same downstream plan). Explicit schema: streaming sources never infer."""
+    same downstream plan). Explicit schema: streaming sources never infer —
+    so probe the physical ``ts`` encoding with a batch footer read first.
+    Generators have shipped this table as both TIMESTAMP(NANOS) (surfaces as
+    bigint under the nanosAsLong legacy conf) and TIMESTAMP(MICROS)/no-tz
+    (surfaces as timestamp_ntz); both normalize to micro-precision UTC
+    instants here."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    probed = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    )
     raw = (
-        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(probed))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         # the file source wants a directory; glob-filter to the events table
         .option("pathGlobFilter", "events.parquet")
         .parquet(str(sf_dir))
     )
-    return raw.withColumn("ts", F.expr(_TS_EXPR))
+    if isinstance(probed, T.LongType):
+        return raw.withColumn("ts", F.expr(_TS_EXPR))
+    # NTZ wall-clock -> LTZ instant is identity under the UTC session pin
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
