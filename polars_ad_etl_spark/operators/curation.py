@@ -191,3 +191,88 @@ def curation_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.lit("high").alias("mix_group")
     )
     return low.unionByName(high)
+
+
+# ------------------------------------------- DSIR-style importance sampling
+# Data Selection via Importance Resampling (Xie et al. 2023): weight each
+# document by how much its token distribution looks like a *target* slice
+# (here: the English subset) relative to the whole corpus, then keep each
+# document with probability proportional to its weight. Everything is exact
+# integer arithmetic so both engines agree bit-for-bit:
+#
+#   s(tok)      = ((target_count + 1) * SCALE) div (corpus_count + 1)   -- add-1
+#   importance  = sum(s over the doc's tokens) div n_tokens             -- mean
+#   sampled     = bucket(doc_id) * max(importance) < importance * BUCKETS
+#
+# The last line is "keep with probability importance / max_importance"
+# rewritten multiplication-only (no division, no floats) against the same
+# salted hash bucket the split/sample operators use — deterministic under
+# repartitioning, reproducible across engines.
+#
+# Scale: one groupBy(token) builds the ratio table (map-side combinable
+# counts; stopword skew is AQE-handled), one token->ratio join, one
+# groupBy(doc_id). At 100 TB swap SCALE down (or widen to decimal) so
+# (count+1)*SCALE stays in int64 when corpus token counts approach 1e12.
+
+_DSIR_SCALE = 1_000_000
+
+
+@register(
+    "curation_importance_sample",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({tokens_sql('text')}) AS tok FROM documents
+    ),
+    counts AS (
+        SELECT tok, COUNT(*) AS cc,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+        FROM toks GROUP BY tok
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(((c.tc + 1) * {_DSIR_SCALE}) // (c.cc + 1) AS BIGINT) AS s
+        FROM toks t JOIN counts c USING (tok)
+    ),
+    docw AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(s) // COUNT(*) AS BIGINT) AS importance
+        FROM scored GROUP BY doc_id
+    ),
+    mx AS (SELECT MAX(importance) AS wmax FROM docw)
+    SELECT w.doc_id, w.n_tokens, w.importance,
+           ({_bucket_sql('w.doc_id', 'dsir')} * mx.wmax)
+               < (w.importance * {_BUCKETS}) AS sampled
+    FROM docw w CROSS JOIN mx
+    """,
+)
+def curation_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> (n_tokens, integer importance weight vs the English target
+    slice, hash-deterministic keep decision). See the section comment for the
+    arithmetic and the scale story."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count("*").alias("cc"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
+    )
+    scored = toks.join(counts, "tok").select(
+        "doc_id",
+        F.expr(f"((tc + 1) * {_DSIR_SCALE}) div (cc + 1)").alias("s"),
+    )
+    docw = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.expr("sum(s) div count(*)").alias("importance"),
+    )
+    mx = docw.agg(F.max("importance").alias("wmax"))
+    return docw.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        "n_tokens",
+        "importance",
+        (
+            _bucket(F.col("doc_id"), "dsir") * F.col("wmax")
+            < F.col("importance") * F.lit(_BUCKETS)
+        ).alias("sampled"),
+    )

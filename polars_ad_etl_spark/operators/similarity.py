@@ -568,3 +568,119 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-precision trainer is exercised by tests/test_properties.py."""
     centroids, q = kmeans_fixed(spark, sf_dir)
     return _assign_quantized(q, centroids).select("vec_id", "cluster")
+
+
+# ------------------------------------------------------------- SemDeDup
+# Semantic deduplication (Abbas et al. 2023, "SemDeDup"): k-means-cluster the
+# embedding space, then prune near-duplicate *pairs only within a cluster* —
+# the cluster assignment bounds the candidate set, so the all-pairs O(n^2)
+# never happens globally. At 100 TB the cluster count k grows with N so the
+# per-cluster member count (and hence the within-cluster pair expansion,
+# O(sum c_i^2)) stays bounded; the join below shuffles once on the integer
+# cluster key. A vector is removed when any SMALLER-id vector in its cluster
+# has cosine >= tau — the same deterministic pairwise reduction used by
+# dedup_near_dup_keep_list, which makes the keep decision order-free.
+#
+# Exactness: cosine(tau) is evaluated in integer arithmetic on the SAME
+# quantized vectors k-means used (dot > 0 AND den*dot^2 >= num*|a|^2*|b|^2
+# with tau^2 = num/den), so Spark and DuckDB agree bit-for-bit — no float
+# rounding anywhere in the predicate. Intermediate products reach ~1e29, so
+# both sides widen: DECIMAL(38,0) in Spark, HUGEINT in DuckDB.
+
+SEMDEDUP_TAU2_NUM = 81  # tau = 0.45 -> tau^2 = 81/400 exactly
+SEMDEDUP_TAU2_DEN = 400
+
+
+def _unoffset(col: F.Column) -> F.Column:
+    """Centered quantized vector: qe - OFFSET = floor(x * SCALE)."""
+    return F.transform(col, lambda x: x - F.lit(KMEANS_Q_OFFSET))
+
+
+def _ldot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _semdedup_oracle_sql() -> str:
+    kmeans = _kmeans_oracle_sql()
+    return f"""
+    WITH assign AS (SELECT * FROM ({kmeans})),
+    qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {KMEANS_Q_SCALE}) AS BIGINT)
+               ) AS v
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, CAST(list_dot_product(v, v) AS BIGINT) AS n2 FROM qv
+    ),
+    pairs AS (
+        SELECT xb.vec_id AS vec_id,
+               CAST(list_dot_product(qa.v, qb.v) AS BIGINT) AS dot,
+               na.n2 AS na2, nb.n2 AS nb2
+        FROM assign xa
+        JOIN assign xb ON xa.cluster = xb.cluster AND xa.vec_id < xb.vec_id
+        JOIN qv qa ON qa.vec_id = xa.vec_id
+        JOIN qv qb ON qb.vec_id = xb.vec_id
+        JOIN norms na ON na.vec_id = xa.vec_id
+        JOIN norms nb ON nb.vec_id = xb.vec_id
+    ),
+    removed AS (
+        SELECT vec_id, COUNT(*) AS n_smaller_dups
+        FROM pairs
+        WHERE dot > 0
+          AND CAST(dot AS HUGEINT) * dot * {SEMDEDUP_TAU2_DEN}
+              >= CAST(na2 AS HUGEINT) * nb2 * {SEMDEDUP_TAU2_NUM}
+        GROUP BY vec_id
+    )
+    SELECT a.vec_id, a.cluster,
+           CAST(COALESCE(r.n_smaller_dups, 0) AS BIGINT) AS n_smaller_dups,
+           COALESCE(r.n_smaller_dups, 0) = 0 AS is_kept
+    FROM assign a LEFT JOIN removed r ON r.vec_id = a.vec_id
+    """
+
+
+@register("dedup_semdedup_keep_list", oracle=_semdedup_oracle_sql())
+def dedup_semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep list: vec_id -> (cluster, count of smaller-id semantic
+    duplicates in the cluster, is_kept). Composes the fixed-iteration integer
+    Lloyd (:func:`kmeans_fixed`) with an exact integer cosine-threshold test
+    within each cluster; see the section comment for the scale argument and
+    why the whole thing is oracle-checkable."""
+    centroids, q = kmeans_fixed(spark, sf_dir)
+    assigned = _assign_quantized(q, centroids).select(
+        "vec_id", "cluster", _unoffset(F.col("qe")).alias("v")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dot = _ldot(F.col("a.v"), F.col("b.v"))
+    na2 = _ldot(F.col("a.v"), F.col("a.v"))
+    nb2 = _ldot(F.col("b.v"), F.col("b.v"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    is_dup = (dot > 0) & (
+        dec(dot) * dot * F.lit(SEMDEDUP_TAU2_DEN)
+        >= dec(na2) * nb2 * F.lit(SEMDEDUP_TAU2_NUM)
+    )
+    removed = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(is_dup)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.count("*").alias("n_smaller_dups"))
+    )
+    return (
+        assigned.select("vec_id", "cluster")
+        .join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("n_smaller_dups", F.lit(0)).alias("n_smaller_dups"),
+            (F.coalesce("n_smaller_dups", F.lit(0)) == 0).alias("is_kept"),
+        )
+    )

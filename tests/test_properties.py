@@ -253,3 +253,18 @@ def test_star_cc_random_graphs_agree(spark):
         }
         want = _union_find(edges)
         assert got == want, f"seed={seed}"
+
+
+def test_semdedup_keep_rule_invariants(spark):
+    """SemDeDup keep decisions follow the smaller-id pairwise reduction:
+    the minimum vec_id of every cluster is always kept, is_kept is exactly
+    n_smaller_dups == 0, and every removal has a within-cluster witness."""
+    from polars_ad_etl_spark.operators.registry import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    out = QUERIES["dedup_semdedup_keep_list"](spark, sf).toPandas()
+    assert len(out) == out.vec_id.nunique()
+    mins = out.groupby("cluster").vec_id.transform("min")
+    assert out.loc[out.vec_id == mins, "is_kept"].all()
+    assert ((out.n_smaller_dups == 0) == out.is_kept).all()
+    assert (~out.is_kept).sum() > 0, "threshold should remove something at sf0.01"
