@@ -202,12 +202,18 @@ def curation_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 #   s(tok)      = ((target_count + 1) * SCALE) div (corpus_count + 1)   -- add-1
 #   importance  = sum(s over the doc's tokens) div n_tokens             -- mean
-#   sampled     = bucket(doc_id) * max(importance) < importance * BUCKETS
+#   sampled     = bucket(doc_id) * SCALE < importance * BUCKETS
 #
-# The last line is "keep with probability importance / max_importance"
-# rewritten multiplication-only (no division, no floats) against the same
-# salted hash bucket the split/sample operators use — deterministic under
-# repartitioning, reproducible across engines.
+# The last line is "keep with probability importance / SCALE" rewritten
+# multiplication-only (no division, no floats) against the same salted hash
+# bucket the split/sample operators use — deterministic under repartitioning,
+# reproducible across engines. SCALE is the *theoretical* maximum importance
+# (target_count <= corpus_count forces s <= SCALE, so the mean is too), which
+# is deliberately used instead of the empirical max: a global MAX scalar
+# would force a second full pass over the weight subtree (Spark plans the
+# scalar's aggregate as a separate subtree — measured as a duplicated
+# scan+join+groupBy in explain()), while the fixed bound keeps the operator
+# single-pass at any scale.
 #
 # Scale: one groupBy(token) builds the ratio table (map-side combinable
 # counts; stopword skew is AQE-handled), one token->ratio join, one
@@ -238,12 +244,11 @@ _DSIR_SCALE = 1_000_000
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
                CAST(SUM(s) // COUNT(*) AS BIGINT) AS importance
         FROM scored GROUP BY doc_id
-    ),
-    mx AS (SELECT MAX(importance) AS wmax FROM docw)
+    )
     SELECT w.doc_id, w.n_tokens, w.importance,
-           ({_bucket_sql('w.doc_id', 'dsir')} * mx.wmax)
+           ({_bucket_sql('w.doc_id', 'dsir')} * {_DSIR_SCALE})
                < (w.importance * {_BUCKETS}) AS sampled
-    FROM docw w CROSS JOIN mx
+    FROM docw w
     """,
 )
 def curation_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,13 +271,12 @@ def curation_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         F.expr("sum(s) div count(*)").alias("importance"),
     )
-    mx = docw.agg(F.max("importance").alias("wmax"))
-    return docw.crossJoin(F.broadcast(mx)).select(
+    return docw.select(
         "doc_id",
         "n_tokens",
         "importance",
         (
-            _bucket(F.col("doc_id"), "dsir") * F.col("wmax")
+            _bucket(F.col("doc_id"), "dsir") * F.lit(_DSIR_SCALE)
             < F.col("importance") * F.lit(_BUCKETS)
         ).alias("sampled"),
     )
