@@ -280,3 +280,46 @@ def curation_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("importance") * F.lit(_BUCKETS)
         ).alias("sampled"),
     )
+
+
+# ------------------------------------------------------------ shard manifest
+# The writer step of a training-data pipeline: assign every document to an
+# output shard and give it a deterministic position inside that shard — a
+# reproducible global shuffle. Both decisions are salted-hash functions of
+# doc_id (ties broken by doc_id), so the manifest is a pure function of the
+# data: any engine, any partitioning, any re-run emits byte-identical shards.
+#
+# Scale: the shard count scales with the corpus (shards ~= target file size),
+# so the per-shard row_number window stays bounded — each window partition IS
+# one output file's worth of rows. One shuffle on (shard).
+
+_SHARDS = 16
+
+
+@register(
+    "curation_shard_manifest",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_bucket_sql('doc_id', 'shard7')} % {_SHARDS} AS INTEGER)
+               AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY {_bucket_sql('doc_id', 'shard7')} % {_SHARDS}
+               ORDER BY {_bucket_sql('doc_id', 'order3')}, doc_id
+           ) AS BIGINT) AS pos_in_shard
+    FROM documents
+    """,
+)
+def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> (shard, position) deterministic write manifest; see the
+    section comment."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    shard = (_bucket(F.col("doc_id"), "shard7") % _SHARDS).cast("int")
+    order = _bucket(F.col("doc_id"), "order3")
+    w = W.partitionBy(shard).orderBy(order, "doc_id")
+    return d.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )

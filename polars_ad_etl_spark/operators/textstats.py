@@ -246,3 +246,63 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+# ------------------------------------------------------- unigram surprisal
+# Perplexity-proxy quality signal from a corpus unigram LM, computed entirely
+# in integers so it is oracle-exact: surprisal(tok) ~ -log2 p(tok) is
+# approximated by bit-length arithmetic, floor(log2 n) = length(bin(n)) - 1,
+# which both engines evaluate identically (no float log anywhere). A
+# document's mean surprisal separates rare-token (high-information, often
+# noisy) documents from common-token ones — the integer twin of the LM-based
+# quality filters used on web corpora. The corpus-size log term is a constant
+# offset shared by every document, so it is deliberately dropped: rankings
+# and thresholds are unaffected, and dropping it keeps the operator at ONE
+# dictionary pass + one apply join (a global total would plan a second full
+# pass over the token subtree for the scalar).
+#
+# Scale: groupBy(token) dictionary (map-side combinable), token->count join
+# (dictionary side broadcastable up to ~vocab x 16B), groupBy(doc). Counts
+# stay under 2^40 for any realistic corpus, so SURPRISAL_BASE = 40 keeps
+# every surprisal positive.
+
+_SURPRISAL_BASE = 40
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({tokens_sql('text')}) AS tok FROM documents
+    ),
+    counts AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM({_SURPRISAL_BASE} - length(bin(c.cnt))) AS BIGINT)
+               AS sum_surprisal,
+           CAST((100 * SUM({_SURPRISAL_BASE} - length(bin(c.cnt))))
+                // COUNT(*) AS BIGINT) AS mean_surprisal_x100
+    FROM toks t JOIN counts c USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> (n_tokens, integer unigram surprisal sum and x100 mean).
+    See the section comment for the bit-length log2 trick and the scale
+    shape."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    s = F.lit(_SURPRISAL_BASE) - F.length(F.bin(F.col("cnt")))
+    return (
+        toks.join(counts, "tok")
+        .select("doc_id", s.cast("long").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("s").alias("sum_surprisal"),
+            F.expr("(100 * sum(s)) div count(*)").alias("mean_surprisal_x100"),
+        )
+    )
