@@ -209,3 +209,38 @@ def test_modal_type_stacked_aggregates_no_window(spark):
     tree = plan.split("\n\n")[0]
     assert "Window" not in tree
     assert tree.count("Scan parquet") == 1
+
+
+def test_importance_sample_single_pass(spark):
+    """The DSIR sampler normalizes by a fixed theoretical bound, not an
+    empirical MAX scalar — a global scalar would plan the whole
+    scan+token-join+groupBy weight subtree twice. Lock the single-pass
+    shape: exactly two scans of documents (dictionary pass + apply pass),
+    no nested-loop join for a broadcast scalar."""
+    plan = formatted_plan(QUERIES["curation_importance_sample"](spark, SF_DIR))
+    # formatted output lists each node twice (tree + detail): 2 real scans
+    assert plan.count("Scan parquet") == 4
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_surprisal_single_pass(spark):
+    plan = formatted_plan(QUERIES["text_unigram_surprisal"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 4  # tree + detail, 2 real scans
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shard_manifest_one_shuffle(spark):
+    """Shard manifest: one shuffle on the shard key feeding the per-shard
+    window; the hash expressions are projections, not joins."""
+    plan = formatted_plan(QUERIES["curation_shard_manifest"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2  # tree + detail, 1 real scan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2  # tree + detail, 1 real shuffle
+
+
+def test_semdedup_no_cartesian(spark):
+    """SemDeDup's within-cluster pair expansion must stay an equi-join on
+    the cluster key — never a cartesian/nested-loop pair enumeration."""
+    plan = formatted_plan(QUERIES["dedup_semdedup_keep_list"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
