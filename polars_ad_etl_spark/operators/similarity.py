@@ -684,3 +684,58 @@ def dedup_semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_smaller_dups", F.lit(0)) == 0).alias("is_kept"),
         )
     )
+
+
+# ------------------------------------------------- scalar quantization (SQ8)
+# The memory-compression step of a vector index: per-dimension global
+# [min, max] ranges (pass 1, a 64-row aggregate) rescale every float to an
+# int8-range code (pass 2, a broadcast join on the dimension id). 4x memory
+# reduction before IVF/LSH probing. The dictionary-pass shape is inherent
+# (global stats, then apply) — same as the DSIR sampler; the ranges side is
+# always tiny (n_dims rows) and broadcasts. All arithmetic on the micro-
+# quantized integers, so codes are bit-identical across engines.
+SQ_LEVELS = 255
+
+
+@register(
+    "embedding_scalar_quantize",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, t.d - 1 AS dim,
+               CAST(FLOOR(CAST(embedding[t.d] AS DOUBLE) * {KMEANS_Q_SCALE})
+                    AS BIGINT) AS qx
+        FROM embeddings, generate_series(1, {DIM}) AS t(d)
+    ),
+    r AS (SELECT dim, MIN(qx) AS qmin, MAX(qx) AS qmax FROM q GROUP BY dim)
+    SELECT q.vec_id, CAST(q.dim AS INTEGER) AS dim,
+           CAST(((q.qx - r.qmin) * {SQ_LEVELS})
+                // GREATEST(r.qmax - r.qmin, 1) AS INTEGER) AS code
+    FROM q JOIN r USING (dim)
+    """,
+)
+def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dim) -> int8-range quantization code from global per-dim
+    ranges; see the section comment."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(embedding,"
+                f" x -> bigint(floor(double(x) * {KMEANS_Q_SCALE})))"
+            )
+        ).alias("dim", "qx"),
+    )
+    ranges = q.groupBy("dim").agg(
+        F.min("qx").alias("qmin"), F.max("qx").alias("qmax")
+    )
+    return (
+        q.join(F.broadcast(ranges), "dim")
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.expr(
+                f"int(((qx - qmin) * {SQ_LEVELS}) div greatest(qmax - qmin, 1))"
+            ).alias("code"),
+        )
+    )

@@ -306,3 +306,54 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(100 * sum(s)) div count(*)").alias("mean_surprisal_x100"),
         )
     )
+
+
+# ------------------------------------------------------ BPE merge candidates
+# The inner statistic of byte-pair-encoding tokenizer training: count every
+# ADJACENT token pair across the corpus and rank — the top pair is what a
+# BPE trainer would merge next. One explode of (tok[i], tok[i+1]) windows,
+# one map-side-combinable count, TakeOrderedAndProject for the top-k: at
+# 100 TB this is the same shape as term frequency and parallelizes the same
+# way (a real BPE trainer iterates merge->recount; each iteration is this
+# query over the re-merged stream).
+@register(
+    "text_bpe_merge_candidates",
+    oracle=f"""
+    WITH tokarr AS (
+        SELECT {tokens_sql('text')} AS toks FROM documents
+    ),
+    pairs AS (
+        -- fixed-bound series + WHERE: DuckDB's generate_series cannot take
+        -- a lateral column bound (same workaround as curation_doc_chunks);
+        -- 1000 comfortably exceeds the corpus max tokens/doc (~100)
+        SELECT toks[i] AS left_tok, toks[i + 1] AS right_tok
+        FROM tokarr, generate_series(1, 1000) AS t(i)
+        WHERE i <= len(toks) - 1
+    )
+    SELECT left_tok, right_tok, COUNT(*) AS n
+    FROM pairs GROUP BY left_tok, right_tok
+    ORDER BY n DESC, left_tok, right_tok
+    LIMIT 50
+    """,
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent token pairs by corpus frequency — the BPE merge
+    statistic. See the section comment for the scale shape."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pair = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS left_tok, toks[i+1] AS right_tok))"
+            )
+        ).alias("p")
+    ).select("p.left_tok", "p.right_tok")
+    return (
+        pair.groupBy("left_tok", "right_tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "left_tok", "right_tok")
+        .limit(50)
+    )
