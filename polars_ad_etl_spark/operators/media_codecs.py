@@ -4,8 +4,10 @@ BMP images, plus PNG header parsing — no PIL/librosa/pyav required.
 These back the real mode of the multimodal operators
 (``operators/multimodal.py``): the container ships no codec libraries, but
 WAV is fully parseable with ``wave`` + ``struct`` and BMP with ``struct``
-alone, so audio+image pipelines are genuinely end-to-end executable. Video
-remains the one honest stub (no stdlib container parser exists).
+alone, and MP4/ISO-BMFF container *metadata* (mvhd/tkhd/mdat) is a pure
+length-prefixed box tree parseable with ``struct`` — so image, audio, and
+video-metadata pipelines are genuinely end-to-end executable. Only video
+frame-PIXEL decode remains the honest stub (it needs a real codec).
 
 Reference parity note: the reference repo (pepsi-monster/polars-ad-etl) has
 no media path at all — this module exists for the training-data-pipeline
@@ -177,4 +179,96 @@ def sniff_media_container(blob: bytes) -> str:
         return "png"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "wav"
+    if blob[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
+
+
+# --------------------------------------------------------------------- MP4
+# ISO BMFF is a pure length-prefixed box tree, so container METADATA is
+# fully parseable with struct alone: mvhd carries timescale+duration, tkhd
+# carries the track's 16.16 fixed-point width/height, mdat the payload.
+# Frame PIXEL decode genuinely needs a video codec and stays stubbed — but
+# the container walk below is real parsing, not a fake.
+
+
+@dataclass(frozen=True)
+class Mp4Meta:
+    width: int
+    height: int
+    timescale: int
+    duration_units: int
+
+    @property
+    def duration_ms(self) -> int:
+        return self.duration_units * 1000 // self.timescale
+
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+_MATRIX = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+
+def encode_mp4(
+    width: int, height: int, duration_units: int,
+    payload: bytes = b"", timescale: int = 600,
+) -> bytes:
+    """Minimal valid ISO BMFF: ftyp + moov(mvhd, trak(tkhd)) + mdat."""
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">II", 0, 0)            # version/flags, ctime
+        + struct.pack(">I", 0)              # mtime
+        + struct.pack(">II", timescale, duration_units)
+        + struct.pack(">I", 0x00010000)     # rate 1.0
+        + struct.pack(">H", 0x0100)         # volume 1.0
+        + b"\0" * 10                        # reserved
+        + _MATRIX
+        + b"\0" * 24                        # pre_defined
+        + struct.pack(">I", 2),             # next_track_id
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">I", 7)                # version 0, flags enabled
+        + struct.pack(">II", 0, 0)          # ctime, mtime
+        + struct.pack(">II", 1, 0)          # track_id, reserved
+        + struct.pack(">I", duration_units)
+        + b"\0" * 8                         # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, alt_group, volume, rsvd
+        + _MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + _box(b"moov", mvhd + _box(b"trak", tkhd)) + _box(b"mdat", payload)
+
+
+def _walk_boxes(blob: bytes, start: int, end: int):
+    off = start
+    while off + 8 <= end:
+        size, tag = struct.unpack_from(">I4s", blob, off)
+        if size < 8 or off + size > end:
+            raise ValueError(f"corrupt box {tag!r} at {off}")
+        yield tag, off + 8, off + size
+        off += size
+
+
+def decode_mp4(blob: bytes) -> tuple[Mp4Meta, bytes]:
+    """Parse the box tree: (Mp4Meta from mvhd+tkhd, raw mdat payload)."""
+    timescale = duration = width = height = None
+    payload = b""
+    for tag, body, bend in _walk_boxes(blob, 0, len(blob)):
+        if tag == b"moov":
+            for t2, b2, e2 in _walk_boxes(blob, body, bend):
+                if t2 == b"mvhd":
+                    timescale, duration = struct.unpack_from(">II", blob, b2 + 12)
+                elif t2 == b"trak":
+                    for t3, b3, e3 in _walk_boxes(blob, b2, e2):
+                        if t3 == b"tkhd":
+                            w16, h16 = struct.unpack_from(">II", blob, e3 - 8)
+                            width, height = w16 >> 16, h16 >> 16
+        elif tag == b"mdat":
+            payload = blob[body:bend]
+    if None in (timescale, duration, width, height):
+        raise ValueError("missing mvhd/tkhd metadata")
+    return Mp4Meta(width, height, timescale, duration), payload

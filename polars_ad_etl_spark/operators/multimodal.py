@@ -277,9 +277,9 @@ REAL_DECODE_SCHEMA = (
 
 
 def synth_real_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A media table whose blobs are GENUINE containers: even doc_ids get a
-    real 24-bit BMP, odd doc_ids a real PCM16 WAV, both synthesized
-    deterministically from doc_id by the stdlib encoders in
+    """A media table whose blobs are GENUINE containers: doc_id % 3 picks a
+    real 24-bit BMP, a real PCM16 WAV, or a real ISO-BMFF MP4, all
+    synthesized deterministically from doc_id by the stdlib encoders in
     ``media_codecs.py``. Synthesis runs in ``mapInPandas`` (partition-local,
     Arrow-batched) — the distributed shape a blob-fetch from object storage
     would have."""
@@ -290,15 +290,24 @@ def synth_real_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             blobs, types = [], []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                if d % 2 == 0:
+                if d % 3 == 0:
                     w, h, v = 4 + d % 13, 3 + d % 7, d % 256
                     blobs.append(mc.encode_bmp(w, h, [(v, v, v)] * (w * h)))
                     types.append("image")
-                else:
-                    rate = 8000 + (d % 3) * 4000
+                elif d % 3 == 1:
+                    rate = 8000 + (d % 5) * 2000
                     n = 100 + d % 50
                     blobs.append(mc.encode_wav([d % 1000] * n, rate))
                     types.append("audio")
+                else:
+                    w, h = 160 + d % 640, 90 + d % 360
+                    blobs.append(
+                        mc.encode_mp4(
+                            w, h, 600 * (1 + d % 10),
+                            payload=bytes([d % 256]) * (50 + d % 20),
+                        )
+                    )
+                    types.append("video")
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "media_type": types, "blob": blobs}
             )
@@ -333,6 +342,11 @@ def decode_real_media(media: DataFrame) -> DataFrame:
                     row["n_frames"] = meta.n_frames
                     row["duration_ms"] = meta.duration_ms
                     row["payload_sum"] = sum(samples)
+                elif kind == "mp4":
+                    meta, payload = mc.decode_mp4(blob)
+                    row["width"], row["height"] = meta.width, meta.height
+                    row["duration_ms"] = meta.duration_ms
+                    row["payload_sum"] = sum(payload)
                 else:
                     raise NotImplementedError(
                         f"unparseable container {kind!r} in real decode path"
@@ -348,29 +362,36 @@ def decode_real_media(media: DataFrame) -> DataFrame:
     "multimodal_real_decode",
     oracle="""
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS container,
-           CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 13 END AS width,
-           CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 7 END AS height,
-           CASE WHEN doc_id % 2 = 1
-                THEN 8000 + (doc_id % 3) * 4000 END AS sample_rate,
-           CASE WHEN doc_id % 2 = 1 THEN 100 + doc_id % 50 END AS n_frames,
-           CASE WHEN doc_id % 2 = 1
-                THEN ((100 + doc_id % 50) * 1000)
-                     // (8000 + (doc_id % 3) * 4000) END AS duration_ms,
-           CASE WHEN doc_id % 2 = 0
-                THEN (4 + doc_id % 13) * (3 + doc_id % 7) * 3 * (doc_id % 256)
-                ELSE (100 + doc_id % 50) * (doc_id % 1000) END AS payload_sum
+           CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+                ELSE 'mp4' END AS container,
+           CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 13
+                WHEN 2 THEN 160 + doc_id % 640 END AS width,
+           CASE doc_id % 3 WHEN 0 THEN 3 + doc_id % 7
+                WHEN 2 THEN 90 + doc_id % 360 END AS height,
+           CASE WHEN doc_id % 3 = 1
+                THEN 8000 + (doc_id % 5) * 2000 END AS sample_rate,
+           CASE WHEN doc_id % 3 = 1 THEN 100 + doc_id % 50 END AS n_frames,
+           CASE doc_id % 3
+                WHEN 1 THEN ((100 + doc_id % 50) * 1000)
+                            // (8000 + (doc_id % 5) * 2000)
+                WHEN 2 THEN (1 + doc_id % 10) * 1000 END AS duration_ms,
+           CASE doc_id % 3
+                WHEN 0 THEN (4 + doc_id % 13) * (3 + doc_id % 7) * 3
+                            * (doc_id % 256)
+                WHEN 1 THEN (100 + doc_id % 50) * (doc_id % 1000)
+                ELSE (50 + doc_id % 20) * (doc_id % 256) END AS payload_sum
     FROM documents
     """,
 )
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end REAL media decode: synthesize genuine BMP/WAV containers
-    from doc_id, then parse them back with the stdlib codecs — headers AND
-    payload bytes. The oracle recomputes every decoded field from the
-    synthesis arithmetic, so a hash match proves the encode→decode round
-    trip is faithful (dimensions, sample rate, frame count, duration, and a
-    full-payload checksum). This closes the round-1 gap where real mode was
-    a NotImplementedError stub."""
+    """End-to-end REAL media decode: synthesize genuine BMP/WAV/MP4
+    containers from doc_id, then parse them back with the stdlib codecs —
+    headers AND payload bytes (for MP4, the box-tree metadata walk:
+    mvhd timescale/duration, tkhd 16.16 dimensions, mdat payload). The
+    oracle recomputes every decoded field from the synthesis arithmetic, so
+    a hash match proves the encode→decode round trip is faithful. This
+    closes the round-1 gap where real mode was a NotImplementedError stub;
+    only frame-pixel decode (a real codec) remains stubbed."""
     return decode_real_media(synth_real_media_table(spark, sf_dir))
 
 

@@ -283,5 +283,31 @@ def test_synth_real_media_table_blobs_parse(spark):
     rows = synth_real_media_table(spark, SF_DIR).limit(12).collect()
     assert rows
     for r in rows:
-        want = "bmp" if r.doc_id % 2 == 0 else "wav"
+        want = {0: "bmp", 1: "wav", 2: "mp4"}[r.doc_id % 3]
         assert sniff_media_container(bytes(r.blob)) == want
+
+
+def test_mp4_box_roundtrip():
+    """MP4 container metadata round-trips through the stdlib box parser:
+    dimensions, timescale/duration, and the mdat payload byte-for-byte."""
+    from polars_ad_etl_spark.operators import media_codecs as mc
+
+    blob = mc.encode_mp4(320, 180, 1800, payload=bytes(range(50)))
+    assert mc.sniff_media_container(blob) == "mp4"
+    meta, payload = mc.decode_mp4(blob)
+    assert (meta.width, meta.height) == (320, 180)
+    assert (meta.timescale, meta.duration_units) == (600, 1800)
+    assert meta.duration_ms == 3000
+    assert payload == bytes(range(50))
+
+
+def test_mp4_corrupt_box_raises():
+    from polars_ad_etl_spark.operators import media_codecs as mc
+
+    import pytest as _pytest
+
+    blob = mc.encode_mp4(16, 9, 600)
+    with _pytest.raises(ValueError):
+        mc.decode_mp4(blob[:20])  # truncated mid-box
+    with _pytest.raises(ValueError):
+        mc.decode_mp4(b"\x00\x00\x00\x04ftyp")  # size < 8
