@@ -323,3 +323,101 @@ def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard"),
         F.row_number().over(w).cast("long").alias("pos_in_shard"),
     )
+
+
+# --------------------------------------------------------- sequence packing
+# GPT-style sample packing: concatenate the (deterministically ordered)
+# token stream and cut it into fixed SEQ_LEN training sequences. What the
+# trainer needs per document is its exact global token offset — a global
+# running sum, i.e. the classic single-partition-sort trap. Computed here
+# as a TWO-LEVEL cumulative sum: per-bucket totals (10k rows) carry the
+# coarse prefix in a tiny bounded window, and the exact within-bucket
+# prefix is a window partitioned by bucket — 10k parallel sorted
+# partitions, never one global sort. Bucket count scales with the corpus,
+# so per-partition work stays bounded. Same trick as
+# curation_token_budget_sample, extended from bucket granularity to exact
+# per-document offsets.
+
+_SEQ_LEN = 512
+
+
+@register(
+    "curation_packed_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_bucket_sql('doc_id', 'pack')} AS bk,
+               len({tokens_sql('text')}) AS n
+        FROM documents
+        WHERE len({tokens_sql('text')}) >= 1
+    ),
+    intra AS (
+        SELECT doc_id, bk, n,
+               COALESCE(SUM(n) OVER (
+                   PARTITION BY bk ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS intra_before
+        FROM t
+    ),
+    btot AS (SELECT bk, SUM(n) AS bt FROM t GROUP BY bk),
+    bcum AS (
+        SELECT bk,
+               COALESCE(SUM(bt) OVER (
+                   ORDER BY bk ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING
+               ), 0) AS before_bk
+        FROM btot
+    )
+    SELECT i.doc_id,
+           CAST(i.n AS BIGINT) AS n_tokens,
+           CAST(c.before_bk + i.intra_before AS BIGINT) AS start_offset,
+           CAST((c.before_bk + i.intra_before) // {_SEQ_LEN} AS BIGINT)
+               AS first_seq,
+           CAST((c.before_bk + i.intra_before + i.n - 1) // {_SEQ_LEN}
+                AS BIGINT) AS last_seq,
+           (c.before_bk + i.intra_before) // {_SEQ_LEN}
+               <> (c.before_bk + i.intra_before + i.n - 1) // {_SEQ_LEN}
+               AS spans_boundary
+    FROM intra i JOIN bcum c USING (bk)
+    """,
+)
+def curation_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> exact global token offset and the SEQ_LEN sequence ids it
+    lands in; see the section comment for the two-level cumsum."""
+    from pyspark.sql import Window as W
+
+    t = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            _bucket(F.col("doc_id"), "pack").alias("bk"),
+            F.size(tokens(F.col("text"))).cast("long").alias("n"),
+        )
+        .filter(F.col("n") >= 1)
+    )
+    intra_w = (
+        W.partitionBy("bk")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    intra = t.withColumn(
+        "intra_before", F.coalesce(F.sum("n").over(intra_w), F.lit(0))
+    )
+    btot = t.groupBy("bk").agg(F.sum("n").alias("bt"))
+    bk_w = W.orderBy("bk").rowsBetween(W.unboundedPreceding, -1)
+    bcum = btot.select(
+        "bk", F.coalesce(F.sum("bt").over(bk_w), F.lit(0)).alias("before_bk")
+    )
+    start = F.col("before_bk") + F.col("intra_before")
+    return intra.join(F.broadcast(bcum), "bk").select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        start.alias("start_offset"),
+        F.expr(f"(before_bk + intra_before) div {_SEQ_LEN}").alias("first_seq"),
+        F.expr(f"(before_bk + intra_before + n - 1) div {_SEQ_LEN}").alias(
+            "last_seq"
+        ),
+        (
+            F.expr(f"(before_bk + intra_before) div {_SEQ_LEN}")
+            != F.expr(f"(before_bk + intra_before + n - 1) div {_SEQ_LEN}")
+        ).alias("spans_boundary"),
+    )

@@ -268,3 +268,22 @@ def test_semdedup_keep_rule_invariants(spark):
     assert out.loc[out.vec_id == mins, "is_kept"].all()
     assert ((out.n_smaller_dups == 0) == out.is_kept).all()
     assert (~out.is_kept).sum() > 0, "threshold should remove something at sf0.01"
+
+
+def test_packed_sequences_gapless(spark):
+    """Packing invariant: sorted by start_offset, every document begins
+    exactly where the previous one ended — the concatenated token stream
+    has no gaps or overlaps, so sequence boundaries are well-defined."""
+    from polars_ad_etl_spark.operators.registry import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    out = (
+        QUERIES["curation_packed_sequences"](spark, sf)
+        .toPandas()
+        .sort_values("start_offset", ignore_index=True)
+    )
+    assert out.start_offset[0] == 0
+    ends = out.start_offset + out.n_tokens
+    assert (out.start_offset[1:].to_numpy() == ends[:-1].to_numpy()).all()
+    assert (out.first_seq == out.start_offset // 512).all()
+    assert out.spans_boundary.any() and (~out.spans_boundary).any()
