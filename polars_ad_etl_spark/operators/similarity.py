@@ -457,13 +457,19 @@ def kmeans_fixed(
     tolerance-based double-precision trainer (:func:`kmeans_train`) remains
     the production path; this is its verification twin with identical
     structure. Returns (final integer centroids, quantized DataFrame)."""
-    from polars_ad_etl_spark.functions.hashing import portable_hash32
-
     q = _quantized(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             "vec_id", "embedding"
         )
     )
+    return _kmeans_fixed_on(q, k, iters), q
+
+
+def _kmeans_fixed_on(q: DataFrame, k: int, iters: int) -> list[list[int]]:
+    """The Lloyd loop of :func:`kmeans_fixed`, over any (vec_id, qe)
+    frame — also reused per-subspace by product quantization."""
+    from polars_ad_etl_spark.functions.hashing import portable_hash32
+
     init = (
         q.select(
             "vec_id", "qe", portable_hash32(F.col("vec_id").cast("string")).alias("h")
@@ -485,21 +491,29 @@ def kmeans_fixed(
         for r in rows:
             new_centroids[r.cluster][r.pos] = int(r.s) // int(r.n)
         centroids = new_centroids
-    return centroids, q
+    return centroids
 
 
-def _kmeans_oracle_sql(k: int = KMEANS_K, iters: int = 2, dims: int = 64) -> str:
+def _kmeans_oracle_sql(
+    k: int = KMEANS_K, iters: int = 2, dims: int = 64, dim_offset: int = 0
+) -> str:
     """Unrolled fixed-iteration Lloyd as DuckDB SQL, mirroring
     :func:`kmeans_fixed` step for step in the same exact integer arithmetic.
     Intermediate HUGEINT sums are harmless (only compared/divided, never in
-    the output schema)."""
+    the output schema). ``dims``/``dim_offset`` select a subspace slice —
+    the product-quantization reuse."""
     from polars_ad_etl_spark.functions.hashing import portable_hash32_sql
 
     h = portable_hash32_sql("vec_id::VARCHAR")
+    emb = (
+        "embedding"
+        if dim_offset == 0 and dims == DIM
+        else f"embedding[{dim_offset + 1}:{dim_offset + dims}]"
+    )
     sql = f"""
     WITH q AS (
         SELECT vec_id,
-               list_transform(embedding,
+               list_transform({emb},
                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * {KMEANS_Q_SCALE}) AS BIGINT)
                         + {KMEANS_Q_OFFSET}) AS qe
         FROM embeddings
@@ -738,4 +752,69 @@ def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"int(((qx - qmin) * {SQ_LEVELS}) div greatest(qmax - qmin, 1))"
             ).alias("code"),
         )
+    )
+
+
+# --------------------------------------------------- product quantization
+# PQ (Jegou et al. 2011): split the vector into M subspaces, k-means each
+# subspace independently, and encode a vector as its M nearest-centroid
+# ids — 64 floats become 4 small ints (the codebook side of IVF-PQ
+# indexes). Training reuses the fixed-iteration integer Lloyd per subspace
+# (bit-identical across engines), so the codes carry a real DuckDB oracle:
+# M unrolled-Lloyd subqueries joined on vec_id. Final assignment is ONE
+# projection (codebooks are tiny driver-side literals) — no join, no
+# shuffle. At 100 TB, train the codebooks on a sampled slice and run this
+# same projection over the full table.
+
+PQ_M = 4  # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = KMEANS_K  # centroids per subspace
+
+
+def _pq_oracle_sql() -> str:
+    subs = []
+    for m in range(PQ_M):
+        sub = _kmeans_oracle_sql(
+            k=PQ_K, iters=2, dims=PQ_SUBDIM, dim_offset=m * PQ_SUBDIM
+        )
+        subs.append(f"a{m} AS (SELECT * FROM ({sub}))")
+    joins = " ".join(f"JOIN a{m} USING (vec_id)" for m in range(1, PQ_M))
+    cols = ", ".join(f"a{m}.cluster AS code{m}" for m in range(PQ_M))
+    return f"""
+    WITH {", ".join(subs)}
+    SELECT vec_id, {cols}
+    FROM a0 {joins}
+    """
+
+
+@register("embedding_pq_codes", oracle=_pq_oracle_sql())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id -> M product-quantization code ids; see the section comment."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q_full = _quantized(e)
+    codebooks = []
+    for m in range(PQ_M):
+        q_m = q_full.select(
+            "vec_id", F.slice("qe", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qe")
+        )
+        codebooks.append(_kmeans_fixed_on(q_m, PQ_K, iters=2))
+
+    def code_col(m: int) -> F.Column:
+        sub = F.slice("qe", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+        def dist_to(c: list[int]) -> F.Column:
+            carr = F.array(*[F.lit(int(v)) for v in c])
+            return F.aggregate(
+                F.zip_with(sub, carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        dists = F.array(*[dist_to(c) for c in codebooks[m]])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return q_full.select(
+        "vec_id", *[code_col(m).alias(f"code{m}") for m in range(PQ_M)]
     )
