@@ -495,13 +495,19 @@ def _kmeans_fixed_on(q: DataFrame, k: int, iters: int) -> list[list[int]]:
 
 
 def _kmeans_oracle_sql(
-    k: int = KMEANS_K, iters: int = 2, dims: int = 64, dim_offset: int = 0
+    k: int = KMEANS_K,
+    iters: int = 2,
+    dims: int = 64,
+    dim_offset: int = 0,
+    output: str = "assign",
 ) -> str:
     """Unrolled fixed-iteration Lloyd as DuckDB SQL, mirroring
     :func:`kmeans_fixed` step for step in the same exact integer arithmetic.
     Intermediate HUGEINT sums are harmless (only compared/divided, never in
     the output schema). ``dims``/``dim_offset`` select a subspace slice —
-    the product-quantization reuse."""
+    the product-quantization reuse. ``output='centroids'`` returns the final
+    (cluster, dim, cq) codebook instead of the assignment (the PQ-ADC
+    oracle needs both)."""
     from polars_ad_etl_spark.functions.hashing import portable_hash32_sql
 
     h = portable_hash32_sql("vec_id::VARCHAR")
@@ -554,7 +560,11 @@ def _kmeans_oracle_sql(
         ) u ON u.cluster = p.cluster AND u.dim = p.dim
     )"""
         prev = f"c{i}"
-    final = iters + 1
+    if output == "centroids":
+        sql += f"""
+    SELECT CAST(cluster AS INTEGER) AS cluster, dim, cq FROM {prev}
+    """
+        return sql
     sql += f""",
     dF AS (
         SELECT v.vec_id, c.cluster,
@@ -787,9 +797,11 @@ def _pq_oracle_sql() -> str:
     """
 
 
-@register("embedding_pq_codes", oracle=_pq_oracle_sql())
-def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vec_id -> M product-quantization code ids; see the section comment."""
+def _pq_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """(quantized frame, per-subspace codebooks) — shared by the code
+    emitter and the ADC search."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
@@ -800,21 +812,135 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.slice("qe", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qe")
         )
         codebooks.append(_kmeans_fixed_on(q_m, PQ_K, iters=2))
+    return q_full, codebooks
 
-    def code_col(m: int) -> F.Column:
-        sub = F.slice("qe", m * PQ_SUBDIM + 1, PQ_SUBDIM)
 
-        def dist_to(c: list[int]) -> F.Column:
-            carr = F.array(*[F.lit(int(v)) for v in c])
-            return F.aggregate(
-                F.zip_with(sub, carr, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
+def _pq_code_col(codebooks: list[list[list[int]]], m: int) -> F.Column:
+    sub = F.slice("qe", m * PQ_SUBDIM + 1, PQ_SUBDIM)
 
-        dists = F.array(*[dist_to(c) for c in codebooks[m]])
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    def dist_to(c: list[int]) -> F.Column:
+        carr = F.array(*[F.lit(int(v)) for v in c])
+        return F.aggregate(
+            F.zip_with(sub, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
 
+    dists = F.array(*[dist_to(c) for c in codebooks[m]])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+@register("embedding_pq_codes", oracle=_pq_oracle_sql())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id -> M product-quantization code ids; see the section comment."""
+    q_full, codebooks = _pq_train(spark, sf_dir)
     return q_full.select(
-        "vec_id", *[code_col(m).alias(f"code{m}") for m in range(PQ_M)]
+        "vec_id",
+        *[_pq_code_col(codebooks, m).alias(f"code{m}") for m in range(PQ_M)],
+    )
+
+
+# ----------------------------------------------- PQ asymmetric-distance search
+# The query half of a PQ index: the query stays UNquantized (asymmetric
+# distance computation) and each candidate is its M code ids; distance is a
+# per-subspace table lookup, d(q, c) = sum_m LUT_m[code_m], where the 8-entry
+# LUTs are computed once per query against the codebooks. The LUTs are tiny
+# driver-side literals broadcast with the query row, so the scan side touches
+# only the int8-scale codes — this is exactly why PQ indexes fit in memory at
+# scale. All distances in exact integer arithmetic; oracle mirrors with
+# unrolled-Lloyd codebook + code subqueries.
+
+
+def _pq_adc_oracle_sql() -> str:
+    codes = _pq_oracle_sql()
+    cbs = ",\n    ".join(
+        f"cb{m} AS (SELECT * FROM ({_kmeans_oracle_sql(PQ_K, 2, PQ_SUBDIM, m * PQ_SUBDIM, output='centroids')}))"
+        for m in range(PQ_M)
+    )
+    dms = ",\n    ".join(
+        f"""dm{m} AS (
+        SELECT q.qid, c.cluster,
+               CAST(SUM((q.qv - c.cq) * (q.qv - c.cq)) AS BIGINT) AS d
+        FROM qsub q JOIN cb{m} c ON q.dim - {m * PQ_SUBDIM} = c.dim
+        WHERE q.dim >= {m * PQ_SUBDIM} AND q.dim < {(m + 1) * PQ_SUBDIM}
+        GROUP BY q.qid, c.cluster
+    )"""
+        for m in range(PQ_M)
+    )
+    djoins = " ".join(
+        f"JOIN dm{m} d{m} ON d{m}.cluster = k.code{m} AND d{m}.qid = d0.qid"
+        for m in range(1, PQ_M)
+    )
+    dsum = " + ".join(f"d{m}.d" for m in range(PQ_M))
+    return f"""
+    WITH codes AS (SELECT * FROM ({codes})),
+    {cbs},
+    qsub AS (
+        SELECT vec_id AS qid, t.d - 1 AS dim,
+               CAST(FLOOR(CAST(embedding[t.d] AS DOUBLE) * {KMEANS_Q_SCALE})
+                    AS BIGINT) + {KMEANS_Q_OFFSET} AS qv
+        FROM embeddings, generate_series(1, {DIM}) AS t(d)
+        WHERE vec_id < {N_QUERIES}
+    ),
+    {dms},
+    scored AS (
+        SELECT d0.qid AS query_id, k.vec_id AS neighbor_id,
+               CAST({dsum} AS BIGINT) AS pq_dist
+        FROM codes k JOIN dm0 d0 ON d0.cluster = k.code0
+        {djoins}
+        WHERE k.vec_id <> d0.qid
+    )
+    SELECT query_id, neighbor_id, pq_dist, rnk FROM (
+        SELECT query_id, neighbor_id, pq_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY pq_dist, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """
+
+
+@register("sim_pq_adc_topk", oracle=_pq_adc_oracle_sql())
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance: per-query LUTs against
+    the subspace codebooks, candidates touched only through their code ids;
+    see the section comment."""
+    q_full, codebooks = _pq_train(spark, sf_dir)
+    codes = q_full.select(
+        "vec_id",
+        *[_pq_code_col(codebooks, m).alias(f"code{m}") for m in range(PQ_M)],
+    )
+    qrows = (
+        q_full.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "qe")
+        .collect()
+    )
+    lut_rows = []
+    for r in sorted(qrows, key=lambda r: r.vec_id):
+        qe = [int(x) for x in r.qe]
+        lut = []
+        for m in range(PQ_M):
+            sub = qe[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            for c in codebooks[m]:
+                lut.append(sum((a - b) * (a - b) for a, b in zip(sub, c)))
+        lut_rows.append((int(r.vec_id), lut))
+    qdf = spark.createDataFrame(lut_rows, "query_id long, lut array<long>")
+    dist = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.col("lut"), (F.col(f"code{m}") + F.lit(m * PQ_K + 1)).cast("int")
+        )
+        dist = term if dist is None else dist + term
+    scored = (
+        codes.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dist.alias("pq_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("pq_dist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
     )
