@@ -944,3 +944,145 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# ------------------------------------------------------------------ IVF-PQ
+# The full composed index: the integer-Lloyd coarse quantizer partitions
+# vectors into inverted lists; a query probes its IVFPQ_NPROBE nearest
+# lists (coarse distances against 8 driver-side centroids) and reranks ONLY
+# those lists' members by PQ asymmetric distance. Every stage is the exact
+# integer arithmetic used by its standalone operator, so the whole
+# composition carries one DuckDB oracle. Scan side touches (list id + M
+# code ids) per candidate — at 100 TB the lists are the partition layout
+# and a query reads NPROBE/k of the data.
+
+IVFPQ_NPROBE = 2
+
+
+def _ivfpq_oracle_sql() -> str:
+    codes = _pq_oracle_sql()
+    coarse_assign = _kmeans_oracle_sql()
+    coarse_cent = _kmeans_oracle_sql(output="centroids")
+    cbs = ",\n    ".join(
+        f"cb{m} AS (SELECT * FROM ({_kmeans_oracle_sql(PQ_K, 2, PQ_SUBDIM, m * PQ_SUBDIM, output='centroids')}))"
+        for m in range(PQ_M)
+    )
+    dms = ",\n    ".join(
+        f"""dm{m} AS (
+        SELECT q.qid, c.cluster,
+               CAST(SUM((q.qv - c.cq) * (q.qv - c.cq)) AS BIGINT) AS d
+        FROM qsub q JOIN cb{m} c ON q.dim - {m * PQ_SUBDIM} = c.dim
+        WHERE q.dim >= {m * PQ_SUBDIM} AND q.dim < {(m + 1) * PQ_SUBDIM}
+        GROUP BY q.qid, c.cluster
+    )"""
+        for m in range(PQ_M)
+    )
+    djoins = " ".join(
+        f"JOIN dm{m} d{m} ON d{m}.cluster = k.code{m} AND d{m}.qid = d0.qid"
+        for m in range(1, PQ_M)
+    )
+    dsum = " + ".join(f"d{m}.d" for m in range(PQ_M))
+    return f"""
+    WITH codes AS (SELECT * FROM ({codes})),
+    lists AS (SELECT * FROM ({coarse_assign})),
+    cc AS (SELECT * FROM ({coarse_cent})),
+    qsub AS (
+        SELECT vec_id AS qid, t.d - 1 AS dim,
+               CAST(FLOOR(CAST(embedding[t.d] AS DOUBLE) * {KMEANS_Q_SCALE})
+                    AS BIGINT) + {KMEANS_Q_OFFSET} AS qv
+        FROM embeddings, generate_series(1, {DIM}) AS t(d)
+        WHERE vec_id < {N_QUERIES}
+    ),
+    dcoarse AS (
+        SELECT q.qid, c.cluster,
+               CAST(SUM((q.qv - c.cq) * (q.qv - c.cq)) AS BIGINT) AS d
+        FROM qsub q JOIN cc c USING (dim)
+        GROUP BY q.qid, c.cluster
+    ),
+    probed AS (
+        SELECT qid, cluster FROM (
+            SELECT qid, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY d, cluster) AS pr
+            FROM dcoarse
+        ) WHERE pr <= {IVFPQ_NPROBE}
+    ),
+    {cbs},
+    {dms},
+    scored AS (
+        SELECT d0.qid AS query_id, k.vec_id AS neighbor_id,
+               CAST({dsum} AS BIGINT) AS pq_dist
+        FROM codes k
+        JOIN lists l ON l.vec_id = k.vec_id
+        JOIN probed p ON p.cluster = l.cluster
+        JOIN dm0 d0 ON d0.cluster = k.code0 AND d0.qid = p.qid
+        {djoins}
+        WHERE k.vec_id <> d0.qid
+    )
+    SELECT query_id, neighbor_id, pq_dist, rnk FROM (
+        SELECT query_id, neighbor_id, pq_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY pq_dist, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """
+
+
+@register("sim_ivfpq_topk", oracle=_ivfpq_oracle_sql())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k: probe the query's nearest coarse lists, rerank members
+    by PQ asymmetric distance; see the section comment."""
+    coarse, q_full = kmeans_fixed(spark, sf_dir)
+    lists = _assign_quantized(q_full, coarse).select("vec_id", "cluster")
+    codebooks = []
+    for m in range(PQ_M):
+        q_m = q_full.select(
+            "vec_id", F.slice("qe", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qe")
+        )
+        codebooks.append(_kmeans_fixed_on(q_m, PQ_K, iters=2))
+    codes = q_full.select(
+        "vec_id",
+        *[_pq_code_col(codebooks, m).alias(f"code{m}") for m in range(PQ_M)],
+    ).join(lists, "vec_id")
+    qrows = (
+        q_full.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "qe")
+        .collect()
+    )
+    lut_rows = []
+    for r in sorted(qrows, key=lambda r: r.vec_id):
+        qe = [int(x) for x in r.qe]
+        dcoarse = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qe, c)), i)
+            for i, c in enumerate(coarse)
+        )
+        for _, cl in dcoarse[:IVFPQ_NPROBE]:
+            lut = []
+            for m in range(PQ_M):
+                sub = qe[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                for c in codebooks[m]:
+                    lut.append(sum((a - b) * (a - b) for a, b in zip(sub, c)))
+            lut_rows.append((int(r.vec_id), int(cl), lut))
+    qdf = spark.createDataFrame(
+        lut_rows, "query_id long, cluster int, lut array<long>"
+    )
+    dist = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.col("lut"), (F.col(f"code{m}") + F.lit(m * PQ_K + 1)).cast("int")
+        )
+        dist = term if dist is None else dist + term
+    scored = (
+        codes.join(F.broadcast(qdf), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dist.alias("pq_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("pq_dist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
