@@ -1086,3 +1086,122 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# ------------------------------------------------------- multi-table LSH
+# Single-table sign-LSH recall collapses when buckets get sparse (measured
+# 0.0 recall@10 at sf0.01: 256 buckets over 500 vectors leaves ~2
+# candidates per bucket). The standard fix is T independent hash tables
+# with fewer planes each: a true neighbor is found if it collides in ANY
+# table (miss probability (1 - p^b)^T instead of 1 - p^b). Implemented as
+# ONE equi-join on the composite (table, bucket) key — each side explodes
+# its T bucket ids (T× fan-out, the textbook multi-table space cost), and
+# duplicate pairs collapse with DISTINCT on the deterministic cosine row.
+
+MT_TABLES = 4
+MT_PLANES = 4  # per table -> 16 buckets/table
+
+_MT_PLANESETS = [
+    [hyperplane_signs(t * MT_PLANES + p, DIM) for p in range(MT_PLANES)]
+    for t in range(MT_TABLES)
+]
+
+
+def _mt_bucket_expr(emb: F.Column, t: int) -> F.Column:
+    bits = [
+        F.when(
+            signed_projection(emb, _MT_PLANESETS[t][p]) >= 0, F.lit(1 << p)
+        ).otherwise(0)
+        for p in range(MT_PLANES)
+    ]
+    return functools.reduce(lambda a, b: a + b, bits).cast("int")
+
+
+def _mt_bucket_sql(col: str, t: int) -> str:
+    terms = []
+    for p in range(MT_PLANES):
+        arr = (
+            "[" + ", ".join(f"{s}.0" for s in _MT_PLANESETS[t][p]) + "]::DOUBLE[]"
+        )
+        terms.append(
+            f"(CASE WHEN list_dot_product({col}::DOUBLE[], {arr}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+@register(
+    "sim_lsh_multitable_topk",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e, t.t,
+               CASE t.t {' '.join(f"WHEN {t} THEN {_mt_bucket_sql('embedding', t)}" for t in range(MT_TABLES))} END AS bucket
+        FROM embeddings, generate_series(0, {MT_TABLES - 1}) AS t(t)
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe, t, bucket FROM b
+          WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS cid, e AS ce, t, bucket FROM b),
+    scored AS (
+        SELECT DISTINCT qid, cid,
+               round(list_dot_product(qe, ce) /
+                     (sqrt(list_dot_product(qe, qe))
+                      * sqrt(list_dot_product(ce, ce))), 4) AS cos
+        FROM q JOIN c USING (t, bucket)
+        WHERE cid != qid
+    ),
+    ranked AS (
+        SELECT qid AS query_id, cid AS neighbor_id, cos AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, cid) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH top-k; see the section comment for the recall
+    argument and the (table, bucket) composite-key join shape."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _mt_bucket_expr(F.col("embedding"), t).alias("bucket"),
+                    )
+                    for t in range(MT_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "embedding", "tb.t", "tb.bucket")
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "t",
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        "t",
+        "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), ["t", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )

@@ -287,3 +287,35 @@ def test_packed_sequences_gapless(spark):
     assert (out.start_offset[1:].to_numpy() == ends[:-1].to_numpy()).all()
     assert (out.first_seq == out.start_offset // 512).all()
     assert out.spans_boundary.any() and (~out.spans_boundary).any()
+
+
+def test_ann_recall_vs_exact_baseline(spark):
+    """Recall@10 of every approximate search path against the brute-force
+    baseline at sf0.01 (fixed data, so these are deterministic). Floors sit
+    below the measured values (IVF .41, multi-table LSH .48, PQ-ADC .14,
+    IVF-PQ .12 — random would be ~.02) to catch structural regressions, not
+    noise. Multi-table LSH must also strictly beat the sparse single-table
+    variant (measured 0.0) — the reason it exists."""
+    from polars_ad_etl_spark.operators.registry import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+
+    def nbrs(name):
+        out = {}
+        for r in QUERIES[name](spark, sf).collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = nbrs("sim_bruteforce_topk")
+    total = sum(len(e) for e in exact.values())
+
+    def recall(name):
+        a = nbrs(name)
+        return sum(len(a.get(q, set()) & e) for q, e in exact.items()) / total
+
+    mt = recall("sim_lsh_multitable_topk")
+    assert recall("sim_ivf_probe_topk") >= 0.30
+    assert mt >= 0.15
+    assert mt > recall("sim_lsh_bucketed_topk")
+    assert recall("sim_pq_adc_topk") >= 0.08
+    assert recall("sim_ivfpq_topk") >= 0.08
