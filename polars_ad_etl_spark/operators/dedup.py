@@ -769,3 +769,82 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("shared_ratio"),
         (ratio >= _SHARED_RATIO_FLAG).alias("flagged"),
     )
+
+
+# ------------------------------------------------------ shingle containment
+# Asymmetric near-dup: containment C(A in B) = |A ∩ B| / |A| over 3-gram
+# shingle sets. Jaccard misses subset relationships (a tweet quoted inside
+# an article has tiny Jaccard but containment ~1.0) — this is the quote /
+# excerpt / wrapper-page detector. Same shingle equi-join as the Jaccard
+# verifier (and the same caveat: at 100 TB candidates come from LSH, this
+# exact form is the verifier semantics).
+
+CONTAINMENT_THRESHOLD = 0.5
+
+NGRAM_CONTAINMENT_SQL = f"""
+    WITH tokarr AS (
+        SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    shingle AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM tokarr
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / ca.n AS containment_a_in_b,
+           CAST(n_common AS DOUBLE) / cb.n AS containment_b_in_a
+    FROM inter
+    JOIN cnt ca ON doc_a = ca.doc_id
+    JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE GREATEST(CAST(n_common AS DOUBLE) / ca.n,
+                   CAST(n_common AS DOUBLE) / cb.n) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_containment_pairs", oracle=NGRAM_CONTAINMENT_SQL)
+def dedup_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment pairs (both directions); see the section
+    comment for why this exists next to Jaccard."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shingle = (
+        d.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
+        .distinct()
+    )
+    cnt = shingle.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = shingle.alias("a"), shingle.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    c_ab = F.col("n_common").cast("double") / F.col("ca.n")
+    c_ba = F.col("n_common").cast("double") / F.col("cb.n")
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            c_ab.alias("containment_a_in_b"),
+            c_ba.alias("containment_b_in_a"),
+        )
+        .filter(
+            F.greatest(
+                F.col("containment_a_in_b"), F.col("containment_b_in_a")
+            )
+            >= CONTAINMENT_THRESHOLD
+        )
+    )

@@ -400,3 +400,97 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(_PHONE)).cast("long").alias("n_phones"),
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+# ------------------------------------------------------ source drift check
+# Data-validation step: how far does each source's token distribution sit
+# from the corpus distribution? L1 distance in fixed-point integers:
+#   fs(t) = count(s,t) * SCALE div n_s      (source frequency)
+#   fc(t) = count(t)   * SCALE div n        (corpus frequency)
+#   l1(s) = sum_t |fs - fc|
+# summed over the FULL vocabulary. Tokens absent from a source contribute
+# fc, folded in algebraically — l1(s) = sum_observed(|fs - fc| - fc) + K
+# with K = sum_vocab fc a source-independent constant — so the grid of
+# (source x vocab) is never materialized and the token stream is scanned
+# twice (the dictionary-pass shape: once under the windows, once under the
+# K scalar), with every downstream frame bounded by |sources| x |vocab|.
+# Exact integer arithmetic end to end; a drifting ingest (new boilerplate,
+# wrong language, template change) moves l1 immediately.
+
+_DRIFT_SCALE = 1_000_000
+
+
+@register(
+    "quality_source_drift",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({tokens_sql('text')}) AS tok FROM documents
+    ),
+    ps AS (
+        SELECT source, tok, COUNT(*) AS c_st FROM toks GROUP BY source, tok
+    ),
+    w AS (
+        SELECT source, tok, c_st,
+               SUM(c_st) OVER (PARTITION BY source) AS n_s,
+               SUM(c_st) OVER (PARTITION BY tok) AS c_t,
+               SUM(c_st) OVER () AS n
+        FROM ps
+    ),
+    f AS (
+        SELECT source,
+               CAST(c_st * {_DRIFT_SCALE} // n_s AS BIGINT) AS fs,
+               CAST(c_t * {_DRIFT_SCALE} // n AS BIGINT) AS fc,
+               CAST(n_s AS BIGINT) AS n_s
+        FROM w
+    ),
+    vocab AS (
+        SELECT tok, COUNT(*) AS c_t FROM toks GROUP BY tok
+    ),
+    k AS (
+        SELECT CAST(SUM(c_t * {_DRIFT_SCALE}
+                        // (SELECT COUNT(*) FROM toks)) AS BIGINT) AS kk
+        FROM vocab
+    )
+    SELECT source,
+           MIN(n_s) AS n_tokens,
+           CAST(SUM(ABS(fs - fc) - fc) + MIN(k.kk) AS BIGINT) AS l1_drift
+    FROM f CROSS JOIN k
+    GROUP BY source
+    """,
+)
+def quality_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source -> (token count, fixed-point L1 distance from the corpus token
+    distribution); see the section comment."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    ps = toks.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    w_src = Window.partitionBy("source")
+    w_tok = Window.partitionBy("tok")
+    w_all = Window.partitionBy()
+    f = ps.select(
+        "source",
+        F.expr(f"c_st * {_DRIFT_SCALE}").alias("num_s"),
+        F.sum("c_st").over(w_src).alias("n_s"),
+        (F.sum("c_st").over(w_tok) * _DRIFT_SCALE).alias("num_c"),
+        F.sum("c_st").over(w_all).alias("n"),
+    ).select(
+        "source",
+        "n_s",
+        F.expr("num_s div n_s").alias("fs"),
+        F.expr("num_c div n").alias("fc"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c_t"))
+    k = vocab.select(
+        (F.col("c_t") * _DRIFT_SCALE).alias("num"),
+        F.sum("c_t").over(Window.partitionBy()).alias("n"),
+    ).agg(F.sum(F.expr("num div n")).alias("kk"))
+    return (
+        f.crossJoin(F.broadcast(k))
+        .groupBy("source")
+        .agg(
+            F.min("n_s").alias("n_tokens"),
+            (F.sum(F.abs(F.col("fs") - F.col("fc")) - F.col("fc")) + F.min("kk")).alias(
+                "l1_drift"
+            ),
+        )
+    )
