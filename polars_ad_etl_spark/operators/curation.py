@@ -421,3 +421,85 @@ def curation_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             != F.expr(f"(before_bk + intra_before + n - 1) div {_SEQ_LEN}")
         ).alias("spans_boundary"),
     )
+
+
+# ------------------------------------------------- data-constrained epochs
+# Repeat-factor planning under a token budget (the data-constrained-scaling
+# recipe: repeating a source beyond ~4 epochs stops helping, so cap repeats
+# and report the shortfall). The budget (BUDGET_X times the corpus) is
+# split EQUALLY per source — the rebalancing move that upweights small
+# sources — so a small source hits the epoch cap with budget left over
+# (unfilled) while a large one gets partial coverage (whole epochs + a
+# token tail). Integer arithmetic throughout; everything runs on the
+# |sources|-row aggregate (one groupBy(source) at any scale), with the
+# corpus total and source count as windows over that tiny frame, never a
+# second pass.
+
+_EPOCH_BUDGET_X = 3
+_MAX_EPOCHS = 4
+
+
+@register(
+    "curation_epoch_plan",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, CAST(SUM(len({tokens_sql('text')})) AS BIGINT)
+               AS src_tokens
+        FROM documents GROUP BY source
+    ),
+    t AS (
+        SELECT source, src_tokens,
+               CAST((SUM(src_tokens) OVER ()) * {_EPOCH_BUDGET_X}
+                    // (COUNT(*) OVER ()) AS BIGINT) AS share
+        FROM s
+    )
+    SELECT source, src_tokens,
+           CAST(LEAST({_MAX_EPOCHS}, share // src_tokens) AS BIGINT)
+               AS full_epochs,
+           CAST(CASE WHEN share // src_tokens >= {_MAX_EPOCHS} THEN 0
+                     ELSE share % src_tokens END AS BIGINT) AS tail_tokens,
+           CAST(share - LEAST({_MAX_EPOCHS}, share // src_tokens)
+                    * src_tokens
+                - CASE WHEN share // src_tokens >= {_MAX_EPOCHS} THEN 0
+                       ELSE share % src_tokens END AS BIGINT)
+               AS unfilled_tokens
+    FROM t
+    """,
+)
+def curation_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source -> (token count, whole epochs capped at MAX_EPOCHS, fractional
+    tail, unfilled budget); see the section comment."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    s = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("src_tokens")
+    )
+    w = W.partitionBy()
+    t = s.select(
+        "source",
+        "src_tokens",
+        (F.sum("src_tokens").over(w) * _EPOCH_BUDGET_X).alias("_num"),
+        F.count("*").over(w).alias("_den"),
+    ).select(
+        "source",
+        "src_tokens",
+        F.expr("_num div _den").alias("share"),
+    )
+    epochs = F.least(
+        F.lit(_MAX_EPOCHS).cast("long"), F.expr("share div src_tokens")
+    )
+    tail = (
+        F.when(F.expr("share div src_tokens") >= _MAX_EPOCHS, F.lit(0))
+        .otherwise(F.expr("share % src_tokens"))
+        .cast("long")
+    )
+    return t.select(
+        "source",
+        "src_tokens",
+        epochs.alias("full_epochs"),
+        tail.alias("tail_tokens"),
+        (F.col("share") - epochs * F.col("src_tokens") - tail)
+        .cast("long")
+        .alias("unfilled_tokens"),
+    )

@@ -311,3 +311,25 @@ def test_mp4_corrupt_box_raises():
         mc.decode_mp4(blob[:20])  # truncated mid-box
     with _pytest.raises(ValueError):
         mc.decode_mp4(b"\x00\x00\x00\x04ftyp")  # size < 8
+
+
+def test_mp4_roundtrip_property():
+    """Property: any (width, height, duration, payload) round-trips through
+    the box encoder/parser exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    from polars_ad_etl_spark.operators import media_codecs as mc
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 8192),
+        h=st.integers(1, 8192),
+        dur=st.integers(0, 2**31 - 1),
+        payload=st.binary(max_size=512),
+    )
+    def check(w, h, dur, payload):
+        meta, got = mc.decode_mp4(mc.encode_mp4(w, h, dur, payload=payload))
+        assert (meta.width, meta.height, meta.duration_units) == (w, h, dur)
+        assert got == payload
+
+    check()

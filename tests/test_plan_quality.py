@@ -244,3 +244,20 @@ def test_semdedup_no_cartesian(spark):
     plan = formatted_plan(QUERIES["dedup_semdedup_keep_list"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_drift_two_scans_only(spark):
+    """The drift operator folds absent-token mass in algebraically; the
+    plan must stay at the dictionary-pass shape (main branch + K scalar =
+    2 scans), never materialize a source x vocab grid via extra passes."""
+    plan = formatted_plan(QUERIES["quality_source_drift"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 4  # tree + detail, 2 real scans
+
+
+def test_epoch_plan_single_aggregate(spark):
+    """Epoch planning runs entirely on the |sources|-row aggregate: one
+    scan, and the corpus totals come from windows over that aggregate,
+    not a second pass."""
+    plan = formatted_plan(QUERIES["curation_epoch_plan"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2  # tree + detail, 1 real scan
+    assert "Join" not in plan
