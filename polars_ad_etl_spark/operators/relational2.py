@@ -297,3 +297,58 @@ def approx_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
     )
+
+
+# ------------------------------------------- deterministic sampled quantiles
+# The reproducible middle ground between exact percentiles (full sort
+# pressure) and percentile_approx sketches (engine-specific internals, no
+# oracle possible): exact percentiles over a SALTED-HASH 10% sample. The
+# sample is a pure function of the key — same rows at any partitioning, on
+# any engine — so this "approximate" query is bit-comparable to DuckDB,
+# unlike the sketch family. Error bounds follow sampling theory instead of
+# sketch theory; at 100 TB the sample keeps the per-group sort at 10% of
+# the data, and the filter pushes into the scan.
+
+_SAMPLE_PERMILLE = 100  # keep ~10%
+
+
+def _sample_pred_sql() -> str:
+    from polars_ad_etl_spark.functions.hashing import portable_hash32_sql
+
+    h = portable_hash32_sql("'q' || CAST(o_orderkey AS VARCHAR)")
+    return f"{h} % 1000 < {_SAMPLE_PERMILLE}"
+
+
+@register(
+    "approx_sampled_percentiles",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS p90
+    FROM orders
+    WHERE {_sample_pred_sql()}
+    GROUP BY o_orderpriority
+    """,
+)
+def approx_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles over a deterministic 10% hash sample;
+    see the section comment for why this is the oracle-checkable
+    approximate-quantile path."""
+    from polars_ad_etl_spark.functions.hashing import portable_hash32
+
+    o = _t(spark, sf_dir, "orders")
+    keep = (
+        portable_hash32(
+            F.concat(F.lit("q"), F.col("o_orderkey").cast("string"))
+        )
+        % 1000
+        < _SAMPLE_PERMILLE
+    )
+    return o.filter(keep).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_sampled"),
+        F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.50), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.90), 4).alias("p90"),
+    )

@@ -1118,3 +1118,36 @@ def recon_orders_vs_shipments_daily(spark: SparkSession, sf_dir: str) -> DataFra
         .otherwise("both")
         .alias("status"),
     )
+
+
+# ------------------------------------------------- LATERAL join front door
+# Correlated LATERAL subquery — the SQL idiom for "top-N per row of the
+# outer table" — runs VERBATIM on both engines (Spark >= 3.2 and DuckDB
+# both speak ANSI LATERAL). Catalyst rewrites the lateral top-1 into a
+# window/join under the hood, so the scale shape is the same as the
+# DataFrame formulation; what this query proves is front-door SQL parity
+# for the correlated-subquery-in-FROM feature class.
+_SQL_LATERAL_TEXT = """
+    SELECT n.n_name,
+           t.o_orderkey AS top_orderkey,
+           t.o_totalprice AS top_totalprice
+    FROM nation n,
+    LATERAL (
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 1
+    ) AS t
+"""
+
+
+@register("sql_lateral_top_order_per_nation", oracle=_SQL_LATERAL_TEXT)
+def sql_lateral_top_order_per_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Highest-value order per nation via a correlated LATERAL subquery,
+    same ANSI text on both engines; see the section comment."""
+    for t in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_LATERAL_TEXT)
