@@ -848,3 +848,53 @@ def dedup_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
             >= CONTAINMENT_THRESHOLD
         )
     )
+
+
+# ------------------------------------------------- recursive dup closure
+# "Find every transitive copy of this document": depth-bounded BFS over the
+# LSH candidate-pair graph, written as a RECURSIVE CTE and executed by
+# Spark's own recursive-CTE support (4.x) — the front-door SQL counterpart
+# of the DataFrame-loop connected components above. Spark restricts
+# recursion to UNION ALL, so cycle safety comes from the depth bound and
+# the MIN(depth) collapse (dup graphs are near-cliques: path fan-out at
+# depth 4 is c^4 for clique size c, bounded because LSH clusters are
+# small). The recursive text is shared verbatim with the oracle; only the
+# edge-table derivation differs per engine (its equality is itself
+# oracle-proven by dedup_minhash_lsh_pairs).
+
+_CLOSURE_DEPTH = 4
+
+_RECURSIVE_CLOSURE_TEXT = f"""
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+    ),
+    seed AS (SELECT MIN(src) AS s FROM edges),
+    reach(doc_id, depth) AS (
+        SELECT s, 0 FROM seed
+        UNION ALL
+        SELECT e.dst, r.depth + 1
+        FROM reach r JOIN edges e ON e.src = r.doc_id
+        WHERE r.depth < {_CLOSURE_DEPTH}
+    )
+    SELECT doc_id, CAST(MIN(depth) AS BIGINT) AS min_depth
+    FROM reach GROUP BY doc_id
+"""
+
+
+def _closure_oracle() -> str:
+    return f"""
+    WITH RECURSIVE dup_pairs AS ({_lsh_pairs_oracle()}),
+    {_RECURSIVE_CLOSURE_TEXT}
+    """
+
+
+@register("sql_recursive_dup_closure", oracle=_closure_oracle())
+def sql_recursive_dup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate closure from the smallest paired doc, as a
+    recursive CTE run by spark.sql; see the section comment."""
+    dedup_minhash_lsh_pairs(spark, sf_dir).createOrReplaceTempView(
+        "dup_pairs"
+    )
+    return spark.sql(f"WITH RECURSIVE {_RECURSIVE_CLOSURE_TEXT}")
