@@ -80,3 +80,47 @@ def read_partitioned(spark: SparkSession, path: str | Path) -> DataFrame:
 def with_date_partition(df: DataFrame, ts_col: str, name: str = "dt") -> DataFrame:
     """Standard daily-partition derivation from an event-time column."""
     return df.withColumn(name, F.to_date(F.col(ts_col)))
+
+
+def morton_code(a: F.Column, b: F.Column, bits: int = 16) -> F.Column:
+    """Z-order (Morton) interleave of two non-negative int columns: bit i of
+    each input lands at output bits 2i / 2i+1, so sorting by the code keeps
+    rows close in BOTH dimensions — the multi-column locality that a plain
+    lexicographic sort cannot give. Built from shift/or expressions only
+    (whole-stage codegen); ``bits`` bounds each input's value range."""
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        code = code.bitwiseOR(
+            F.shiftleft(abit, 2 * i).cast("long")
+        ).bitwiseOR(F.shiftleft(bbit, 2 * i + 1).cast("long"))
+    return code
+
+
+def compact_zordered(
+    df: DataFrame,
+    path: str | Path,
+    col_a: str,
+    col_b: str,
+    target_files: int | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Two-dimensional clustering compaction: range-partition + sort on the
+    Morton code of (col_a, col_b), so reads filtered on EITHER column skip
+    files (each file covers a compact 2-D tile, tight min/max on both
+    columns) — the Z-ORDER maintenance op of lakehouse tables, expressed
+    with plain Spark shuffles and a codegen-friendly bit interleave."""
+    z = morton_code(F.col(col_a), F.col(col_b))
+    tagged = df.withColumn("__z", z)
+    shuffled = (
+        tagged.repartitionByRange(target_files, "__z")
+        if target_files
+        else tagged.repartitionByRange("__z")
+    ).sortWithinPartitions("__z")
+    writer = shuffled.drop("__z").write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(str(path))
+    return str(path)

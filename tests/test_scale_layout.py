@@ -158,3 +158,70 @@ def test_compact_sorted_disjoint_clustered_files(spark, tmp_path):
     spans = sorted([(r.lo, r.hi) for r in per_file])
     for (_, prev_hi), (next_lo, _) in zip(spans, spans[1:]):
         assert prev_hi <= next_lo  # disjoint (range-partitioned) key spans
+
+
+def test_morton_code_locality_and_bounds():
+    """Morton interleave: bit-exact on known values, monotone-ish locality —
+    points in the same small 2-D tile sort adjacently."""
+    from polars_ad_etl_spark.sinks.parquet import morton_code
+
+    # pure-python reference
+    def ref(a, b, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    assert ref(0, 0) == 0 and ref(1, 0) == 1 and ref(0, 1) == 2 and ref(1, 1) == 3
+    assert ref(2, 2) == 12  # next 2x2 tile block
+
+
+def test_compact_zordered_tiles_both_columns(spark, tmp_path):
+    """Z-ordered compaction: each output file's (a, b) bounding box is a
+    compact tile — max spans a small fraction of the global range on BOTH
+    columns, which plain lexicographic sort cannot achieve for the second
+    column."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+    from polars_ad_etl_spark.sinks.parquet import compact_zordered, morton_code
+
+    n = 1 << 12
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    # spark-side code must equal the python reference
+    got = df.select("a", "b", morton_code(F.col("a"), F.col("b")).alias("z")).collect()
+
+    def ref(a, b, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    assert all(r.z == ref(r.a, r.b) for r in got)
+
+    out = tmp_path / "zorder"
+    compact_zordered(df, out, "a", "b", target_files=16)
+    spans_a, spans_b = [], []
+    for f in out.glob("*.parquet"):
+        md = pq.read_metadata(f)
+        if md.num_rows == 0:
+            continue
+        mins = {c: None for c in ("a", "b")}
+        maxs = {c: None for c in ("a", "b")}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in mins and col.statistics is not None:
+                    lo, hi = col.statistics.min, col.statistics.max
+                    mins[name] = lo if mins[name] is None else min(mins[name], lo)
+                    maxs[name] = hi if maxs[name] is None else max(maxs[name], hi)
+        spans_a.append(maxs["a"] - mins["a"])
+        spans_b.append(maxs["b"] - mins["b"])
+    # global ranges: a in [0,63], b in [0,63]; a 16-file Z layout gives
+    # tiles covering ~1/4 of each axis
+    assert max(spans_a) <= 40 and max(spans_b) <= 40, (spans_a, spans_b)
