@@ -503,3 +503,46 @@ def curation_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("unfilled_tokens"),
     )
+
+
+# ------------------------------------------------------ per-group sampling
+# "k examples per language" (eval-set assembly, few-shot pools): rank each
+# group by a salted hash and keep the first K — a deterministic reservoir
+# with no RNG state, reproducible at any partitioning. The window
+# partitions on the group key, so parallelism scales with group count; for
+# very hot groups the salted-bucket pre-filter (keep only buckets < c)
+# would bound the window input first.
+
+_PER_GROUP_K = 20
+
+
+@register(
+    "curation_per_group_sample",
+    oracle=f"""
+    SELECT doc_id, lang, rk FROM (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_bucket_sql('doc_id', 'grp9')}, doc_id
+               ) AS BIGINT) AS rk
+        FROM documents
+    ) WHERE rk <= {_PER_GROUP_K}
+    """,
+)
+def curation_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First K docs per language in salted-hash order; see the section
+    comment."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    w = W.partitionBy("lang").orderBy(
+        _bucket(F.col("doc_id"), "grp9"), "doc_id"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= _PER_GROUP_K)
+    )

@@ -261,3 +261,21 @@ def test_epoch_plan_single_aggregate(spark):
     plan = formatted_plan(QUERIES["curation_epoch_plan"](spark, SF_DIR))
     assert plan.count("Scan parquet") == 2  # tree + detail, 1 real scan
     assert "Join" not in plan
+
+
+def test_pq_codes_single_projection(spark):
+    """PQ code assignment must stay one scan + projection against
+    driver-side codebook literals — no join, no shuffle (training
+    collects are separate jobs, not part of this plan)."""
+    plan = formatted_plan(QUERIES["embedding_pq_codes"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2  # tree + detail, 1 real scan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_pq_adc_broadcasts_query_luts(spark):
+    """ADC search: candidates are scanned once and joined to the tiny
+    broadcast LUT frame; the scan side must never be the build side."""
+    plan = formatted_plan(QUERIES["sim_pq_adc_topk"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2  # 1 real candidate scan
+    assert "BroadcastNestedLoopJoin" in plan  # 8-row LUT frame cross join
