@@ -392,3 +392,57 @@ def user_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_type", pick).alias("modal_type"),
         F.max("n_events").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------- path mining
+# Frequent navigation paths: each user's events in (ts, event_id) order
+# form an event-type sequence; sliding 3-grams over those sequences,
+# counted corpus-wide, surface the dominant flows (browse>click>purchase
+# vs browse>click>error). One shuffle on user_id builds the sequences
+# (collect_list is map-side combinable, the sort is bounded by per-user
+# event count), the 3-gram fan-out is partition-local, and the final count
+# is the term-frequency shape. The deterministic (ts, event_id) struct sort
+# is what makes the sequences — and therefore the counts — engine-exact.
+@register(
+    "events_user_path_ngrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+        FROM events GROUP BY user_id
+    ),
+    paths AS (
+        -- fixed-bound series + WHERE (DuckDB generate_series cannot take
+        -- a lateral column bound); 1000 >> max events/user (~86 at sf0.01)
+        SELECT array_to_string(types[i:i+2], '>') AS path
+        FROM seq, generate_series(1, 1000) AS t(i)
+        WHERE i <= len(types) - 2
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 25
+    """,
+)
+def events_user_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 3-step event-type paths across all user sequences; see the
+    section comment."""
+    e = load_events(spark, sf_dir)
+    pair = F.struct("ts", "event_id", "event_type")
+    seq = e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(pair)), lambda s: s["event_type"]
+        ).alias("types")
+    )
+    grams = F.expr(
+        "CASE WHEN size(types) >= 3 THEN"
+        " transform(sequence(0, size(types) - 3),"
+        "   i -> concat_ws('>', types[i], types[i+1], types[i+2]))"
+        " ELSE array() END"
+    )
+    return (
+        seq.select(F.explode(grams).alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(25)
+    )

@@ -357,3 +357,74 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "left_tok", "right_tok")
         .limit(50)
     )
+
+
+# ------------------------------------------------------ keyword extraction
+# TF-IDF keywords per document with the same bit-length integer log2 used
+# by the surprisal operator: idf(t) ~ log2(N / df(t)) becomes
+# bitlen(N) - bitlen(df), so scores are exact int64 and oracle-comparable.
+# score = tf * idf; top KEYWORDS_K terms per doc, ties broken on the token.
+# Plan shape: ONE tokenize pass -> (doc, token) aggregate (map-side
+# combinable) -> df via a window over that aggregate (partition by token —
+# no dictionary join, no second pass) -> per-doc top-k window. N is the
+# corpus document count, a column-pruned count-only scan, deliberately NOT
+# derived from the token aggregate (that would re-plan the whole token
+# subtree for one scalar).
+
+_KEYWORDS_K = 3
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest({tokens_sql('text')}) AS tok FROM documents
+        ) GROUP BY doc_id, tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.tok,
+               CAST(t.tf * (length(bin(n.n_docs))
+                            - length(bin(COUNT(*) OVER (PARTITION BY t.tok))))
+                    AS BIGINT) AS score
+        FROM tf t CROSS JOIN n
+    )
+    SELECT doc_id, tok AS keyword, score, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT doc_id, tok, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, tok) AS rk
+        FROM scored
+    ) WHERE rk <= {_KEYWORDS_K}
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K TF-IDF keywords per document in exact integer arithmetic; see
+    the section comment."""
+    from pyspark.sql import Window as W
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    w_tok = W.partitionBy("tok")
+    scored = tf.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "tok",
+        (
+            F.col("tf")
+            * (
+                F.length(F.bin(F.col("n_docs")))
+                - F.length(F.bin(F.count("*").over(w_tok)))
+            )
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _KEYWORDS_K)
+        .select("doc_id", F.col("tok").alias("keyword"), "score", "rk")
+    )
