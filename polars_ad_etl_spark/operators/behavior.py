@@ -446,3 +446,78 @@ def events_user_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(25)
     )
+
+
+# ----------------------------------------------------- co-occurrence pairs
+# Market-basket analysis over per-user event baskets: which event types
+# occur together in the same user's history, with support (user count) and
+# lift-style independence ratio. The basket is the DISTINCT (user, type)
+# projection, so the pair join fans out by basket size — bounded by the
+# event-type vocabulary (|types| small), never by event volume. Support
+# and both marginals come from the same distinct projection; the ratio is
+# scaled fixed-point integer (lift * 10^4) so the output is engine-exact.
+_PAIR_MIN_SUPPORT = 5
+
+
+@register(
+    "events_type_cooccurrence",
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    marg AS (
+        SELECT event_type, COUNT(*) AS m FROM basket GROUP BY event_type
+    ),
+    n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM basket),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS support
+        FROM basket a JOIN basket b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, CAST(p.support AS BIGINT) AS support,
+           CAST(p.support * n.n_users * 10000 // (ma.m * mb.m) AS BIGINT)
+               AS lift_x10000
+    FROM pairs p
+    JOIN marg ma ON ma.event_type = p.type_a
+    JOIN marg mb ON mb.event_type = p.type_b
+    CROSS JOIN n
+    WHERE p.support >= {_PAIR_MIN_SUPPORT}
+    """,
+)
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type pair support and fixed-point lift over user baskets; see
+    the section comment."""
+    e = load_events(spark, sf_dir)
+    basket = e.select("user_id", "event_type").distinct()
+    marg = basket.groupBy("event_type").agg(F.count("*").alias("m"))
+    n = basket.agg(F.countDistinct("user_id").alias("n_users"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _PAIR_MIN_SUPPORT)
+    )
+    ma, mb = marg.alias("ma"), marg.alias("mb")
+    return (
+        pairs.join(F.broadcast(ma), F.col("type_a") == F.col("ma.event_type"))
+        .join(F.broadcast(mb), F.col("type_b") == F.col("mb.event_type"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("support").cast("long").alias("support"),
+            F.expr("(support * n_users * 10000) div (ma.m * mb.m)")
+            .cast("long")
+            .alias("lift_x10000"),
+        )
+    )
