@@ -63,3 +63,73 @@ def stream_to_partitioned_parquet(
         .foreachBatch(_write_batch)
         .start()
     )
+
+
+def upsert_latest_by_key(
+    batch_df: DataFrame,
+    path: str | Path,
+    key_cols: list[str],
+    version_cols: list[str],
+) -> str:
+    """Keyed upsert into a plain-parquet store: merge the batch with the
+    existing table, keep the highest-``version_col`` row per key, rewrite.
+
+    This is the CDC-apply / materialized-view maintenance primitive on
+    storage with no transaction log: correctness comes from last-writer-wins
+    on the explicit version ordering (event time + a tie-breaking id, or an
+    LSN), so replaying a batch is idempotent. The rewrite cost is the whole store — the right call while
+    the keyed state is much smaller than the event volume (the usual
+    materialized-view regime); once the store itself is huge, switch to the
+    partition-overwrite primitive above with key-range partitions so a batch
+    rewrites only the ranges it touches.
+    """
+    from pyspark.sql import Window, functions as F
+
+    spark = batch_df.sparkSession
+    p = Path(path)
+    merged = batch_df
+    if p.exists():
+        existing = spark.read.parquet(str(p))
+        merged = existing.unionByName(batch_df)
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in version_cols]
+    )
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # write to a sibling then swap: the store is its own input, so a direct
+    # overwrite would truncate before the read plan runs
+    tmp = p.with_name(p.name + "__new")
+    latest.write.mode("overwrite").parquet(str(tmp))
+    import shutil
+
+    if p.exists():
+        shutil.rmtree(p)
+    tmp.rename(p)
+    return str(p)
+
+
+def stream_upsert_latest(
+    stream_df: DataFrame,
+    path: str | Path,
+    key_cols: list[str],
+    version_cols: list[str],
+    checkpoint: str | Path,
+) -> StreamingQuery:
+    """foreachBatch keyed-upsert sink: maintains a latest-per-key
+    materialized view of the stream on plain parquet. Idempotent under
+    batch replay because the merge is last-writer-wins on the version
+    column."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            upsert_latest_by_key(batch_df, path, key_cols, version_cols)
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", str(checkpoint))
+        .foreachBatch(_apply)
+        .start()
+    )

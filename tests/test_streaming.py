@@ -190,3 +190,59 @@ def test_daily_active_users_exact_stream_finalized_days(spark):
         assert batch[day] == dau
     # everything except the in-flight tail must have been finalized
     assert len(got) >= len(batch) - 1
+
+
+def test_stream_upsert_latest_matches_batch_cdc(spark, tmp_path):
+    """The foreachBatch keyed-upsert sink must converge to exactly the
+    batch CDC latest-per-key answer after the stream drains — and the
+    maintained view's version ordering (ts, event_id) matches the batch
+    operator's tie-proof struct ordering."""
+    from polars_ad_etl_spark.sinks.incremental import stream_upsert_latest
+
+    stream = read_events_stream(spark, SF_DIR)
+    view = tmp_path / "latest_view"
+    q = stream_upsert_latest(
+        stream.select("user_id", "event_id", "ts", "event_type", "value"),
+        view,
+        key_cols=["user_id"],
+        version_cols=["ts", "event_id"],
+        checkpoint=tmp_path / "ckpt",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = _sorted_rows(
+        spark.read.parquet(str(view)).select(
+            "user_id", "event_id", "event_type"
+        )
+    )
+    want = _sorted_rows(
+        QUERIES["cdc_latest_event_per_user"](spark, SF_DIR).select(
+            "user_id", "event_id", "event_type"
+        )
+    )
+    assert got == want
+
+
+def test_upsert_latest_idempotent_on_replay(spark, tmp_path):
+    """Replaying the same batch must not change the view (last-writer-wins
+    on the version ordering makes the merge idempotent)."""
+    from polars_ad_etl_spark.sinks.incremental import upsert_latest_by_key
+
+    batch = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], ["k", "v", "payload"]
+    )
+    p = tmp_path / "store"
+    upsert_latest_by_key(batch, p, ["k"], ["v"])
+    first = _sorted_rows(spark.read.parquet(str(p)))
+    upsert_latest_by_key(batch, p, ["k"], ["v"])  # replay
+    assert _sorted_rows(spark.read.parquet(str(p))) == first
+    # a newer version wins; an older one is ignored
+    upsert_latest_by_key(
+        spark.createDataFrame([(1, 30, "z"), (2, 1, "old")], ["k", "v", "payload"]),
+        p, ["k"], ["v"],
+    )
+    rows = {r.k: (r.v, r.payload) for r in spark.read.parquet(str(p)).collect()}
+    assert rows == {1: (30, "z"), 2: (5, "c")}
