@@ -24,6 +24,7 @@ from __future__ import annotations
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -87,6 +88,41 @@ def read_jsonl(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(str(path))
+
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl_quarantined(
+    spark: SparkSession, path: str | Path, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL ingest that never drops data silently: PERMISSIVE parse with a
+    ``_corrupt_record`` capture column, split into (good, quarantine).
+
+    Production NDJSON feeds always contain some malformed lines; FAILFAST
+    kills the whole job for one bad row and DROPMALFORMED silently loses
+    data — the quarantine split is the ingest-side sibling of the
+    pipeline's strict-cast quarantine mode: good rows flow on, bad raw
+    lines land in a reviewable frame. Requires an explicit schema (with
+    inference Spark would type the corrupt column away). The parsed
+    columns of a quarantined row are null by construction, so the
+    quarantine frame carries only the raw line."""
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(str(path))
+        # Spark requires materializing the corrupt column before filtering
+        # on it (SPARK-21610): referencing a cached projection is the
+        # documented pattern and a no-op for well-formed files
+        .cache()
+    )
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return good, bad
 
 
 def read_orc(spark: SparkSession, path: str | Path) -> DataFrame:

@@ -246,3 +246,30 @@ def test_xlsx_round_trip_property(spark, tmp_path):
         assert norm([tuple(r) for r in back.collect()]) == norm(rows)
 
     prop()
+
+
+def test_read_jsonl_quarantined_splits(spark, tmp_path):
+    """Malformed NDJSON lines land in the quarantine frame with the raw
+    line preserved; good rows parse; nothing is silently dropped."""
+    from pyspark.sql import types as T
+
+    from polars_ad_etl_spark.sources.tabular import read_jsonl_quarantined
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"a": 1, "b": "x"}\n'
+        "{broken json!!\n"
+        '{"a": 2, "b": "y"}\n'
+        '{"a": "NOT_INT", "b": "z"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    good, bad = read_jsonl_quarantined(spark, p, schema)
+    good_rows = sorted((r.a, r.b) for r in good.collect())
+    bad_rows = [r._corrupt_record for r in bad.collect()]
+    assert good_rows == [(1, "x"), (2, "y")]
+    assert len(bad_rows) == 2
+    assert any("broken" in b for b in bad_rows)
+    assert any("NOT_INT" in b for b in bad_rows)
+    assert good.count() + bad.count() == 4
