@@ -352,3 +352,65 @@ def approx_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", 0.50), 4).alias("p50"),
         F.round(F.percentile("o_totalprice", 0.90), 4).alias("p90"),
     )
+
+
+# ------------------------------------------------------------- histogram
+# Fixed-bin histogram — the OLAP profiling primitive. Bucket arithmetic is
+# exact: prices quantize to integer cents first (ROUND(x*100) is stable:
+# generated prices are 2-decimal, so x*100 sits within an ulp of an
+# integer, never near a .5 boundary), then the bin is integer division.
+# One map-side-combinable aggregate; bins are the shuffle key.
+
+_HIST_BIN_CENTS = 5_000_000  # $50,000 bins
+
+
+@register(
+    "agg_price_histogram",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                // {_HIST_BIN_CENTS} AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price histogram in $50k bins per priority; see the section
+    comment for the exact-cents bucket arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_orderpriority",
+            F.expr(f"bigint(round(o_totalprice * 100)) div {_HIST_BIN_CENTS}")
+            .alias("bin"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# -------------------------------------------------------- Benford profile
+# First-significant-digit distribution of order prices — the classic
+# fabricated-data forensic (organic monetary amounts follow Benford's law;
+# uniform synthetic ones do not, and THAT deviation is itself the signal a
+# profiler reports). Digit extraction goes through integer cents and
+# string truncation, so it is engine-exact with no log10 anywhere.
+@register(
+    "quality_benford_first_digit",
+    oracle="""
+    SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_totalprice > 0
+    GROUP BY 1
+    """,
+)
+def quality_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit counts of order prices (Benford forensic profile); see
+    the section comment."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    return o.groupBy(digit.alias("digit")).agg(F.count("*").alias("n"))
