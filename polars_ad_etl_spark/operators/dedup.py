@@ -898,3 +898,118 @@ def sql_recursive_dup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_pairs"
     )
     return spark.sql(f"WITH RECURSIVE {_RECURSIVE_CLOSURE_TEXT}")
+
+
+# ------------------------------------------------------- triangle counting
+# Triangle census of the candidate-pair graph — the dup-cluster quality
+# signal: near-duplicate clusters should be near-cliques (high triangle
+# density); a triangle-poor pair graph means the LSH threshold is admitting
+# chains of weak links. Standard distributed shape: orient every edge
+# low->high, join edges on the shared low vertex to form wedges (each
+# wedge generated once), then close each wedge with a semi-join back to
+# the edge set. Wedge fan-out is sum(deg^2) on the ORIENTED graph, the
+# textbook bound that keeps hub vertices from exploding.
+def _triangle_oracle() -> str:
+    return f"""
+    WITH pairs AS ({_lsh_pairs_oracle()}),
+    e AS (
+        SELECT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+        FROM pairs
+    ),
+    wedge AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges
+    FROM wedge w JOIN e ON e.a = w.y AND e.b = w.z
+    """
+
+
+@register("dedup_triangle_count", oracle=_triangle_oracle())
+def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(triangle count, edge count) of the LSH candidate-pair graph; see
+    the section comment."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    e = pairs.select(
+        F.least("doc_a", "doc_b").alias("a"),
+        F.greatest("doc_a", "doc_b").alias("b"),
+    )
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    wedge = e1.join(
+        e2,
+        (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") < F.col("e2.b")),
+    ).select(F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    tri = wedge.join(
+        e, (F.col("a") == F.col("y")) & (F.col("b") == F.col("z")), "left_semi"
+    ).agg(F.count("*").alias("n_triangles"))
+    edges = e.agg(F.count("*").alias("n_edges"))
+    return tri.crossJoin(F.broadcast(edges))
+
+
+# -------------------------------------------------- candidate recall eval
+# The pipeline measuring itself: of the TRUE near-dup pairs (exact shingle
+# Jaccard >= threshold), how many does banded MinHash-LSH surface as
+# candidates? This is the recall knob (bands x rows) made observable — a
+# production dedup pipeline runs exactly this eval on a sample whenever the
+# LSH parameters change. Both pair sets are canonicalized low->high before
+# the semi-join; recall is fixed-point integer so the one-row result is
+# engine-exact.
+
+
+def _recall_eval_oracle() -> str:
+    from polars_ad_etl_spark.operators.registry import ORACLES
+
+    return f"""
+    WITH exactp AS (
+        SELECT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+        FROM ({ORACLES["dedup_ngram_jaccard_pairs"]})
+    ),
+    cand AS (
+        SELECT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+        FROM ({_lsh_pairs_oracle()})
+    ),
+    hit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM exactp e
+        WHERE EXISTS (SELECT 1 FROM cand c WHERE c.a = e.a AND c.b = e.b)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exactp) AS n_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+           h.n_hit,
+           CAST(h.n_hit * 10000
+                // GREATEST((SELECT COUNT(*) FROM exactp), 1) AS BIGINT)
+               AS recall_x10000
+    FROM hit h
+    """
+
+
+@register("dedup_lsh_recall_eval", oracle=_recall_eval_oracle())
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row LSH candidate-recall report vs the exact Jaccard truth set;
+    see the section comment."""
+    exact = dedup_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.least("doc_a", "doc_b").alias("a"),
+        F.greatest("doc_a", "doc_b").alias("b"),
+    )
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir).select(
+        F.least("doc_a", "doc_b").alias("a"),
+        F.greatest("doc_a", "doc_b").alias("b"),
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_hit = exact.join(cand, ["a", "b"], "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    return (
+        n_hit.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_cand))
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hit",
+            F.expr("(n_hit * 10000) div greatest(n_exact, 1)").alias(
+                "recall_x10000"
+            ),
+        )
+    )
