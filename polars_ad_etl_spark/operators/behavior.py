@@ -521,3 +521,50 @@ def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_x10000"),
         )
     )
+
+
+# ------------------------------------------------------ inter-arrival gaps
+# Per-user event cadence: lag each user's events by (ts, event_id) order
+# and profile the inter-arrival gap in EXACT integer microseconds
+# (timestampdiff on the NTZ timestamps — no float seconds, no tz
+# dependence). High-cardinality window partition key (user_id), so
+# parallelism scales with the user base; the output is the per-user gap
+# profile a rate-limiter or bot detector consumes.
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               DATEDIFF('microsecond',
+                        LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id),
+                        ts) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) // COUNT(gap_us) AS BIGINT) AS mean_gap_us
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap profile in exact integer microseconds; see
+    the section comment."""
+    e = load_events(spark, sf_dir)
+    gaps = e.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.expr("sum(gap_us) div count(gap_us)").alias("mean_gap_us"),
+    )

@@ -414,3 +414,60 @@ def quality_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
     ).cast("long")
     return o.groupBy(digit.alias("digit")).agg(F.count("*").alias("n"))
+
+
+# -------------------------------------------------------- keyset pagination
+# Page N of a sorted listing WITHOUT OFFSET: the cursor predicate
+# (price, key) strictly-after-the-last-seen-row pushes into the scan and
+# the engine does top-k, while OFFSET must materialize and discard every
+# earlier row — the difference between O(page) and O(page * N) on a big
+# table. The cursor below is the literal last row of page 1 (fixed so the
+# query is deterministic); real callers thread the previous page's last
+# (price, key) through.
+
+_PAGE_SIZE = 15
+
+
+def _page1_cursor_sql() -> str:
+    return f"""
+    SELECT o_totalprice AS cp, o_orderkey AS ck FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 1 OFFSET {_PAGE_SIZE - 1}
+    """
+
+
+@register(
+    "topk_keyset_page2",
+    oracle=f"""
+    WITH cur AS ({_page1_cursor_sql()})
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o CROSS JOIN cur
+    WHERE (o.o_totalprice < cur.cp)
+       OR (o.o_totalprice = cur.cp AND o.o_orderkey > cur.ck)
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT {_PAGE_SIZE}
+    """,
+)
+def topk_keyset_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 of the price-ranked order listing via a keyset cursor; see
+    the section comment."""
+    o = _t(spark, sf_dir, "orders")
+    cur = (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select(
+            F.col("o_totalprice").alias("cp"), F.col("o_orderkey").alias("ck")
+        )
+        .offset(_PAGE_SIZE - 1)
+        .limit(1)
+    )
+    after_cursor = (F.col("o_totalprice") < F.col("cp")) | (
+        (F.col("o_totalprice") == F.col("cp"))
+        & (F.col("o_orderkey") > F.col("ck"))
+    )
+    return (
+        o.crossJoin(F.broadcast(cur))
+        .filter(after_cursor)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(_PAGE_SIZE)
+    )
