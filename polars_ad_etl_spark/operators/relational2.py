@@ -471,3 +471,66 @@ def topk_keyset_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(_PAGE_SIZE)
     )
+
+
+# ---------------------------------------------------------- trimmed mean
+# Robust aggregation: drop the lowest and highest 5% of prices per group
+# (by exact integer-cents rank, ties broken on the key) and average the
+# middle 90% — the outlier-resistant center a reporting layer wants when
+# a few corrupt rows would drag a plain mean. All arithmetic is integer
+# (cents, ranks, floor division), so the result is engine-exact with no
+# percentile interpolation. The per-group rank window funnels each group
+# through one task — fine for bounded group counts; at 100 TB swap the
+# rank bounds for approx_percentile cutoffs joined back (same shape as
+# the RFM quartile note).
+
+_TRIM_PCT = 5
+
+
+@register(
+    "stats_trimmed_mean_prices",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                            o_orderkey
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(cents) // COUNT(*) AS BIGINT) AS trimmed_mean_cents
+    FROM ranked
+    WHERE rk > n * {_TRIM_PCT} // 100
+      AND rk <= n - n * {_TRIM_PCT} // 100
+    GROUP BY o_orderpriority
+    """,
+)
+def stats_trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of order prices per priority in exact integer cents;
+    see the section comment."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = W.partitionBy("o_orderpriority").orderBy(cents, "o_orderkey")
+    wn = W.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        cents.alias("cents"),
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    lo = F.expr(f"n * {_TRIM_PCT} div 100")
+    return (
+        ranked.filter((F.col("rk") > lo) & (F.col("rk") <= F.col("n") - lo))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.expr("sum(cents) div count(*)").alias("trimmed_mean_cents"),
+        )
+    )
