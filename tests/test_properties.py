@@ -319,3 +319,25 @@ def test_ann_recall_vs_exact_baseline(spark):
     assert mt > recall("sim_lsh_bucketed_topk")
     assert recall("sim_pq_adc_topk") >= 0.08
     assert recall("sim_ivfpq_topk") >= 0.08
+
+
+def test_containment_dominates_jaccard(spark):
+    """For any pair, containment = |A∩B|/|A| >= |A∩B|/|A∪B| = Jaccard —
+    the algebraic link between the two operators; also max-containment
+    pairs must be a superset of Jaccard pairs at the same intersection
+    (subset dups are exactly what Jaccard under-scores)."""
+    from polars_ad_etl_spark.operators.registry import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["dedup_ngram_jaccard_pairs"](spark, sf).collect()
+    }
+    cont = {
+        (r.doc_a, r.doc_b): max(r.containment_a_in_b, r.containment_b_in_a)
+        for r in QUERIES["dedup_ngram_containment_pairs"](spark, sf).collect()
+    }
+    shared = set(jac) & set(cont)
+    assert shared, "expected overlapping pairs at sf0.01"
+    for pair in shared:
+        assert cont[pair] >= jac[pair] - 1e-12
