@@ -331,11 +331,27 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartiles (1 = best). Ties broken by user_id so NTILE is deterministic;
     monetary uses the exact-decimal sum.
 
-    Scale note: the NTILE windows are global (empty partitionBy) but run over
-    the POST-aggregation per-user table — |users|, orders of magnitude
-    smaller than |events|. At 10^9+ users the quartile boundaries would come
-    from approx_percentile cutoffs joined back instead; documented here, not
-    needed at this cardinality.
+    Scale design — exact NTILE with NO global-sort window. A naive
+    ``ntile(4).over(Window.orderBy(...))`` funnels every user through one
+    partition; instead the three metrics are melted into long format
+    (user_id, metric, sort_val) and ranked with the distributed-sort
+    machinery Spark's own orderBy uses, kept parallel end-to-end:
+
+    1. ONE ``repartitionByRange(metric, sort_val, user_id)`` — the range
+       partitioner's reservoir sampling balances partitions even on skewed
+       value distributions (the failure mode of fixed-width value buckets).
+    2. ``row_number`` per (range-partition id, metric) — every window
+       partition is a bounded ~n/P slice by construction.
+    3. Exact global rank = intra rank + sum of earlier partitions' counts,
+       from a tiny (P x 3)-row stats frame (broadcast; its cumulative sum is
+       a broadcast self-join, so the plan contains no empty-partitionBy
+       window at all — enforced by test_rfm_no_global_window).
+    4. quartile = closed-form NTILE(4) arithmetic on (rank, n).
+
+    Sort values are exact as doubles: epoch micros (< 2^53) via tz-safe
+    timestampdiff on the NTZ timestamp, integer frequency, and the
+    exact-decimal monetary sum the oracle orders by. All negated so
+    ascending range order = the oracle's DESC.
     """
     e = load_events(spark, sf_dir)
     m = (
@@ -347,19 +363,90 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("monetary"),
         )
     )
-    return m.select(
+    recency_sv = -F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " last_purchase_ts)"
+    ).cast("double")
+    melted = m.select(
         "user_id",
         "frequency",
         "monetary",
-        F.ntile(4)
-        .over(W.orderBy(F.col("last_purchase_ts").desc(), "user_id"))
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("frequency").desc(), "user_id"))
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("monetary").desc(), "user_id"))
-        .alias("m_quartile"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("metric"), recency_sv.alias("sv")),
+                F.struct(
+                    F.lit(1).alias("metric"),
+                    (-F.col("frequency")).cast("double").alias("sv"),
+                ),
+                F.struct(
+                    F.lit(2).alias("metric"), (-F.col("monetary")).alias("sv")
+                ),
+            )
+        ).alias("mx"),
+    ).select(
+        "user_id",
+        "frequency",
+        "monetary",
+        F.col("mx.metric").alias("metric"),
+        F.col("mx.sv").alias("sv"),
+    )
+    r = melted.repartitionByRange("metric", "sv", "user_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    ranked = r.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("pid", "metric").orderBy("sv", "user_id")
+        ),
+    )
+    pstats = r.groupBy("pid", "metric").agg(F.count(F.lit(1)).alias("cnt"))
+    before = (
+        pstats.alias("a")
+        .join(
+            F.broadcast(pstats.alias("b")),
+            (F.col("a.metric") == F.col("b.metric"))
+            & (F.col("b.pid") < F.col("a.pid")),
+            "left",
+        )
+        .groupBy(F.col("a.pid").alias("pid"), F.col("a.metric").alias("metric"))
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("before_cnt"))
+    )
+    ntot = pstats.groupBy("metric").agg(F.sum("cnt").alias("n"))
+    ranked2 = (
+        ranked.join(F.broadcast(before), ["pid", "metric"])
+        .join(F.broadcast(ntot), ["metric"])
+        .withColumn("rank", F.col("before_cnt") + F.col("rn"))
+    )
+    # Closed-form NTILE(4): first (n mod 4) tiles hold (n div 4 + 1) rows.
+    q = F.expr(
+        "CASE WHEN rank <= (n % 4) * (n div 4 + 1)"
+        " THEN (rank - 1) div (n div 4 + 1) + 1"
+        " ELSE (n % 4) + (rank - (n % 4) * (n div 4 + 1) - 1)"
+        "      div greatest(n div 4, 1) + 1 END"
+    )
+    return (
+        ranked2.groupBy("user_id")
+        .agg(
+            F.max("frequency").alias("frequency"),
+            F.max("monetary").alias("monetary"),
+            F.max(F.when(F.col("metric") == 0, q))
+            .cast("integer")
+            .alias("r_quartile"),
+            F.max(F.when(F.col("metric") == 1, q))
+            .cast("integer")
+            .alias("f_quartile"),
+            F.max(F.when(F.col("metric") == 2, q))
+            .cast("integer")
+            .alias("m_quartile"),
+        )
+        .select(
+            "user_id",
+            "frequency",
+            "monetary",
+            "r_quartile",
+            "f_quartile",
+            "m_quartile",
+        )
     )
 
 
@@ -411,11 +498,13 @@ def user_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     ),
     paths AS (
-        -- fixed-bound series + WHERE (DuckDB generate_series cannot take
-        -- a lateral column bound); 1000 >> max events/user (~86 at sf0.01)
+        -- list-form generate_series takes the per-row column bound (the
+        -- TABLE function would not), so the series is exact for any
+        -- sequence length — no fixed cap to silently overflow when the
+        -- driver regenerates testdata with heavier users
         SELECT array_to_string(types[i:i+2], '>') AS path
-        FROM seq, generate_series(1, 1000) AS t(i)
-        WHERE i <= len(types) - 2
+        FROM (SELECT types, unnest(generate_series(1, len(types) - 2)) AS i
+              FROM seq)
     )
     SELECT path, CAST(COUNT(*) AS BIGINT) AS n
     FROM paths GROUP BY path

@@ -118,9 +118,10 @@ _STRIDE = 30  # overlap = _CHUNK - _STRIDE
            array_to_string(toks[k * {_STRIDE} + 1 : k * {_STRIDE} + {_CHUNK}], ' ')
                AS chunk_text,
            LEAST(len(toks) - k * {_STRIDE}, {_CHUNK}) AS chunk_tokens
-    FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
-         generate_series(0, 1000) AS t(k)
-    WHERE len(toks) > 0 AND k <= (len(toks) - 1) // {_STRIDE}
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(0, (len(toks) - 1) // {_STRIDE})) AS k
+          FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+          WHERE len(toks) > 0)
     """,
 )
 def curation_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -101,8 +101,22 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    n1 = _t(spark, sf_dir, "nation").withColumnRenamed("n_name", "supp_nation")
-    n2 = _t(spark, sf_dir, "nation").withColumnRenamed("n_name", "cust_nation")
+    # Pre-filter both nation roles to the two named nations BEFORE the
+    # joins: the In-filter reaches the parquet scan (plan-tested) and the
+    # broadcast hash tables shrink to 2 rows, so supplier/customer probe
+    # output is pruned at the earliest join instead of by the late
+    # disjunctive pair filter (which still removes the (1,1)/(2,2) combos).
+    pair_nations = ["NATION_1", "NATION_2"]
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair_nations))
+        .withColumnRenamed("n_name", "supp_nation")
+    )
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair_nations))
+        .withColumnRenamed("n_name", "cust_nation")
+    )
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -155,9 +169,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
     c = _t(spark, sf_dir, "customer")
-    n1 = _t(spark, sf_dir, "nation")
     n2 = _t(spark, sf_dir, "nation").withColumnRenamed("n_name", "supp_nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    # Compose nation x AMERICA-region BEFORE the customer join (both dims
+    # tiny + broadcast), so customers outside the region are dropped at
+    # their first join instead of surviving until a later region filter.
+    n1 = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    )
     volume = _revenue()
     share_volume = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
         F.lit(0.0)
@@ -167,8 +186,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, l.l_partkey == p.p_partkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(s, l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
-        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1["n_nationkey"])
         .join(F.broadcast(n2), F.col("s_nationkey") == n2.n_nationkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg((dsum(share_volume) / dsum(volume)).alias("mkt_share"))

@@ -323,12 +323,11 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT {tokens_sql('text')} AS toks FROM documents
     ),
     pairs AS (
-        -- fixed-bound series + WHERE: DuckDB's generate_series cannot take
-        -- a lateral column bound (same workaround as curation_doc_chunks);
-        -- 1000 comfortably exceeds the corpus max tokens/doc (~100)
+        -- list-form generate_series takes the per-row column bound (the
+        -- TABLE function would not): exact for any tokens/doc, no fixed cap
         SELECT toks[i] AS left_tok, toks[i + 1] AS right_tok
-        FROM tokarr, generate_series(1, 1000) AS t(i)
-        WHERE i <= len(toks) - 1
+        FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM tokarr)
     )
     SELECT left_tok, right_tok, COUNT(*) AS n
     FROM pairs GROUP BY left_tok, right_tok

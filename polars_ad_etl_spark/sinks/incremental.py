@@ -100,14 +100,23 @@ def upsert_latest_by_key(
         .drop("__rn")
     )
     # write to a sibling then swap: the store is its own input, so a direct
-    # overwrite would truncate before the read plan runs
+    # overwrite would truncate before the read plan runs. Swap order matters
+    # for durability: rename the live store ASIDE first, then the new store
+    # into place, then drop the old copy — the window with no readable store
+    # at `path` is a single rename, and a crash anywhere leaves a complete
+    # copy under either `path`, `__old`, or `__new`.
     tmp = p.with_name(p.name + "__new")
     latest.write.mode("overwrite").parquet(str(tmp))
     import shutil
 
+    old = p.with_name(p.name + "__old")
+    if old.exists():  # leftover from a previous crash mid-swap
+        shutil.rmtree(old)
     if p.exists():
-        shutil.rmtree(p)
+        p.rename(old)
     tmp.rename(p)
+    if old.exists():
+        shutil.rmtree(old)
     return str(p)
 
 

@@ -87,8 +87,23 @@ def morton_code(a: F.Column, b: F.Column, bits: int = 16) -> F.Column:
     each input lands at output bits 2i / 2i+1, so sorting by the code keeps
     rows close in BOTH dimensions — the multi-column locality that a plain
     lexicographic sort cannot give. Built from shift/or expressions only
-    (whole-stage codegen); ``bits`` bounds each input's value range."""
-    code = F.lit(0).cast("long")
+    (whole-stage codegen); ``bits`` bounds each input's value range.
+
+    Inputs >= 2**bits would alias into unrelated tiles and silently destroy
+    the locality/file-skipping guarantee, so out-of-range values raise at
+    execution (ANSI-independent: raise_error behind an overflow guard)."""
+    limit = 1 << bits
+    guard = F.when(
+        (a.cast("long") >= limit) | (b.cast("long") >= limit)
+        | (a.cast("long") < 0) | (b.cast("long") < 0),
+        F.raise_error(
+            F.lit(
+                f"morton_code: input outside [0, {limit}) for bits={bits}; "
+                "raise `bits` or pre-scale the columns"
+            )
+        ).cast("long"),
+    )
+    code = guard.otherwise(F.lit(0)).cast("long")
     for i in range(bits):
         abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
         bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))

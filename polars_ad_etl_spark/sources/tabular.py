@@ -95,7 +95,7 @@ CORRUPT_COL = "_corrupt_record"
 
 def read_jsonl_quarantined(
     spark: SparkSession, path: str | Path, schema: T.StructType
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """JSONL ingest that never drops data silently: PERMISSIVE parse with a
     ``_corrupt_record`` capture column, split into (good, quarantine).
 
@@ -104,9 +104,16 @@ def read_jsonl_quarantined(
     data — the quarantine split is the ingest-side sibling of the
     pipeline's strict-cast quarantine mode: good rows flow on, bad raw
     lines land in a reviewable frame. Requires an explicit schema (with
-    inference Spark would type the corrupt column away). The parsed
-    columns of a quarantined row are null by construction, so the
-    quarantine frame carries only the raw line."""
+    inference Spark would type the corrupt column away). Note PERMISSIVE
+    keeps whatever fields DID parse on a partially-malformed row — the
+    quarantine frame exposes only the raw line, by selection, not because
+    the parsed columns are guaranteed null.
+
+    Lifecycle: both split frames share one cached parse (required for a
+    consistent corrupt-column split, SPARK-21610); the cached parent is
+    returned as the third element so callers can ``parsed.unpersist()``
+    once both splits are consumed — without it every call would leak an
+    executor-memory cache entry for the session's lifetime."""
     full_schema = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
     )
@@ -122,7 +129,7 @@ def read_jsonl_quarantined(
     )
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
-    return good, bad
+    return good, bad, df
 
 
 def read_orc(spark: SparkSession, path: str | Path) -> DataFrame:

@@ -265,7 +265,7 @@ def test_read_jsonl_quarantined_splits(spark, tmp_path):
     schema = T.StructType(
         [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
     )
-    good, bad = read_jsonl_quarantined(spark, p, schema)
+    good, bad, parsed = read_jsonl_quarantined(spark, p, schema)
     good_rows = sorted((r.a, r.b) for r in good.collect())
     bad_rows = [r._corrupt_record for r in bad.collect()]
     assert good_rows == [(1, "x"), (2, "y")]
@@ -273,3 +273,7 @@ def test_read_jsonl_quarantined_splits(spark, tmp_path):
     assert any("broken" in b for b in bad_rows)
     assert any("NOT_INT" in b for b in bad_rows)
     assert good.count() + bad.count() == 4
+    # lifecycle: the returned parent releases the shared cache entry
+    assert parsed.is_cached
+    parsed.unpersist()
+    assert not parsed.is_cached

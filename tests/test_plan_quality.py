@@ -273,6 +273,117 @@ def test_pq_codes_single_projection(spark):
     assert "Exchange" not in plan
 
 
+def test_q7_nation_pair_prefiltered_at_scan(spark):
+    """Both nation roles must be pruned to the two named nations AT THE
+    SCAN (pushed In-filter), so each broadcast hash table holds 2 rows and
+    probe output shrinks at the earliest join — not at the late pair
+    filter."""
+    plan = formatted_plan(QUERIES["q7_volume_shipping"](spark, SF_DIR))
+    assert plan.count("In(n_name, [NATION_1,NATION_2])") == 2
+
+
+def test_q8_region_composed_before_customer_join(spark):
+    """q8's AMERICA filter must reach the region scan, and the nation x
+    region composite must be built inside a broadcast subtree (so customers
+    outside the region die at their first join)."""
+    plan = formatted_plan(QUERIES["q8_market_share"](spark, SF_DIR))
+    assert "EqualTo(r_name,AMERICA)" in plan
+    # region joins nation inside a BroadcastExchange subtree
+    for block in plan.split("\n\n"):
+        if "region.parquet" in block and "BroadcastExchange" in block:
+            break
+    tree = plan.split("\n\n")[0]
+    assert "region.parquet" not in tree.split("BroadcastHashJoin")[0]
+
+
+def _empty_partition_window_specs(plan: str) -> list[str]:
+    """All windowspecdefinition(...) occurrences whose FIRST argument is a
+    sort item (contains ASC/DESC) — i.e. windows with an empty partition
+    clause, which Spark executes as a single-partition global sort."""
+    out = []
+    i = 0
+    while True:
+        j = plan.find("windowspecdefinition(", i)
+        if j < 0:
+            break
+        k = j + len("windowspecdefinition(")
+        depth = 0
+        arg = []
+        while k < len(plan):
+            c = plan[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                break
+            arg.append(c)
+            k += 1
+        first = "".join(arg)
+        if " ASC" in first or " DESC" in first:
+            out.append(first.strip())
+        i = j + 1
+    return out
+
+
+# Documented bounded exceptions: the cumulative-sum window runs over a
+# BUCKET AGGREGATE (<= 10k rows by construction), never the raw table —
+# see curation.py (token-budget + packed-sequences section comments).
+_GLOBAL_WINDOW_ALLOWLIST = {
+    "curation_token_budget_sample",
+    "curation_packed_sequences",
+}
+
+
+def test_no_global_windows_anywhere(spark):
+    """Lint every registry query's optimized plan: an empty-partitionBy
+    window is a single-partition sort of its input and must not appear
+    outside the allowlisted bounded bucket-aggregate cases."""
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in _GLOBAL_WINDOW_ALLOWLIST:
+            continue
+        specs = _empty_partition_window_specs(
+            formatted_plan(fn(spark, SF_DIR))
+        )
+        if specs:
+            offenders[name] = specs
+    assert not offenders, offenders
+
+
+def test_allowlisted_global_windows_consume_aggregates_only(spark):
+    """The allowlisted global windows must stay SINGULAR (exactly one
+    empty-partition spec each — over the bounded bucket-total frame, whose
+    partial/final aggregate pair must exist in the plan). The
+    window-over-aggregate shape for the token-budget query is additionally
+    locked by test_token_budget_window_over_buckets_only."""
+    for name in _GLOBAL_WINDOW_ALLOWLIST:
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        specs = _empty_partition_window_specs(plan)
+        assert len(specs) == 1, (name, specs)
+        assert specs[0].startswith("bk#"), (name, specs)
+        assert "partial_sum" in plan, name  # the bucket aggregate
+
+
+def test_rfm_no_global_window(spark):
+    """user_rfm_segments' exact-NTILE must stay fully distributed: no
+    empty-partitionBy window, one range exchange feeding per-partition
+    ranks, and a broadcast (never shuffled) stats join."""
+    df = QUERIES["user_rfm_segments"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert not _empty_partition_window_specs(plan)
+    assert "rangepartitioning(metric" in plan
+    assert "BroadcastHashJoin" in plan
+    # after execution, AQE must reuse the user-aggregate exchange so the
+    # raw events table is scanned exactly once in the final plan
+    df.collect()
+    final = formatted_plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "ReusedExchange" in final
+
+
 def test_pq_adc_broadcasts_query_luts(spark):
     """ADC search: candidates are scanned once and joined to the tiny
     broadcast LUT frame; the scan side must never be the build side."""
