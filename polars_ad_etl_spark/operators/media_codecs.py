@@ -179,9 +179,182 @@ def sniff_media_container(blob: bytes) -> str:
         return "png"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "wav"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        return "avi"
     if blob[4:8] == b"ftyp":
         return "mp4"
     return "unknown"
+
+
+# --------------------------------------------------------------------- AVI
+# RIFF 'AVI ' with uncompressed 24-bit DIB frames in '00db' chunks — the one
+# VIDEO format whose frame PIXELS are decodable with struct alone (each frame
+# is a BMP-style BGR24 bottom-up padded bitmap). This closes the last
+# multimodal stub: real frame-pixel decode with no codec library.
+#
+# Layout (verbatim from the public AVI RIFF spec):
+#   RIFF('AVI ')
+#     LIST('hdrl')
+#       'avih' 56-byte main header (usec/frame, total frames, streams, w, h)
+#       LIST('strl')
+#         'strh' 56-byte stream header (fccType='vids', handler='DIB ',
+#                scale/rate = frame timing, length = frame count)
+#         'strf' 40-byte BITMAPINFOHEADER (bpp=24, compression=BI_RGB)
+#     LIST('movi')
+#       '00db' uncompressed frame  (x n_frames)
+#     'idx1' 16-byte entry per frame
+
+
+@dataclass(frozen=True)
+class AviMeta:
+    width: int
+    height: int
+    n_frames: int
+    usec_per_frame: int
+
+    @property
+    def duration_ms(self) -> int:
+        return self.n_frames * self.usec_per_frame // 1000
+
+
+def _riff_chunk(tag: bytes, payload: bytes) -> bytes:
+    # RIFF chunks are word-aligned: odd payloads get a pad byte not counted
+    # in the declared size.
+    return tag + struct.pack("<I", len(payload)) + payload + (b"\0" if len(payload) % 2 else b"")
+
+
+def _riff_list(kind: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + payload)
+
+
+def _pack_dib_frame(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:
+    row_pad = (-(width * 3)) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels[y * width + x]
+            row += bytes((b, g, r))
+        row += bytes(row_pad)
+        rows.append(bytes(row))
+    return b"".join(rows)
+
+
+def _unpack_dib_frame(
+    buf: bytes, width: int, height: int
+) -> list[tuple[int, int, int]]:
+    row_size = (width * 3 + 3) & ~3
+    pixels: list[tuple[int, int, int]] = [(0, 0, 0)] * (width * height)
+    for row_idx in range(height):
+        y = height - 1 - row_idx
+        base = row_idx * row_size
+        for x in range(width):
+            b, g, r = buf[base + 3 * x : base + 3 * x + 3]
+            pixels[y * width + x] = (r, g, b)
+    return pixels
+
+
+def encode_avi(
+    width: int,
+    height: int,
+    frames: list[list[tuple[int, int, int]]],
+    usec_per_frame: int = 100_000,
+) -> bytes:
+    """Uncompressed 24-bit AVI encode. Each frame is row-major top-down
+    [(r, g, b), ...] of length width*height."""
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError("frame pixel count != width*height")
+    frame_bufs = [_pack_dib_frame(width, height, f) for f in frames]
+    frame_size = len(frame_bufs[0]) if frame_bufs else 0
+    avih = _riff_chunk(
+        b"avih",
+        struct.pack(
+            "<14I",
+            usec_per_frame, frame_size * 10, 0, 0x10,  # usec, maxbytes/s, pad, HASINDEX
+            len(frames), 0, 1, frame_size,             # frames, initial, streams, bufsize
+            width, height, 0, 0, 0, 0,                 # w, h, reserved[4]
+        ),
+    )
+    strh = _riff_chunk(
+        b"strh",
+        b"vids" + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIII",
+            0, 0, 0, 0,                         # flags, prio, lang, initialframes
+            usec_per_frame, 1_000_000,          # scale, rate -> fps = rate/scale
+            0, len(frames), frame_size, 0, 0,   # start, length, bufsize, quality, samplesize
+        )
+        + struct.pack("<4H", 0, 0, width, height),
+    )
+    strf = _riff_chunk(
+        b"strf",
+        struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0
+        ),
+    )
+    hdrl = _riff_list(b"hdrl", avih + _riff_list(b"strl", strh + strf))
+    movi_payload = b"".join(_riff_chunk(b"00db", fb) for fb in frame_bufs)
+    movi = _riff_list(b"movi", movi_payload)
+    idx_entries, off = [], 4  # offsets are relative to the 'movi' fourcc
+    for fb in frame_bufs:
+        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, len(fb)))
+        off += 8 + len(fb) + (len(fb) % 2)
+    idx1 = _riff_chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _walk_riff(blob: bytes, start: int, end: int):
+    off = start
+    while off + 8 <= end:
+        tag, size = struct.unpack_from("<4sI", blob, off)
+        if off + 8 + size > end:
+            raise ValueError(f"corrupt RIFF chunk {tag!r} at {off}")
+        yield tag, off + 8, off + 8 + size
+        off += 8 + size + (size % 2)  # word alignment
+
+
+def decode_avi(blob: bytes) -> tuple[AviMeta, list[list[tuple[int, int, int]]]]:
+    """Parse an uncompressed 24-bit AVI: header metadata + the decoded RGB
+    pixels of EVERY frame (row-major top-down, bottom-up storage undone)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not an AVI (bad RIFF magic)")
+    width = height = n_frames = usec = None
+    bpp = compression = None
+    frames: list[list[tuple[int, int, int]]] = []
+    movi_spans: list[tuple[int, int]] = []
+    # clamp to the actual buffer so truncated blobs fail the walk's bounds
+    # check (ValueError) instead of an out-of-range struct read
+    end = min(8 + struct.unpack_from("<I", blob, 4)[0], len(blob))
+    for tag, body, bend in _walk_riff(blob, 12, end):
+        if tag != b"LIST":
+            continue
+        kind = blob[body : body + 4]
+        if kind == b"hdrl":
+            for t2, b2, e2 in _walk_riff(blob, body + 4, bend):
+                if t2 == b"avih":
+                    vals = struct.unpack_from("<14I", blob, b2)
+                    usec, n_frames, width, height = vals[0], vals[4], vals[8], vals[9]
+                elif t2 == b"LIST" and blob[b2 : b2 + 4] == b"strl":
+                    for t3, b3, _e3 in _walk_riff(blob, b2 + 4, e2):
+                        if t3 == b"strf":
+                            _sz, _w, _h, _pl, bpp, compression = struct.unpack_from(
+                                "<IiiHHI", blob, b3
+                            )
+        elif kind == b"movi":
+            for t2, b2, e2 in _walk_riff(blob, body + 4, bend):
+                if t2 in (b"00db", b"00dc"):
+                    movi_spans.append((b2, e2))
+    if None in (width, height, n_frames, usec):
+        raise ValueError("AVI missing avih header")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB AVI supported (bpp={bpp}, comp={compression})")
+    for b2, e2 in movi_spans:
+        frames.append(_unpack_dib_frame(blob[b2:e2], width, height))
+    if len(frames) != n_frames:
+        raise ValueError(f"frame count mismatch: header {n_frames}, movi {len(frames)}")
+    return AviMeta(width, height, n_frames, usec), frames
 
 
 # --------------------------------------------------------------------- MP4

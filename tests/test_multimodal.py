@@ -313,6 +313,123 @@ def test_mp4_corrupt_box_raises():
         mc.decode_mp4(b"\x00\x00\x00\x04ftyp")  # size < 8
 
 
+@pytest.mark.parametrize("w,h", [(1, 1), (2, 3), (4, 2), (5, 2), (7, 3)])
+def test_avi_roundtrip_all_padding_widths(w, h):
+    """AVI frame-pixel roundtrip: every frame's RGB grid survives the
+    DIB pack (BGR, bottom-up, 4-byte row padding) and unpack."""
+    from polars_ad_etl_spark.operators import media_codecs as mc
+
+    frames = [
+        [
+            ((x * 7 + y * 13 + f) % 256, (x * 3 + f * 5) % 256, (y * 5 + 1) % 256)
+            for y in range(h)
+            for x in range(w)
+        ]
+        for f in range(3)
+    ]
+    blob = mc.encode_avi(w, h, frames, usec_per_frame=50_000)
+    assert mc.sniff_media_container(blob) == "avi"
+    meta, got = mc.decode_avi(blob)
+    assert (meta.width, meta.height, meta.n_frames) == (w, h, 3)
+    assert meta.duration_ms == 150
+    assert got == frames
+
+
+def test_avi_roundtrip_property():
+    """Property: any (w, h, frames) grid round-trips exactly through the
+    RIFF encoder/parser."""
+    from hypothesis import given, settings, strategies as st
+
+    from polars_ad_etl_spark.operators import media_codecs as mc
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 6),
+        n=st.integers(1, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, n, seed):
+        frames = [
+            [
+                ((seed + f * 31 + i * 7) % 256, (seed // 3 + i) % 256, (f * 11) % 256)
+                for i in range(w * h)
+            ]
+            for f in range(n)
+        ]
+        meta, got = mc.decode_avi(mc.encode_avi(w, h, frames))
+        assert (meta.width, meta.height, meta.n_frames) == (w, h, n)
+        assert got == frames
+
+    check()
+
+
+def test_avi_corrupt_raises():
+    from polars_ad_etl_spark.operators import media_codecs as mc
+
+    blob = mc.encode_avi(2, 2, [[(0, 0, 0)] * 4])
+    with pytest.raises(ValueError):
+        mc.decode_avi(b"RIFF\x00\x00\x00\x00WAVE")  # wrong RIFF form
+    with pytest.raises(ValueError):
+        mc.decode_avi(blob[:40])  # truncated mid-header
+    with pytest.raises(ValueError):
+        mc.encode_avi(2, 2, [[(0, 0, 0)] * 3])  # wrong pixel count
+
+
+def test_sample_frames_real_mode_decodes_avi(spark):
+    """Real-mode frame sampling decodes genuine AVI containers and emits the
+    actual RGB pixel bytes of evenly-sampled frames."""
+    import pandas as pd
+
+    from polars_ad_etl_spark.operators import media_codecs as mc
+    from polars_ad_etl_spark.operators.multimodal import sample_frames
+
+    w, h = 3, 2
+    frames = [[(f * 40, f * 40 + 1, f * 40 + 2)] * (w * h) for f in range(6)]
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [5],
+                "media_type": ["video"],
+                "blob": [mc.encode_avi(w, h, frames)],
+            }
+        )
+    )
+    rows = sorted(
+        sample_frames(media, n_frames=3, fake=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    # even sampling over 6 source frames -> source indices 0, 2, 4
+    for out_idx, src in zip(range(3), (0, 2, 4)):
+        want = bytes(
+            ch for px in frames[src] for ch in px
+        )
+        assert bytes(rows[out_idx].frame_blob) == want
+
+
+def test_multimodal_video_frames_registry(spark):
+    """The registry query emits one row per decoded frame with the decoded
+    pixel sum matching the synthesis arithmetic."""
+    from polars_ad_etl_spark.operators.multimodal import multimodal_video_frames
+
+    rows = multimodal_video_frames(spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:30]:
+        d, f = r.doc_id, r.frame_idx
+        assert r.width == 3 + d % 5 and r.height == 2 + d % 4
+        assert r.n_frames == 2 + d % 3
+        want = (3 + d % 5) * (2 + d % 4) * (
+            (d * 7 + f * 13) % 256 + (d * 3 + f * 5) % 256 + (d * 11 + f * 2) % 256
+        )
+        assert r.frame_pixel_sum == want
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for d, idxs in by_doc.items():
+        assert sorted(idxs) == list(range(2 + d % 3))
+
+
 def test_mp4_roundtrip_property():
     """Property: any (width, height, duration, payload) round-trips through
     the box encoder/parser exactly."""

@@ -66,3 +66,33 @@ def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.columns
     assert df.count() >= 0
+
+
+def test_approx_sketches_within_error_bounds(spark, con):
+    """The one rows-only query (engine-specific sketches) still gets a
+    numeric accuracy gate: every HLL distinct estimate within 10% of the
+    exact count (default rsd 5%), every approximate median within 5% of the
+    exact interpolated median. The driver-checked twin is
+    ``approx_stats_error_bounds``; this is the local numeric version."""
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERIES["approx_stats_orders"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r[0]: r
+        for r in con.execute(
+            f"""
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey), COUNT(DISTINCT l_suppkey),
+                   quantile_cont(l_extendedprice, 0.5)
+            FROM read_parquet('{SF_DIR}/lineitem.parquet')
+            GROUP BY l_returnflag
+            """
+        ).fetchall()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        _, parts, supps, med = exact[flag]
+        assert abs(a["approx_parts"] - parts) <= 0.10 * parts, flag
+        assert abs(a["approx_suppliers"] - supps) <= 0.10 * supps, flag
+        assert abs(a["approx_median_price"] - med) <= 0.05 * med, flag
