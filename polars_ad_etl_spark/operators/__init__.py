@@ -22,5 +22,8 @@ from polars_ad_etl_spark.operators import skew  # noqa: E402,F401
 from polars_ad_etl_spark.operators import semistructured  # noqa: E402,F401
 from polars_ad_etl_spark.operators import quality  # noqa: E402,F401
 from polars_ad_etl_spark.operators import behavior  # noqa: E402,F401
+from polars_ad_etl_spark.operators import graph  # noqa: E402,F401
+from polars_ad_etl_spark.operators import intervals  # noqa: E402,F401
+from polars_ad_etl_spark.operators import linalg  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -657,3 +657,46 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").alias("max_gap_us"),
         F.expr("sum(gap_us) div count(gap_us)").alias("mean_gap_us"),
     )
+
+
+# ------------------------------------------- cumulative distinct users
+@register(
+    "events_cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events
+        GROUP BY user_id
+    ),
+    daily_new AS (
+        SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY first_day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM daily_new
+    """,
+)
+def events_cumulative_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Running count of distinct users ever seen, per day — the growth-curve
+    query. A naive COUNT(DISTINCT) OVER (ORDER BY day) re-deduplicates the
+    whole history per day; the scale-safe shape is first-seen-day per user
+    (one user_id aggregate) -> daily new-user counts (|days| rows) -> a
+    cumulative window over that bounded aggregate. The global window is
+    allowlisted in the plan lint because its input is the |days| aggregate,
+    same class as the curation bucket cumsums."""
+    e = load_events(spark, sf_dir)
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily_new = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily_new.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )

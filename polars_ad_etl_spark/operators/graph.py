@@ -1,0 +1,133 @@
+"""Graph analytics over the near-dup candidate graph: fixed-point PageRank.
+
+The dedup pipeline's pair graph (``dedup.py``) already supports connected
+components (propagation + large-star/small-star) and a triangle census; this
+module adds the other classic iterative graph algorithm a curation pipeline
+wants — PageRank as a duplicate-cluster "centrality" score (which documents
+sit at the center of a template family vs. on its fringe).
+
+Reference parity note: the reference repo (pepsi-monster/polars-ad-etl) has
+no graph surface at all; this extends the training-data-pipeline layer the
+brief adds on top.
+
+**Determinism / oracle strategy** (same trick as ``sim_kmeans_clusters``'s
+integer Lloyd): floats in an iterative algorithm are partition-order-
+dependent, so the whole iteration runs in fixed-point INTEGER arithmetic —
+``pr/outdeg`` and the damping multiply use integer division, and the only
+cross-row reduction is an exact integer SUM (order-independent). A fixed
+iteration count (no convergence epsilon) makes the result a pure function of
+the graph, so DuckDB can replay the identical unrolled iterations and
+hash-match.
+
+**Scale shape**: per iteration — one join (edges ⋈ ranks, both pre-hashed on
+the same key) and one groupBy(dst) SUM with map-side partial aggregation.
+That is the canonical BSP PageRank data layout; the edge list never
+materializes more than once (localCheckpoint after construction), and the
+driver holds nothing but loop control. At 100 TB the edge table would be
+bucketed by ``src`` so the per-iteration join is shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_ad_etl_spark.operators.dedup import (
+    _lsh_pairs_oracle,
+    dedup_minhash_lsh_pairs,
+)
+from polars_ad_etl_spark.operators.registry import register
+
+SCALE = 10**12          # fixed-point unit: pr values sum to ~SCALE
+DAMP_NUM, DAMP_DEN = 85, 100
+N_ITER = 3
+
+
+def pagerank_fixed_point(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
+    """Fixed-iteration integer PageRank over an undirected edge list
+    (columns ``a``, ``b``) → (node, pagerank_fp).
+
+    Both directions of every pair contribute, so every node has out-degree
+    ≥ 1 and there is no dangling-mass term. All arithmetic is exact integer
+    (div / multiply / SUM), so the result is independent of partitioning —
+    the property the DuckDB oracle relies on."""
+    sym = (
+        edges.filter(F.col("a") != F.col("b"))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    sym = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # attach outdeg once so the loop joins a single prepared edge table
+    edges_deg = sym.join(deg, "src").localCheckpoint(eager=True)
+    n_row = deg.agg(F.count("*").alias("n"))
+    pr = (
+        deg.select(F.col("src").alias("id"))
+        .crossJoin(F.broadcast(n_row))
+        .select("id", F.expr(f"{SCALE} div n").alias("pr"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        contrib = edges_deg.join(pr, edges_deg.src == pr.id).select(
+            "dst", F.expr("pr div outdeg").alias("c")
+        )
+        pr = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                F.col("dst").alias("id"),
+                F.expr(
+                    f"({100 - DAMP_NUM} * {SCALE}) div ({DAMP_DEN} * n)"
+                    f" + ({DAMP_NUM} * s) div {DAMP_DEN}"
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select(F.col("id").alias("node"), F.col("pr").alias("pagerank_fp"))
+
+
+def _pagerank_oracle() -> str:
+    base = f"(SELECT ({100 - DAMP_NUM} * {SCALE}) // ({DAMP_DEN} * n) FROM n)"
+    its = []
+    prev = "pr0"
+    for k in range(1, N_ITER + 1):
+        its.append(f"""
+    it{k} AS (
+        SELECT e.dst AS id,
+               {base} + ({DAMP_NUM} * CAST(SUM(p.pr // d.outdeg) AS BIGINT))
+                          // {DAMP_DEN} AS pr
+        FROM edges e
+        JOIN {prev} p ON p.id = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    )""")
+        prev = f"it{k}"
+    return f"""
+    WITH pairs AS ({_lsh_pairs_oracle()}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE doc_a <> doc_b
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs WHERE doc_a <> doc_b
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    pr0 AS (SELECT src AS id, {SCALE} // n.n AS pr FROM deg, n),
+    {",".join(its)}
+    SELECT id AS doc_id, pr AS pagerank_fp FROM {prev}
+    """
+
+
+@register("graph_pagerank_dedup", oracle=_pagerank_oracle())
+def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the MinHash-LSH near-dup pair graph: high
+    scores mark template/boilerplate hubs whose text matches many other
+    documents — a ranking signal for which cluster exemplar to KEEP (the
+    most central copy) versus ``dedup_near_dup_keep_list``'s min-id rule.
+    {N_ITER} fixed iterations of integer fixed-point PageRank, replayed
+    identically by the unrolled DuckDB oracle."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    return pagerank_fixed_point(
+        pairs.selectExpr("doc_a AS a", "doc_b AS b")
+    ).select(F.col("node").alias("doc_id"), "pagerank_fp")

@@ -1,0 +1,192 @@
+"""Distributed linear algebra over the embedding column: the exact
+covariance/Gram accumulation that PCA, whitening, and OOD scoring are built
+on.
+
+The distributed part of PCA is ONE thing: accumulating the D×D second-moment
+(Gram) matrix and the D-vector of sums across all rows — a single scan with
+map-side partial aggregation on at most D(D+1)/2 keys. The eigensolve that
+follows operates on the tiny D×D result and belongs on the driver (same
+boundary as k-means' K×D centroid collect in ``similarity.py``).
+
+**Determinism / oracle strategy**: components are quantized to fixed-point
+integers first (``floor(x * 2^16)`` — the multiply is exact because the
+scale is a power of two, and floor is engine-independent; the
+``KMEANS_Q_SCALE`` pattern from ``similarity.py``). Every aggregate after
+that is an exact integer SUM — order-independent, so DuckDB hash-matches
+bit for bit. Overflow headroom: |q| < 2^16 ⇒ |q_i·q_j| < 2^32 ⇒ the
+n·sum_ij covariance numerator stays under 2^63 up to ~10^8 rows; past that,
+aggregate in DECIMAL(38,0).
+
+**Scale shape** (100 TB): the JVM path explodes each row into its
+D(D+1)/2 upper-triangle pair terms and lets Catalyst's partial aggregation
+combine map-side — shuffle volume is |partitions|·D² tiny integer rows, not
+the data. The ``gram_partial_numpy`` variant collapses the per-partition
+work into one Arrow-batched numpy outer-product accumulation (no explode) —
+same contract, proven equal in tests — which is what you deploy when D is
+large enough that the D² explode dominates the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_ad_etl_spark.operators.registry import register
+
+DIM = 64
+Q_SCALE = 1 << 16  # power of two: float*scale is exact in double arithmetic
+
+_QUANT = f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT))"
+_QUANT_DUCK = (
+    f"list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT))"
+)
+
+
+def covariance_pairs(e: DataFrame) -> DataFrame:
+    """Upper-triangle exact integer second-moment accumulation:
+    (dim_i <= dim_j) -> n, sum_i, sum_j, sum_ij, cov_numerator where
+    cov_numerator = n*sum_ij - sum_i*sum_j (= n² times the covariance,
+    exact)."""
+    pairs = e.select(F.col(_QUANT_ALIAS).alias("qv")).select(
+        F.expr(
+            f"""
+            explode(flatten(transform(sequence(0, {DIM - 1}), i ->
+                transform(sequence(i, {DIM - 1}), j ->
+                    named_struct('i', i, 'j', j,
+                                 'qi', qv[i], 'qj', qv[j]))))) AS s
+            """
+        )
+    ).select(
+        F.col("s.i").alias("dim_i"),
+        F.col("s.j").alias("dim_j"),
+        F.col("s.qi").alias("qi"),
+        F.col("s.qj").alias("qj"),
+    )
+    agg = pairs.groupBy("dim_i", "dim_j").agg(
+        F.count("*").alias("n"),
+        F.sum("qi").alias("sum_i"),
+        F.sum("qj").alias("sum_j"),
+        F.sum(F.col("qi") * F.col("qj")).alias("sum_ij"),
+    )
+    return agg.select(
+        "dim_i",
+        "dim_j",
+        "n",
+        "sum_i",
+        "sum_j",
+        "sum_ij",
+        (F.col("n") * F.col("sum_ij") - F.col("sum_i") * F.col("sum_j")).alias(
+            "cov_numerator"
+        ),
+    )
+
+
+# covariance_pairs consumes a frame that already carries the quantized
+# vector under this alias (keeps the quantize expression in one place)
+_QUANT_ALIAS = "qv"
+
+
+def quantized(e: DataFrame) -> DataFrame:
+    return e.select("vec_id", F.expr(_QUANT).alias(_QUANT_ALIAS))
+
+
+@register(
+    "embedding_covariance",
+    oracle=f"""
+    WITH q AS (SELECT {_QUANT_DUCK} AS qv FROM embeddings),
+    p AS (
+        SELECT a.i AS dim_i, b.i AS dim_j,
+               q.qv[a.i + 1] AS qi, q.qv[b.i + 1] AS qj
+        FROM q,
+             generate_series(0, {DIM - 1}) a(i),
+             generate_series(0, {DIM - 1}) b(i)
+        WHERE a.i <= b.i
+    ),
+    agg AS (
+        SELECT dim_i, dim_j,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qi) AS BIGINT) AS sum_i,
+               CAST(SUM(qj) AS BIGINT) AS sum_j,
+               CAST(SUM(qi * qj) AS BIGINT) AS sum_ij
+        FROM p GROUP BY 1, 2
+    )
+    SELECT dim_i, dim_j, n, sum_i, sum_j, sum_ij,
+           n * sum_ij - sum_i * sum_j AS cov_numerator
+    FROM agg
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer covariance accumulation over the embedding corpus —
+    the distributed half of PCA (the D×D eigensolve on the result is a
+    driver-side epilogue; see :func:`top_principal_component`)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return covariance_pairs(quantized(e))
+
+
+def gram_partial_numpy(e: DataFrame) -> DataFrame:
+    """The large-D production variant: per-partition numpy outer-product
+    accumulation over Arrow batches (``mapInPandas``), emitting ONE partial
+    (n, sums[D], gram[D*D]) row per batch; the driver-side final combine is
+    a tiny exact-integer reduction. Same integer contract as
+    :func:`covariance_pairs` — equality is asserted in
+    tests/test_properties.py."""
+    import numpy as np
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            m = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            if len(m) == 0:
+                continue
+            gram = m.T @ m  # int64-exact: |q|<2^16, n_batch bounded by Arrow
+            yield pd.DataFrame(
+                {
+                    "n": [len(m)],
+                    "sums": [m.sum(axis=0).tolist()],
+                    "gram": [gram.reshape(-1).tolist()],
+                }
+            )
+
+    return e.mapInPandas(
+        op, schema="n long, sums array<long>, gram array<long>"
+    )
+
+
+def covariance_from_partials(partials: DataFrame) -> tuple[int, list, list]:
+    """Final combine of :func:`gram_partial_numpy` output: exact integer
+    (n, sums[D], gram[D][D]). The collect is bounded: one row per Arrow
+    batch, each D + D² integers."""
+    import numpy as np
+
+    n_total = 0
+    sums = np.zeros(DIM, dtype=object)
+    gram = np.zeros((DIM, DIM), dtype=object)
+    for row in partials.collect():
+        n_total += row.n
+        sums += np.array(row.sums, dtype=object)
+        gram += np.array(row.gram, dtype=object).reshape(DIM, DIM)
+    return n_total, sums.tolist(), gram.tolist()
+
+
+def top_principal_component(
+    n: int, sums: list, gram: list, n_iter: int = 50
+) -> list[float]:
+    """Driver-side epilogue: power iteration for the top eigenvector of the
+    (exact-integer) covariance matrix. Deterministic — fixed start vector,
+    fixed iteration count, and the D×D float math runs in one place (the
+    driver), so there is no partition-order sensitivity anywhere."""
+    cov = [
+        [
+            (n * gram[i][j] - sums[i] * sums[j]) / (n * n * Q_SCALE * Q_SCALE)
+            for j in range(DIM)
+        ]
+        for i in range(DIM)
+    ]
+    v = [1.0] * DIM
+    for _ in range(n_iter):
+        w = [sum(cov[i][j] * v[j] for j in range(DIM)) for i in range(DIM)]
+        norm = sum(x * x for x in w) ** 0.5
+        if norm == 0.0:
+            return w
+        v = [x / norm for x in w]
+    return v

@@ -494,3 +494,119 @@ def quality_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------- model-based quality filter
+# The "quality classifier" stage (fastText/logistic-style) as it actually
+# deploys at 100 TB: training happens offline; what the pipeline runs is a
+# LINEAR SCORE over cheap per-document features — a pure projection +
+# aggregate, no model runtime. Weights are fixed integers and every feature
+# is an exact integer count, so the score is engine-exact (the float
+# sigmoid is monotone and therefore unnecessary for thresholding).
+_QW = {
+    "bias": -40,
+    "per_token": 2,          # reward length
+    "per_distinct": 3,       # reward vocabulary richness
+    "per_dup_token": -6,     # punish repetition (n_tokens - n_distinct)
+    "per_stopword": 5,       # reward natural-language function words
+}
+_QUALITY_KEEP_FP = 100
+
+
+@register(
+    "quality_linear_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct,
+               len(list_filter(toks, x -> x IN
+                   ('the','and','of','is','der','die','und','ist',
+                    'le','les','et','est','el','los','las','y'))) AS n_stop
+        FROM t
+    )
+    SELECT doc_id, n_tokens, n_distinct, n_stop,
+           {_QW['bias']}
+             + {_QW['per_token']} * n_tokens
+             + {_QW['per_distinct']} * n_distinct
+             + {_QW['per_dup_token']} * (n_tokens - n_distinct)
+             + {_QW['per_stopword']} * n_stop AS score_fp,
+           ({_QW['bias']}
+             + {_QW['per_token']} * n_tokens
+             + {_QW['per_distinct']} * n_distinct
+             + {_QW['per_dup_token']} * (n_tokens - n_distinct)
+             + {_QW['per_stopword']} * n_stop) >= {_QUALITY_KEEP_FP} AS keep
+    FROM f
+    """,
+)
+def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier apply: integer feature counts x fixed
+    integer weights -> exact score + keep decision, one scan, pure
+    whole-stage-codegen projection (see section comment)."""
+    from polars_ad_etl_spark.operators.textstats import STOPWORDS
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    f = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.size(
+            F.filter("toks", lambda x: F.array_contains(stop_arr, x))
+        ).alias("n_stop"),
+    )
+    score = (
+        F.lit(_QW["bias"])
+        + _QW["per_token"] * F.col("n_tokens")
+        + _QW["per_distinct"] * F.col("n_distinct")
+        + _QW["per_dup_token"] * (F.col("n_tokens") - F.col("n_distinct"))
+        + _QW["per_stopword"] * F.col("n_stop")
+    ).cast("long")
+    return f.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "n_stop",
+        score.alias("score_fp"),
+        (score >= _QUALITY_KEEP_FP).alias("keep"),
+    )
+
+
+# ------------------------------------------------- decontaminated set
+@register(
+    "curation_decontaminated_set",
+    oracle=None,  # set after definition: composes two registered oracles
+)
+def curation_decontaminated_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stage the contamination scan exists FOR: the selected training
+    set minus every document sharing any 5-gram with the eval slice — an
+    anti-join of two already-verified pipelines (training-set selection's
+    dedup+filters, and the broadcast contamination scan). The anti join's
+    right side is the contaminated-doc id list (small by construction) and
+    broadcasts; the training side stays un-shuffled."""
+    from polars_ad_etl_spark.operators.dedup import curation_training_set
+
+    ts = curation_training_set(spark, sf_dir)
+    cont = curation_contamination_check(spark, sf_dir).select("doc_id")
+    return ts.join(F.broadcast(cont), "doc_id", "left_anti")
+
+
+def _decontaminated_oracle() -> str:
+    from polars_ad_etl_spark.operators.registry import ORACLES
+
+    return f"""
+    WITH ts AS ({ORACLES["curation_training_set"]}),
+    cont AS ({ORACLES["curation_contamination_check"]})
+    SELECT ts.* FROM ts
+    WHERE ts.doc_id NOT IN (SELECT doc_id FROM cont)
+    """
+
+
+from polars_ad_etl_spark.operators.registry import ORACLES as _OR  # noqa: E402
+
+_OR["curation_decontaminated_set"] = _decontaminated_oracle()

@@ -585,3 +585,42 @@ def stats_trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(cents) div count(*)").alias("trimmed_mean_cents"),
         )
     )
+
+
+# ------------------------------------------------- period-over-period
+@register(
+    "orders_yoy_growth",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               {dsum_sql('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month_start, revenue,
+           LAG(revenue, 12) OVER (ORDER BY month_start) AS revenue_prior_year,
+           round(revenue / LAG(revenue, 12) OVER (ORDER BY month_start) - 1.0,
+                 6) AS yoy_growth
+    FROM monthly
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth: a lag-12 window over the
+    month-grain aggregate. The global window is scale-safe by construction —
+    its input is the |months| aggregate (bounded by the calendar, ~84 rows
+    for TPC-H's seven years), which is why it joins the plan lint's bounded
+    allowlist. Revenue is decimal-exact so the ratio rounds identically on
+    both engines."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = W.orderBy("month_start")
+    prior = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month_start",
+        "revenue",
+        prior.alias("revenue_prior_year"),
+        F.round(F.col("revenue") / prior - 1.0, 6).alias("yoy_growth"),
+    )

@@ -1205,3 +1205,92 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# ------------------------------------------------ matryoshka-dim recall eval
+# Matryoshka-style dimension truncation (Kusupati et al. 2022): serve ANN on
+# a prefix slice of the embedding and keep the full vector only for rerank.
+# Before deploying a truncation you measure what it costs — this query IS
+# that measurement: recall@K of the 16-dim-prefix cosine ranking against the
+# exact 64-dim ranking, per query. Same determinism contract as the rest of
+# the ANN ladder (round(cos, 4), tie-break on neighbor id), so the recall
+# table is oracle-checkable bit for bit.
+#
+# Scale shape: two broadcast-query brute-force rankings (the exact-verifier
+# primitive) + one tiny join on (query, neighbor) — at production scale the
+# truncated side is served from the IVF/PQ index and this query becomes the
+# offline eval job over a sampled query set.
+_MATRYOSHKA_DIM = 16
+
+
+def _ranking_sql(dim_slice: str) -> str:
+    return f"""
+        SELECT qid AS query_id, cid AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY round(list_dot_product(qe{dim_slice}, ce{dim_slice}) /
+                         (sqrt(list_dot_product(qe{dim_slice}, qe{dim_slice})) *
+                          sqrt(list_dot_product(ce{dim_slice}, ce{dim_slice}))), 4)
+                       DESC, cid) AS rnk
+        FROM q CROSS JOIN c
+        WHERE cid != qid
+    """
+
+
+def _prefix_ranking(e: DataFrame, dim: int | None) -> DataFrame:
+    emb = F.col("embedding") if dim is None else F.slice("embedding", 1, dim)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), emb.alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), emb.alias("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+@register(
+    "sim_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+    full_rank AS ({_ranking_sql('')}),
+    trunc_rank AS ({_ranking_sql(f'[1:{_MATRYOSHKA_DIM}]')}),
+    f AS (SELECT query_id, neighbor_id FROM full_rank WHERE rnk <= {TOP_K}),
+    t AS (SELECT query_id, neighbor_id FROM trunc_rank WHERE rnk <= {TOP_K})
+    SELECT f.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(t.neighbor_id) AS DOUBLE) / {TOP_K} AS recall
+    FROM f LEFT JOIN t USING (query_id, neighbor_id)
+    GROUP BY f.query_id
+    """,
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{TOP_K} of the {_MATRYOSHKA_DIM}-dim-prefix cosine
+    ranking vs the exact full-dim ranking — the offline eval that prices a
+    matryoshka truncation before deployment (see section comment)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    full = _prefix_ranking(e, None)
+    trunc = _prefix_ranking(e, _MATRYOSHKA_DIM).withColumn("hit", F.lit(1))
+    return (
+        full.join(trunc, ["query_id", "neighbor_id"], "left_outer")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_overlap"),
+            (F.count("hit").cast("double") / TOP_K).alias("recall"),
+        )
+    )

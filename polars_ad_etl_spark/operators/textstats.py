@@ -427,3 +427,180 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _KEYWORDS_K)
         .select("doc_id", F.col("tok").alias("keyword"), "score", "rk")
     )
+
+
+# --------------------------------------------------- boilerplate dictionary
+# CCNet-style corpus boilerplate detection, adapted to span units: the
+# repeated-content DICTIONARY itself — every 3-gram span that occurs in at
+# least two distinct documents, with its document frequency and total
+# occurrence count. ``dedup_duplicate_passages`` answers "how boilerplate is
+# each document"; this answers "WHAT is the boilerplate" (the list you review
+# and then strip at ingest).
+#
+# Scale shape: one tokenize pass, explode to spans, then the two-level
+# aggregate — groupBy(span, doc) first, groupBy(span) second — so document
+# frequency needs no count_distinct Expand and both aggregations combine
+# map-side. The shuffle key is the span text here (output wants the text);
+# at 100 TB shuffle the 60-bit span hash instead and join the text back for
+# only the surviving (df >= threshold) rows.
+
+_BOILERPLATE_MIN_DOCS = 2
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH tokarr AS (
+        SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    spans AS (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+2], ' ')
+                       for i in generate_series(1, len(toks) - 2)]) AS span
+        FROM tokarr
+    ),
+    per_doc AS (
+        SELECT span, doc_id, CAST(COUNT(*) AS BIGINT) AS n_in_doc
+        FROM spans GROUP BY 1, 2
+    )
+    SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_in_doc) AS BIGINT) AS n_occurrences
+    FROM per_doc
+    GROUP BY span
+    HAVING COUNT(*) >= {_BOILERPLATE_MIN_DOCS}
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus boilerplate dictionary: 3-gram spans occurring in >=
+    {_BOILERPLATE_MIN_DOCS} distinct documents, with document frequency and
+    total occurrences — see the section comment for the two-level aggregate
+    scale shape."""
+    from polars_ad_etl_spark.operators.dedup import _shingles_df
+
+    spans = _shingles_df(spark, sf_dir).select(
+        "doc_id", F.col("sh").alias("span")
+    )
+    per_doc = spans.groupBy("span", "doc_id").agg(
+        F.count("*").alias("n_in_doc")
+    )
+    return (
+        per_doc.groupBy("span")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_in_doc").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= _BOILERPLATE_MIN_DOCS)
+    )
+
+
+# ------------------------------------------------------- BPE merge training
+# The BPE trainer's actual loop (Sennrich et al. 2016), not just one round
+# of pair stats (`text_bpe_merge_candidates`): N_BPE_MERGES unrolled
+# iterations of count-pairs -> pick argmax -> merge, producing the ranked
+# merge table a tokenizer ships. Same oracle strategy as integer Lloyd /
+# fixed-point PageRank: a fixed iteration count and deterministic tie-break
+# (freq DESC, left, right) make the result a pure function of the corpus,
+# so DuckDB replays the identical unrolled program.
+#
+# The merge step runs as a plain string replace over a double-space-joined
+# symbol sequence: '  ' never occurs inside a symbol, and replace() is
+# left-to-right non-overlapping in BOTH engines — exactly BPE's greedy
+# merge semantics (verified: 'a  a  a  a' -> 'aa  aa').
+#
+# Scale shape: per iteration, one explode+sum over (word-type, freq) — the
+# WORD TYPE table (vocabulary-sized, not corpus-sized; the classic BPE
+# trainer optimization) — plus a 1-row argmax broadcast back. At 100 TB the
+# word-type aggregate is the only big shuffle and it happens once.
+N_BPE_MERGES = 3
+
+_CHSEQ = "array_join(split(w, ''), '  ')"
+_PAIRS_OF_SEQ = """
+    CASE WHEN size(split(seq, '  ')) >= 2 THEN
+        transform(sequence(0, size(split(seq, '  ')) - 2),
+                  i -> struct(split(seq, '  ')[i] AS l,
+                              split(seq, '  ')[i+1] AS r))
+    ELSE array() END
+"""
+
+
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _bpe_top_pair(seqs: DataFrame) -> DataFrame:
+    pairs = seqs.select(
+        F.explode(F.expr(_PAIRS_OF_SEQ)).alias("p"), "freq"
+    ).select("p.l", "p.r", "freq")
+    stats = pairs.groupBy("l", "r").agg(F.sum("freq").alias("pair_freq"))
+    return stats.orderBy(F.desc("pair_freq"), "l", "r").limit(1)
+
+
+def _bpe_oracle() -> str:
+    chseq = "array_to_string(string_split(w, ''), '  ')"
+    pair_list = (
+        "[{'l': t[i], 'r': t[i+1]} for i in generate_series(1, len(t) - 1)]"
+    )
+    parts = [f"""
+    words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({tokens_sql('text')}) AS w FROM documents)
+        GROUP BY w
+    ),
+    seq0 AS (SELECT freq, {chseq} AS seq FROM words)"""]
+    for k in range(1, N_BPE_MERGES + 1):
+        parts.append(f"""
+    stats{k} AS (
+        SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS pair_freq
+        FROM (SELECT freq, unnest({pair_list}) AS p
+              FROM (SELECT freq, string_split(seq, '  ') AS t FROM seq{k - 1}))
+        GROUP BY 1, 2
+    ),
+    top{k} AS (
+        SELECT l, r, pair_freq FROM stats{k}
+        ORDER BY pair_freq DESC, l, r LIMIT 1
+    ),
+    seq{k} AS (
+        SELECT freq,
+               replace(seq, (SELECT l FROM top{k}) || '  ' ||
+                            (SELECT r FROM top{k}),
+                       (SELECT l || r FROM top{k})) AS seq
+        FROM seq{k - 1}
+    )""")
+    tops = " UNION ALL ".join(
+        f"SELECT {k} AS rank, l, r, pair_freq FROM top{k}"
+        for k in range(1, N_BPE_MERGES + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n    " + tops
+
+
+@register("text_bpe_train_merges", oracle=_bpe_oracle())
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first N_BPE_MERGES (3) BPE merges on the corpus: the ranked
+    merge table (rank, left symbol, right symbol, weighted pair frequency).
+    See the section comment for the unrolled-iteration oracle strategy and
+    the word-type-table scale shape."""
+    seqs = _bpe_words(spark, sf_dir).select(
+        "freq", F.expr(_CHSEQ).alias("seq")
+    )
+    tops = []
+    for k in range(1, N_BPE_MERGES + 1):
+        top = _bpe_top_pair(seqs).localCheckpoint(eager=True)
+        tops.append(top.select(F.lit(k).cast("int").alias("rank"), "l", "r", "pair_freq"))
+        t = top.select(
+            F.col("l").alias("_tl"), F.col("r").alias("_tr")
+        )
+        seqs = seqs.crossJoin(F.broadcast(t)).select(
+            "freq",
+            F.expr("replace(seq, _tl || '  ' || _tr, concat(_tl, _tr))").alias(
+                "seq"
+            ),
+        )
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out

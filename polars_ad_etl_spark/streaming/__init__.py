@@ -9,6 +9,7 @@ from polars_ad_etl_spark.streaming.events import (
     dedup_events_stream,
     daily_active_users_stream,
     daily_active_users_approx_stream,
+    spend_alerts_stream,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "attribute_purchases_stream",
     "user_totals_stream",
     "dedup_events_stream",
+    "spend_alerts_stream",
 ]

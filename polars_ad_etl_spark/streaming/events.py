@@ -275,3 +275,81 @@ def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+)
+
+
+class _SpendAlertProcessor(StatefulProcessor):
+    """StatefulProcessor emitting an alert row each time a user's cumulative
+    purchase value crosses another multiple of ``threshold``. Defined
+    module-level (not a closure) so the worker unpickles it without the repo
+    on its path."""
+
+    def __init__(self, threshold: float = 100.0):
+        self.threshold = threshold
+
+    def init(self, handle) -> None:
+        self._total = handle.getValueState("total", "total double")
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        total = self._total.get()[0] if self._total.exists() else 0.0
+        before = int(total // self.threshold)
+        for pdf in rows:
+            total += float(pdf["value"].fillna(0.0).sum())
+        self._total.update((total,))
+        after = int(total // self.threshold)
+        if after > before:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "alert_level": [after],
+                    "total_value": [total],
+                }
+            )
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+    def handleInitialState(self, key, initial_state, timer_values) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def spend_alerts_stream(events: DataFrame, threshold: float = 100.0) -> DataFrame:
+    """Custom stateful operator on the MODERN API
+    (``transformWithStateInPandas``, Spark 4.x): per-user cumulative
+    purchase value kept in a typed ValueState, emitting one alert row each
+    time the running total crosses another ``threshold`` multiple — the
+    shape of a real-time spend/fraud alerting stage.
+
+    vs ``applyInPandasWithState`` (the legacy API, kept in
+    :func:`user_totals_stream`): explicit named state variables with
+    per-state schemas and optional TTL, a processor object lifecycle
+    (init/close), and timer support — this is where custom streaming
+    operators land going forward. State is one double per user; add a
+    ``ttlDurationMs`` on the ValueState to expire idle users on an
+    unbounded keyspace.
+
+    Environment gate: the TWS state-server protocol imports
+    ``google.protobuf`` at runtime, which this container does not ship —
+    plan construction and schema are tested everywhere; end-to-end
+    execution is protobuf-gated in tests/test_streaming.py (the
+    ``user_totals_stream`` legacy-API twin runs end-to-end here)."""
+    proc = _SpendAlertProcessor(threshold)
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType="user_id long, alert_level int, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -277,3 +277,40 @@ def test_read_jsonl_quarantined_splits(spark, tmp_path):
     assert parsed.is_cached
     parsed.unpersist()
     assert not parsed.is_cached
+
+
+def test_orc_round_trip_partitioned_with_pruning(spark, tmp_path):
+    """ORC sink/source: Hive-partitioned write round-trips values exactly,
+    and a partition-key filter prunes at the scan (PartitionFilters), with
+    data filters pushed to the ORC reader."""
+    from polars_ad_etl_spark.sinks.columnar import read_orc, write_orc
+    from polars_ad_etl_spark.sources.star import load_events
+
+    src = load_events(spark, "/root/testdata/sf0.001").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = str(tmp_path / "events_orc")
+    write_orc(src, path, partition_by=("event_type",))
+
+    back = read_orc(spark, path)
+    assert back.count() == src.count()
+    a = sorted(
+        (r.event_id, r.user_id, r.event_type, r.value) for r in src.collect()
+    )
+    b = sorted(
+        (r.event_id, r.user_id, r.event_type, r.value) for r in back.collect()
+    )
+    assert a == b
+
+    pruned = back.filter(
+        (back.event_type == "purchase") & (back.user_id > 100)
+    )
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert "PushedFilters: [IsNotNull(user_id), GreaterThan(user_id,100)]" in plan
+    want = src.filter(
+        (src.event_type == "purchase") & (src.user_id > 100)
+    ).count()
+    assert pruned.count() == want

@@ -328,19 +328,23 @@ def _empty_partition_window_specs(plan: str) -> list[str]:
     return out
 
 
-# Documented bounded exceptions: the cumulative-sum window runs over a
-# BUCKET AGGREGATE (<= 10k rows by construction), never the raw table —
-# see curation.py (token-budget + packed-sequences section comments).
+# Documented bounded exceptions: each allowed global window runs over an
+# AGGREGATE of bounded cardinality (10k hash buckets, |days|, |months|),
+# never the raw table — see the section comments at each query. The map
+# value is the required sort-column prefix of the window spec, pinning the
+# window to its intended bounded input.
 _GLOBAL_WINDOW_ALLOWLIST = {
-    "curation_token_budget_sample",
-    "curation_packed_sequences",
+    "curation_token_budget_sample": "bk#",     # 10k-bucket cumsum
+    "curation_packed_sequences": "bk#",        # 10k-bucket cumsum
+    "events_cumulative_distinct_users": "day#",    # |days| daily aggregate
+    "orders_yoy_growth": "month_start#",           # |months| aggregate
 }
 
 
 def test_no_global_windows_anywhere(spark):
     """Lint every registry query's optimized plan: an empty-partitionBy
     window is a single-partition sort of its input and must not appear
-    outside the allowlisted bounded bucket-aggregate cases."""
+    outside the allowlisted bounded-aggregate cases."""
     offenders = {}
     for name, fn in QUERIES.items():
         if name in _GLOBAL_WINDOW_ALLOWLIST:
@@ -354,17 +358,17 @@ def test_no_global_windows_anywhere(spark):
 
 
 def test_allowlisted_global_windows_consume_aggregates_only(spark):
-    """The allowlisted global windows must stay SINGULAR (exactly one
-    empty-partition spec each — over the bounded bucket-total frame, whose
-    partial/final aggregate pair must exist in the plan). The
+    """Every allowlisted global window must (a) sort only on its declared
+    bounded-aggregate column, and (b) sit above a partial/final aggregate
+    pair (proof the window input is the aggregate, not the raw table). The
     window-over-aggregate shape for the token-budget query is additionally
     locked by test_token_budget_window_over_buckets_only."""
-    for name in _GLOBAL_WINDOW_ALLOWLIST:
+    for name, sort_prefix in _GLOBAL_WINDOW_ALLOWLIST.items():
         plan = formatted_plan(QUERIES[name](spark, SF_DIR))
         specs = _empty_partition_window_specs(plan)
-        assert len(specs) == 1, (name, specs)
-        assert specs[0].startswith("bk#"), (name, specs)
-        assert "partial_sum" in plan, name  # the bucket aggregate
+        assert specs, (name, "expected a global window")
+        assert all(s.startswith(sort_prefix) for s in specs), (name, specs)
+        assert "partial_sum" in plan or "partial_count" in plan, name
 
 
 def test_rfm_no_global_window(spark):
@@ -390,3 +394,34 @@ def test_pq_adc_broadcasts_query_luts(spark):
     plan = formatted_plan(QUERIES["sim_pq_adc_topk"](spark, SF_DIR))
     assert plan.count("Scan parquet") == 2  # 1 real candidate scan
     assert "BroadcastNestedLoopJoin" in plan  # 8-row LUT frame cross join
+
+
+def test_range_join_bucketed_no_nested_loop(spark):
+    """The no-equi-key range join must compile to a bucket EQUI join —
+    never BroadcastNestedLoopJoin/CartesianProduct — with the range
+    predicate as a post-join filter and a bounded x2 probe-side explode."""
+    plan = formatted_plan(QUERIES["range_join_global_click_rate"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan
+    assert "explode(array(" in plan  # the bounded x2 probe-side fan-out
+    # the bucket key must be pure wall-clock arithmetic: no session-tz cast
+    # of the NTZ event time (DST would bend the 5-minute window)
+    assert "as timestamp)" not in plan.lower().replace("timestamp_ntz", "")
+
+
+def test_covariance_partial_aggregates_map_side(spark):
+    """The D^2 second-moment accumulation must combine map-side: shuffle
+    volume is |partitions| x 2080 integer rows, never the exploded pairs."""
+    plan = formatted_plan(QUERIES["embedding_covariance"](spark, SF_DIR))
+    assert "partial_sum" in plan
+    assert "Join" not in plan.split("\n\n")[0]
+
+
+def test_boilerplate_two_level_aggregate_no_expand(spark):
+    """Document frequency via stacked aggregates — no count_distinct
+    Expand over the exploded span table."""
+    plan = formatted_plan(QUERIES["text_boilerplate_ngrams"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "Expand" not in tree
+    assert tree.count("Scan parquet") == 1

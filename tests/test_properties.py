@@ -341,3 +341,156 @@ def test_containment_dominates_jaccard(spark):
     assert shared, "expected overlapping pairs at sf0.01"
     for pair in shared:
         assert cont[pair] >= jac[pair] - 1e-12
+
+
+def test_pagerank_matches_hand_computation(spark):
+    """Integer fixed-point PageRank on a tiny path graph a-b-c equals the
+    same recurrence replayed by hand in pure Python."""
+    from polars_ad_etl_spark.operators.graph import (
+        DAMP_DEN,
+        DAMP_NUM,
+        N_ITER,
+        SCALE,
+        pagerank_fixed_point,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    got = {
+        r.node: r.pagerank_fp
+        for r in pagerank_fixed_point(edges).collect()
+    }
+
+    adj = {1: [2], 2: [1, 3], 3: [2]}
+    n = 3
+    pr = {v: SCALE // n for v in adj}
+    base = ((DAMP_DEN - DAMP_NUM) * SCALE) // (DAMP_DEN * n)
+    for _ in range(N_ITER):
+        contrib = {v: pr[v] // len(adj[v]) for v in adj}
+        pr = {
+            v: base + (DAMP_NUM * sum(contrib[u] for u in adj[v])) // DAMP_DEN
+            for v in adj
+        }
+    assert got == pr
+    # the middle node of a path is the most central
+    assert got[2] > got[1] == got[3]
+
+
+def test_pagerank_mass_conservation(spark):
+    """Total fixed-point mass stays within integer-division dust of SCALE
+    on an arbitrary graph (damping redistributes, never creates)."""
+    import random
+
+    from polars_ad_etl_spark.operators.graph import SCALE, pagerank_fixed_point
+
+    rnd = random.Random(11)
+    pairs = list({(rnd.randrange(30), rnd.randrange(30)) for _ in range(60)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "a long, b long")
+    rows = pagerank_fixed_point(edges).collect()
+    total = sum(r.pagerank_fp for r in rows)
+    n = len(rows)
+    # each division floors away < 1 unit per node per term per iteration
+    assert SCALE >= total > SCALE - 10 * n * len(pairs)
+    assert all(r.pagerank_fp > 0 for r in rows)
+
+
+def test_gram_numpy_partials_equal_jvm_covariance(spark):
+    """The Arrow/numpy partial-Gram path and the JVM explode path are the
+    same exact-integer function of the data."""
+    from polars_ad_etl_spark.operators.linalg import (
+        DIM,
+        covariance_from_partials,
+        covariance_pairs,
+        gram_partial_numpy,
+        quantized,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantized(e)
+    n, sums, gram = covariance_from_partials(gram_partial_numpy(q))
+    jvm = {
+        (r.dim_i, r.dim_j): (r.n, r.sum_i, r.sum_j, r.sum_ij)
+        for r in covariance_pairs(q).collect()
+    }
+    assert len(jvm) == DIM * (DIM + 1) // 2
+    for (i, j), (nn, si, sj, sij) in jvm.items():
+        assert nn == n
+        assert si == sums[i] and sj == sums[j]
+        assert sij == gram[i][j]
+
+
+def test_power_iteration_recovers_dominant_direction():
+    """Driver-side epilogue sanity: for a rank-1-dominant integer Gram
+    matrix, power iteration recovers the planted direction."""
+    from polars_ad_etl_spark.operators.linalg import (
+        DIM,
+        Q_SCALE,
+        top_principal_component,
+    )
+
+    # plant variance along axis 0 with a touch of isotropic noise
+    n = 1000
+    sums = [0] * DIM
+    gram = [[0] * DIM for _ in range(DIM)]
+    for d in range(DIM):
+        gram[d][d] = n * Q_SCALE  # small isotropic term
+    gram[0][0] = n * Q_SCALE * Q_SCALE  # dominant axis
+    v = top_principal_component(n, sums, gram)
+    assert abs(abs(v[0]) - 1.0) < 1e-6
+    assert all(abs(x) < 1e-3 for x in v[1:])
+
+
+def test_bpe_merges_match_reference_algorithm(spark):
+    """The unrolled Spark BPE trainer equals a direct Python implementation
+    of Sennrich-style BPE (greedy left-to-right merge, freq-then-lex
+    tie-break) on a tiny corpus."""
+    import collections
+
+    import pandas as pd
+
+    from polars_ad_etl_spark.operators.textstats import (
+        N_BPE_MERGES,
+        _bpe_top_pair,
+    )
+    from pyspark.sql import functions as F
+
+    words = {"low": 5, "lowest": 2, "newer": 6, "wider": 3, "new": 2}
+
+    # ---- reference implementation
+    seqs = {w: list(w) for w in words}
+    expected = []
+    for _ in range(N_BPE_MERGES):
+        stats = collections.Counter()
+        for w, s in seqs.items():
+            for a, b in zip(s, s[1:]):
+                stats[(a, b)] += words[w]
+        (l, r), f = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((l, r, f))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == (l, r):
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+
+    # ---- engine, driven over the same tiny frame
+    df = spark.createDataFrame(
+        pd.DataFrame({"w": list(words), "freq": list(words.values())})
+    ).select("freq", F.expr("array_join(split(w, ''), '  ')").alias("seq"))
+    got = []
+    for _ in range(N_BPE_MERGES):
+        top = _bpe_top_pair(df).collect()[0]
+        got.append((top.l, top.r, top.pair_freq))
+        df = df.select(
+            "freq",
+            F.expr(
+                f"replace(seq, '{top.l}  {top.r}', '{top.l}{top.r}')"
+            ).alias("seq"),
+        )
+    assert got == expected

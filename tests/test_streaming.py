@@ -246,3 +246,56 @@ def test_upsert_latest_idempotent_on_replay(spark, tmp_path):
     )
     rows = {r.k: (r.v, r.payload) for r in spark.read.parquet(str(p)).collect()}
     assert rows == {1: (30, "z"), 2: (5, "c")}
+
+
+def test_spend_alerts_stream_modern_state_api(spark):
+    """transformWithStateInPandas (the Spark 4 StatefulProcessor API):
+    replaying the whole table in one batch must emit exactly one alert per
+    user whose total purchase value crosses the threshold, at the final
+    level, matching a batch computation.
+
+    The state-server protocol needs google.protobuf, which this container
+    does not ship — plan construction is always verified; execution runs
+    only where protobuf exists (same environment-gating pattern as the
+    Sheets network path)."""
+    from polars_ad_etl_spark.sources.star import load_events
+    from polars_ad_etl_spark.streaming import read_events_stream, spend_alerts_stream
+
+    import pyspark.sql.functions as F
+
+    threshold = 100.0
+    stream = read_events_stream(spark, SF_DIR)
+    alerts = spend_alerts_stream(stream, threshold)
+    assert alerts.isStreaming
+    assert dict(alerts.dtypes) == {
+        "user_id": "bigint",
+        "alert_level": "int",
+        "total_value": "double",
+    }
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState needs protobuf (absent in container)")
+
+    _run_to_completion(alerts, "alerts_out", mode="update")
+    got = {
+        r.user_id: (r.alert_level, round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM alerts_out").collect()
+    }
+    batch = (
+        load_events(spark, SF_DIR)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.coalesce("value", F.lit(0.0))).alias("total"))
+        .collect()
+    )
+    want = {
+        r.user_id: (int(r.total // threshold), round(r.total, 6))
+        for r in batch
+        if r.total >= threshold
+    }
+    assert set(got) == set(want)
+    for uid, (lvl, total) in want.items():
+        assert got[uid][0] == lvl, uid
+        assert abs(got[uid][1] - total) < 1e-4, uid
