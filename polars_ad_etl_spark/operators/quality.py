@@ -610,3 +610,75 @@ def _decontaminated_oracle() -> str:
 from polars_ad_etl_spark.operators.registry import ORACLES as _OR  # noqa: E402
 
 _OR["curation_decontaminated_set"] = _decontaminated_oracle()
+
+
+# ------------------------------------------------------ corpus datasheet
+@register(
+    "corpus_datasheet",
+    oracle=f"""
+    WITH base AS (
+        SELECT source, lang,
+               md5(lower(trim(text))) AS h,
+               len({tokens_sql('text')}) AS nt
+        FROM documents
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM base GROUP BY source
+    ),
+    sl AS (SELECT source, lang, COUNT(*) AS c FROM base GROUP BY 1, 2),
+    top AS (
+        SELECT source, lang AS top_lang FROM (
+            SELECT source, lang,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY c DESC, lang) AS rn
+            FROM sl
+        ) WHERE rn = 1
+    )
+    SELECT source, n_docs, n_tokens,
+           n_tokens // n_docs AS mean_tokens,
+           n_distinct_texts, n_langs, top_lang
+    FROM per_source JOIN top USING (source)
+    """,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasheet-for-datasets per ingest source: document/token volumes,
+    exact-dedup cardinality (distinct normalized-text hashes — the shuffle
+    key is the 16-byte hash, never the text), language spread, and the
+    modal language (two-level aggregate + a window over the |source|x|lang|
+    aggregate, bounded). This is the one-page summary a data curator reads
+    before admitting a source into the training mix."""
+    from pyspark.sql import Window as W
+
+    base = _docs(spark, sf_dir).select(
+        "source",
+        "lang",
+        F.md5(F.lower(F.trim("text"))).alias("h"),
+        F.size(tokens(F.col("text"))).alias("nt"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+        F.countDistinct("h").alias("n_distinct_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    sl = base.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    w = W.partitionBy("source").orderBy(F.desc("c"), "lang")
+    top = (
+        sl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return per_source.join(top, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_tokens div n_docs").alias("mean_tokens"),
+        "n_distinct_texts",
+        "n_langs",
+        "top_lang",
+    )

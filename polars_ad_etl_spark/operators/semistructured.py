@@ -184,3 +184,42 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_positive"
         ),
     )
+
+
+# ---------------------------------------------------------------- VARIANT
+@register(
+    "events_props_variant",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured rollup through the VARIANT type (Spark 4 /
+    open-lakehouse binary JSON): ``parse_json`` once into a variant value,
+    ``variant_get`` typed paths out. vs ``get_json_object``
+    (``events_json_props``): a variant column parses the text ONCE and
+    stores a binary tree, so N path extractions cost N tree walks, not N
+    re-parses — at 100 TB with wide metadata payloads that is the scan-time
+    difference that pays for the type. The DuckDB oracle reads the same
+    paths with its JSON extraction."""
+    e = load_events(spark, sf_dir)
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )

@@ -240,3 +240,23 @@ def test_grouped_ingest_equals_per_file(spark, tmp_path):
     assert sorted(map(tuple, grouped.collect())) == sorted(
         map(tuple, per_file.collect())
     )
+
+
+def test_observe_quality_metrics_no_extra_pass(spark):
+    """The Observation API yields row/null/sum metrics as a side effect of
+    the caller's own action — no second scan, exact decimal totals."""
+    from polars_ad_etl_spark.plans.observability import observe_quality
+
+    df = spark.createDataFrame(
+        [("a", 1.5), ("b", None), ("c", 2.25), (None, 4.0)],
+        ["name", "spend"],
+    )
+    observed, obs = observe_quality(
+        df, "probe", null_cols=["name", "spend"], sum_col="spend"
+    )
+    assert observed.count() == 4  # the pipeline's own action
+    m = obs.get
+    assert m["n_rows"] == 4
+    assert m["null_name"] == 1
+    assert m["null_spend"] == 1
+    assert m["sum_spend"] == 7.75
