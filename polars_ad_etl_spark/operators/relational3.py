@@ -1169,3 +1169,105 @@ def sql_lateral_top_order_per_nation(
     for t in ("orders", "customer", "nation"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_LATERAL_TEXT)
+
+
+# ---------------------------------------------------------- ABC / Pareto
+@register(
+    "supplier_pareto_class",
+    oracle=f"""
+    WITH rev AS (
+        SELECT s_nationkey, s_suppkey, {dsum_sql('l_extendedprice')} AS revenue
+        FROM supplier JOIN lineitem ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey, s_suppkey
+    ),
+    ranked AS (
+        SELECT s_nationkey, s_suppkey, revenue,
+               SUM(revenue) OVER (PARTITION BY s_nationkey
+                                  ORDER BY revenue DESC, s_suppkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               SUM(revenue) OVER (PARTITION BY s_nationkey) AS total_rev
+        FROM rev
+    )
+    SELECT s_nationkey, s_suppkey, revenue,
+           CASE WHEN cum_rev <= 0.5 * total_rev THEN 'A'
+                WHEN cum_rev <= 0.8 * total_rev THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def supplier_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of suppliers within each nation: rank by
+    revenue, classify by cumulative share (A: first 50% of nation revenue,
+    B: to 80%, C: tail). Both windows PARTITION BY nation and run over the
+    supplier-level AGGREGATE (|suppliers| rows, not lineitem), so the sort
+    is per-nation over a reduced input — the scale-safe shape for share-of-
+    total analytics. Revenue is decimal-exact; the class boundaries compare
+    bit-identical doubles, and the rank tie-breaks on supplier id."""
+    from pyspark.sql import Window as W
+
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    rev = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(dsum("l_extendedprice").alias("revenue"))
+    )
+    w_cum = (
+        W.partitionBy("s_nationkey")
+        .orderBy(F.desc("revenue"), "s_suppkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tot = W.partitionBy("s_nationkey")
+    cum = rev.select(
+        "s_nationkey",
+        "s_suppkey",
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum_rev"),
+        F.sum("revenue").over(w_tot).alias("total_rev"),
+    )
+    return cum.select(
+        "s_nationkey",
+        "s_suppkey",
+        "revenue",
+        F.when(F.col("cum_rev") <= 0.5 * F.col("total_rev"), "A")
+        .when(F.col("cum_rev") <= 0.8 * F.col("total_rev"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+# ----------------------------------------------------------- robust MAD
+@register(
+    "stats_mad_prices",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           ANY_VALUE(m.median_price) AS median_price,
+           round(quantile_cont(ABS(o.o_totalprice - m.median_price), 0.5), 4)
+               AS mad_price
+    FROM orders o JOIN med m USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def stats_mad_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion stat that
+    survives the heavy-tailed value columns stddev chokes on. Two passes by
+    definition (the median must exist before deviations do); the per-group
+    medians are a tiny aggregate broadcast back into the second scan.
+    Medians round to 4 decimals so interpolation ulps agree cross-engine."""
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    med = o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price")
+    )
+    joined = o.join(F.broadcast(med), "o_orderpriority")
+    return joined.groupBy("o_orderpriority").agg(
+        F.any_value("median_price").alias("median_price"),
+        F.round(
+            F.percentile(F.abs(F.col("o_totalprice") - F.col("median_price")), 0.5),
+            4,
+        ).alias("mad_price"),
+    )
