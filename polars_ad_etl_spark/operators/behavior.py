@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from polars_ad_etl_spark.functions.exact import dsum, dsum_sql
+from polars_ad_etl_spark.functions.hashing import portable_hash32_sql
 from polars_ad_etl_spark.operators.registry import register
 from polars_ad_etl_spark.sources.star import load_events
 
@@ -699,4 +700,209 @@ def events_cumulative_distinct_users(
         "day",
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+# ------------------------------------------------- market-basket mining
+# Association rules over order baskets: which parts sell together. The
+# pair expansion is a self-join of the DISTINCT (order, part) table on the
+# order key — fan-out is sum over orders of k², bounded because basket
+# sizes are bounded (TPC-H: <= 7 lines/order at any SF; cap or sample
+# pathological baskets at ingest if a data source can't guarantee that).
+# Support/confidence/lift come out in exact integer / fixed-point form.
+_BASKET_MIN_SUPPORT = 3
+_LIFT_SCALE = 10_000
+
+
+@register(
+    "basket_part_pairs",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM items),
+    pc AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_part FROM items GROUP BY part),
+    pairs AS (
+        SELECT a.part AS part_a, b.part AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM items a JOIN items b
+          ON a.okey = b.okey AND a.part < b.part
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+    )
+    SELECT part_a, part_b, support,
+           (100 * support) // ca.n_part AS conf_a_to_b_pct,
+           (100 * support) // cb.n_part AS conf_b_to_a_pct,
+           (support * n.n_orders * {_LIFT_SCALE}) // (ca.n_part * cb.n_part)
+               AS lift_fp
+    FROM pairs
+    JOIN pc ca ON part_a = ca.part
+    JOIN pc cb ON part_b = cb.part
+    CROSS JOIN n
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs across order baskets with integer confidence
+    (percent) and fixed-point lift — the association-mining deliverable
+    (recommendation candidates / planogram signals). See section comment
+    for the bounded-fan-out scale argument."""
+    from pathlib import Path
+
+    l = spark.read.parquet(str(Path(sf_dir) / "lineitem.parquet"))
+    items = l.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_row = items.agg(F.countDistinct("okey").alias("n_orders"))
+    pc = items.groupBy("part").agg(F.count("*").alias("n_part"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
+    ca = pc.select(F.col("part").alias("part_a"), F.col("n_part").alias("n_a"))
+    cb = pc.select(F.col("part").alias("part_b"), F.col("n_part").alias("n_b"))
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.expr("(100 * support) div n_a").alias("conf_a_to_b_pct"),
+            F.expr("(100 * support) div n_b").alias("conf_b_to_a_pct"),
+            F.expr(
+                f"(support * n_orders * {_LIFT_SCALE}) div (n_a * n_b)"
+            ).alias("lift_fp"),
+        )
+    )
+
+
+# ------------------------------------------------- experiment analysis
+@register(
+    "events_ab_metrics",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN {portable_hash32_sql("'exp1' || CAST(user_id AS VARCHAR)")} % 2 = 0
+                    THEN 'A' ELSE 'B' END AS variant
+        FROM events
+    ),
+    purchasers AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               {dsum_sql('value')} AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(p.user_id) AS BIGINT) AS n_converted,
+           (1000 * COUNT(p.user_id)) // COUNT(*) AS conversion_permille,
+           CAST(SUM(COALESCE(n_purchases, 0)) AS BIGINT) AS n_purchases,
+           COALESCE({dsum_sql('purchase_value')}, 0.0) AS total_value
+    FROM assigned a LEFT JOIN purchasers p USING (user_id)
+    GROUP BY variant
+    """,
+)
+def events_ab_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with DETERMINISTIC hash assignment (salted
+    user-id hash — the same function that assigns users in production, so
+    the analysis joins no assignment table) and exact metrics per variant:
+    users, converters, integer-permille conversion, purchase volume. The
+    variant aggregate is two map-side-combinable shuffles on user_id.
+    Engineering note: value sums re-enter exact decimal at the second
+    aggregation level, so the totals stay partition-order-independent."""
+    from polars_ad_etl_spark.functions.hashing import portable_hash32
+
+    e = load_events(spark, sf_dir)
+    assigned = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(
+                portable_hash32(
+                    F.concat(F.lit("exp1"), F.col("user_id").cast("string"))
+                )
+                % 2
+                == 0,
+                "A",
+            )
+            .otherwise("B")
+            .alias("variant"),
+        )
+    )
+    purchasers = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            dsum("value").alias("purchase_value"),
+        )
+    )
+    joined = assigned.join(purchasers, "user_id", "left_outer")
+    return joined.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.count("n_purchases").alias("n_converted"),
+        F.expr("(1000 * count(n_purchases)) div count(*)").alias(
+            "conversion_permille"
+        ),
+        F.sum(F.coalesce("n_purchases", F.lit(0))).alias("n_purchases"),
+        F.coalesce(dsum("purchase_value"), F.lit(0.0)).alias("total_value"),
+    )
+
+
+# ------------------------------------------------- daily trend (integer OLS)
+@register(
+    "events_daily_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(COUNT(*) * SUM(t * y) - SUM(t) * SUM(y) AS BIGINT)
+               AS slope_num,
+           CAST(COUNT(*) * SUM(t * t) - SUM(t) * SUM(t) AS BIGINT)
+               AS slope_den,
+           CAST(SUM(y) AS BIGINT) AS total_events
+    FROM daily
+    GROUP BY event_type
+    """,
+)
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type volume trend as an EXACT least-squares slope over daily
+    counts: slope = slope_num / slope_den with both sides integer (day
+    index x integer counts), so the fit is engine- and partition-exact —
+    no float regression needed to rank which event types are growing.
+    Two stacked map-side-combinable aggregates (day grain, then type);
+    the day index is a tz-free date difference."""
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("t"),
+    ).agg(F.count("*").alias("y"))
+    return daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        (
+            F.count("*") * F.sum(F.col("t") * F.col("y"))
+            - F.sum("t") * F.sum("y")
+        ).alias("slope_num"),
+        (
+            F.count("*") * F.sum(F.col("t") * F.col("t"))
+            - F.sum("t") * F.sum("t")
+        ).alias("slope_den"),
+        F.sum("y").alias("total_events"),
     )

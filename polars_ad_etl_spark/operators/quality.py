@@ -597,6 +597,9 @@ def curation_decontaminated_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decontaminated_oracle() -> str:
+    # direct-import safety: the composed CTEs live in dedup's registry
+    # entries, so make sure that module has registered before reading them
+    import polars_ad_etl_spark.operators.dedup  # noqa: F401
     from polars_ad_etl_spark.operators.registry import ORACLES
 
     return f"""

@@ -425,3 +425,23 @@ def test_boilerplate_two_level_aggregate_no_expand(spark):
     tree = plan.split("\n\n")[0]
     assert "Expand" not in tree
     assert tree.count("Scan parquet") == 1
+
+
+def test_basket_pairs_equi_join_no_cartesian(spark):
+    """Basket pair expansion must be an equi join on the order key (bounded
+    per-basket fan-out), never a cartesian/nested-loop pair enumeration."""
+    plan = formatted_plan(QUERIES["basket_part_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the support HAVING filter must run on the aggregate, before the
+    # confidence joins (tiny surviving-pair set drives those joins)
+    assert "partial_count" in plan
+
+
+def test_daily_trend_stacked_aggregates_no_window(spark):
+    """Integer OLS trend: two stacked map-side-combinable aggregates over
+    one scan — no window, no join, no second pass."""
+    plan = formatted_plan(QUERIES["events_daily_trend"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert "Join" not in tree
+    assert tree.count("Scan parquet") == 1

@@ -299,3 +299,83 @@ def test_spend_alerts_stream_modern_state_api(spark):
     for uid, (lvl, total) in want.items():
         assert got[uid][0] == lvl, uid
         assert abs(got[uid][1] - total) < 1e-4, uid
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics end-to-end: rows arriving (in a later
+    micro-batch) with event times older than the watermark horizon are
+    EXCLUDED from the already-finalized append-mode window. This proves
+    late-data handling rather than assuming it."""
+    import pandas as pd
+
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    out_name = "late_drop_out"
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        # one file per logical batch: the file source triggers per FILE, so
+        # a multi-part write would split a batch across micro-batches in
+        # arbitrary order and advance the watermark mid-batch
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+
+    # batch 1: two hours of on-time data -> hour-10 window can finalize
+    write_batch(
+        "b1.parquet",
+        [
+            (1, "2024-01-01 10:05:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:20:00", 2, "click", 1.0),
+            (3, "2024-01-01 12:30:00", 3, "click", 1.0),  # advances watermark
+        ],
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row for hour 10 — watermark is already at 11:30
+        write_batch(
+            "b2.parquet",
+            [(4, "2024-01-01 10:40:00", 4, "click", 1.0)],
+        )
+        q.processAllAvailable()
+        # batch 3: advance far enough to flush every remaining window
+        write_batch(
+            "b3.parquet",
+            [(5, "2024-01-01 15:00:00", 5, "click", 1.0)],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.hour_start.strftime("%H"): r.n
+        for r in spark.sql(f"SELECT * FROM {out_name}").collect()
+    }
+    # hour 10 finalized with the two ON-TIME rows; the late row (id=4) was
+    # dropped, not re-opened into a correction
+    assert got.get("10") == 2
+    assert got.get("12") == 1
