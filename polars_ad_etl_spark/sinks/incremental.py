@@ -142,3 +142,98 @@ def stream_upsert_latest(
         .foreachBatch(_apply)
         .start()
     )
+
+
+# ------------------------------------------------ incremental aggregation
+# The third incremental primitive: maintaining an ADDITIVE aggregate
+# (count/sum per key) over a stream on plain parquet, exactly-once.
+#
+# Trick: additive state never needs row-level merge — each micro-batch
+# writes its own PARTIAL aggregate under a batch-keyed directory
+# (`.../batch_id=N`), which is an idempotent overwrite (a replayed batch
+# rewrites the same dir with identical content, so re-delivery cannot
+# double-count). The readable view is a plain parquet read + final combine
+# over the delta dirs — the same partial/final split Spark's own hash
+# aggregate uses, externalized to storage. Compaction folds deltas into a
+# consolidated partial when the dir count grows; totals are invariant.
+#
+# At 100 TB: each delta is |keys|-sized (tiny), the view's final combine is
+# one map-side-combinable aggregate over |batches|x|keys| rows, and state
+# never rewrites the whole store per batch (contrast upsert_latest_by_key).
+
+
+def write_agg_delta(
+    partial_df: DataFrame, path: str | Path, batch_id: int
+) -> str:
+    """Idempotently write one batch's per-key PARTIAL aggregate under its
+    batch-keyed delta directory."""
+    out = Path(path) / f"batch_id={batch_id}"
+    partial_df.write.mode("overwrite").parquet(str(out))
+    return str(out)
+
+
+def read_incremental_agg(spark, path: str | Path, key_cols: list[str]) -> DataFrame:
+    """The consolidated view: final-combine every delta's partial counts and
+    sums. Columns named ``cnt`` and ``sum_*`` are combined additively."""
+    from pyspark.sql import functions as F
+
+    deltas = spark.read.parquet(str(path))
+    sum_cols = [
+        c for c in deltas.columns
+        if c == "cnt" or c.startswith("sum_")
+    ]
+    return deltas.groupBy(*key_cols).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+
+
+def stream_incremental_agg(
+    stream_df: DataFrame,
+    path: str | Path,
+    key_cols: list[str],
+    value_col: str,
+    checkpoint: str | Path,
+) -> StreamingQuery:
+    """foreachBatch additive-aggregate sink: per batch, reduce the raw rows
+    to a per-key (cnt, sum_<value>) partial and idempotently write it under
+    the batch's delta dir. Exactly-once per key under replay because a
+    re-delivered batch overwrites its own delta with identical content."""
+    from pyspark.sql import functions as F
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = batch_df.groupBy(*key_cols).agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col(value_col).cast("decimal(25,6)"))
+            .cast("double")
+            .alias(f"sum_{value_col}"),
+        )
+        write_agg_delta(partial, path, batch_id)
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", str(checkpoint))
+        .foreachBatch(_apply)
+        .start()
+    )
+
+
+def compact_agg_deltas(
+    spark, path: str | Path, key_cols: list[str], keep_batch_id: int = -1
+) -> str:
+    """Fold every delta into one consolidated partial dir (batch_id=-1 by
+    convention) and remove the originals. Run in a maintenance window (no
+    concurrent writer for the same dirs); totals are invariant because the
+    consolidated partial is itself just a partial."""
+    import shutil
+
+    p = Path(path)
+    consolidated = read_incremental_agg(spark, p, key_cols)
+    tmp = p.with_name(p.name + "__compact")
+    consolidated.write.mode("overwrite").parquet(str(tmp))
+    for d in p.iterdir():
+        if d.is_dir() and d.name.startswith("batch_id="):
+            shutil.rmtree(d)
+    tmp.rename(p / f"batch_id={keep_batch_id}")
+    return str(p)

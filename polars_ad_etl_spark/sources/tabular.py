@@ -132,6 +132,32 @@ def read_jsonl_quarantined(
     return good, bad, df
 
 
+def read_csv_quarantined(
+    spark: SparkSession, path: str | Path, schema: T.StructType
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """CSV sibling of :func:`read_jsonl_quarantined`: PERMISSIVE parse with
+    a ``_corrupt_record`` capture column, split into (good, quarantine,
+    cached-parent). Same contract: schema-mismatched rows (wrong arity,
+    untypeable cells) land in the quarantine frame as raw lines instead of
+    being silently nulled or dropped; the cached parent is returned for
+    lifecycle control (``parsed.unpersist()`` after both splits are
+    consumed)."""
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    df = (
+        spark.read.schema(full_schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(str(path))
+        .cache()
+    )
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return good, bad, df
+
+
 def read_orc(spark: SparkSession, path: str | Path) -> DataFrame:
     """ORC source (new-engine extension): Spark's second columnar native
     format, vectorized-read and predicate-pushdown capable like parquet —

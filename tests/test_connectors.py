@@ -383,3 +383,28 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_read_csv_quarantined_split(spark, tmp_path):
+    """CSV quarantine ingest: typeable rows flow, untypeable rows land in
+    the quarantine frame as raw lines, nothing is dropped."""
+    from pyspark.sql import types as T
+
+    from polars_ad_etl_spark.sources.tabular import read_csv_quarantined
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "a,b\n"
+        "1,x\n"
+        "NOT_INT,y\n"
+        "2,z\n"
+    )
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    good, bad, parsed = read_csv_quarantined(spark, p, schema)
+    assert sorted((r.a, r.b) for r in good.collect()) == [(1, "x"), (2, "z")]
+    bad_rows = [r._corrupt_record for r in bad.collect()]
+    assert len(bad_rows) == 1 and "NOT_INT" in bad_rows[0]
+    assert good.count() + bad.count() == 3
+    parsed.unpersist()

@@ -494,3 +494,86 @@ def test_bpe_merges_match_reference_algorithm(spark):
             ).alias("seq"),
         )
     assert got == expected
+
+
+def test_range_join_bucketing_exact_across_dst(spark):
+    """The bucketed range join must equal the naive inequality join even for
+    event times straddling a DST transition in a non-UTC session — the case
+    a session-tz-coerced bucket key silently gets wrong (the 01:59->03:01
+    wall gap is 62 minutes of wall-clock time but 2 minutes of instant
+    time in America/New_York)."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from polars_ad_etl_spark.operators.intervals import (
+        WINDOW_S,
+        bucketed_range_join_counts,
+    )
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        base = dt.datetime(2024, 3, 10, 1, 55)  # 5 min before spring-forward
+        stamps = [base + dt.timedelta(minutes=m) for m in range(0, 130, 3)]
+        pdf = pd.DataFrame(
+            {
+                "purchase_id": range(len(stamps)),
+                "p_ts": pd.Series(stamps, dtype="datetime64[us]"),
+            }
+        )
+        cdf = pd.DataFrame(
+            {
+                "c_ts": pd.Series(stamps, dtype="datetime64[us]"),
+                "c_value": [1.0] * len(stamps),
+            }
+        )
+        p = spark.createDataFrame(pdf).withColumn(
+            "p_ts", F.col("p_ts").cast("timestamp_ntz")
+        )
+        c = spark.createDataFrame(cdf).withColumn(
+            "c_ts", F.col("c_ts").cast("timestamp_ntz")
+        )
+        got = {
+            r.purchase_id: r.n_clicks_5min
+            for r in bucketed_range_join_counts(p, c, "p_ts", "c_ts").collect()
+        }
+        naive = {
+            r.purchase_id: r.n
+            for r in p.join(
+                c,
+                (F.col("c_ts") >= F.expr(f"p_ts - INTERVAL {WINDOW_S} SECOND"))
+                & (F.col("c_ts") <= F.col("p_ts")),
+                "left_outer",
+            )
+            .groupBy("purchase_id")
+            .agg(F.count("c_ts").alias("n"))
+            .collect()
+        }
+        assert got == naive
+        assert sum(got.values()) > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_oracle_compare_harness_detects_differences(spark):
+    """Meta-test of the differential harness itself: compare() must flag
+    value, row-count, and column differences — a harness that can't fail
+    proves nothing."""
+    import duckdb
+
+    from tests.oracle_util import compare
+
+    con = duckdb.connect()
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert compare(df, con, "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(k, v)") is None
+    assert "differs" in compare(
+        df, con, "SELECT * FROM (VALUES (1, 'a'), (2, 'X')) t(k, v)"
+    )
+    assert "row counts" in compare(
+        df, con, "SELECT * FROM (VALUES (1, 'a')) t(k, v)"
+    )
+    assert "columns differ" in compare(
+        df, con, "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(k, w)"
+    )

@@ -379,3 +379,71 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # dropped, not re-opened into a correction
     assert got.get("10") == 2
     assert got.get("12") == 1
+
+
+def test_stream_incremental_agg_exactly_once(spark, tmp_path):
+    """Delta-log additive aggregation: the streamed per-type totals equal
+    the batch aggregate, a replayed batch cannot double-count (idempotent
+    delta overwrite), and compaction preserves totals."""
+    import pyspark.sql.functions as F
+
+    from polars_ad_etl_spark.sinks.incremental import (
+        compact_agg_deltas,
+        read_incremental_agg,
+        stream_incremental_agg,
+        write_agg_delta,
+    )
+    from polars_ad_etl_spark.sources.star import load_events
+
+    store = tmp_path / "agg_store"
+    q = stream_incremental_agg(
+        read_events_stream(spark, SF_DIR),
+        store,
+        key_cols=["event_type"],
+        value_col="value",
+        checkpoint=tmp_path / "ckpt",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def totals():
+        return {
+            r.event_type: (r.cnt, round(r.sum_value, 6))
+            for r in read_incremental_agg(
+                spark, store, ["event_type"]
+            ).collect()
+        }
+
+    batch = {
+        r.event_type: (r.cnt, round(r.sum_value, 6))
+        for r in load_events(spark, SF_DIR)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    first = totals()
+    assert first == batch
+
+    # replay batch 0: identical partial, overwritten in place -> no change
+    replay = (
+        load_events(spark, SF_DIR)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    write_agg_delta(replay, store, batch_id=0)
+    assert totals() == batch
+
+    compact_agg_deltas(spark, store, ["event_type"])
+    assert totals() == batch
