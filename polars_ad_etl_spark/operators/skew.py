@@ -68,3 +68,55 @@ def replicate_broadcast_join(
     """Join a skewed probe side against a small build side with zero shuffle
     of the probe: broadcast the build side explicitly."""
     return probe.join(F.broadcast(build), on)
+
+
+# --------------------------------------------------------- skew diagnosis
+# Before you salt a key, you measure it. The heavy-hitter profile of a
+# shuffle key — top keys, their integer-permille share of all rows — is the
+# diagnostic that decides between plain hash, AQE skew split, and explicit
+# salting. Plan shape: one map-side-combinable count per key, then a
+# TakeOrderedAndProject top-k (per-partition k + driver merge, no global
+# sort) against a broadcast 1-row total.
+_SKEW_TOP_K = 10
+
+
+@register(
+    "profile_key_skew",
+    oracle=f"""
+    WITH c AS (
+        SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys FROM c)
+    SELECT key, cnt,
+           (1000 * cnt) // t.total AS share_permille,
+           (cnt * t.n_keys * 100) // t.total AS x_mean_pct
+    FROM c, t
+    ORDER BY cnt DESC, key
+    LIMIT {_SKEW_TOP_K}
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of a prospective shuffle key: the top
+    10 keys with integer-permille row share and
+    percent-of-mean-key-size (100 = perfectly uniform). The decision input
+    for the salting/AQE strategies above."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    c = l.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    t = c.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_keys")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            "cnt",
+            F.expr("(1000 * cnt) div total").alias("share_permille"),
+            F.expr("(cnt * n_keys * 100) div total").alias("x_mean_pct"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(_SKEW_TOP_K)
+    )

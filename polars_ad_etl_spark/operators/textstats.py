@@ -604,3 +604,44 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tops[1:]:
         out = out.unionByName(t)
     return out
+
+
+# ------------------------------------------------- self-repetition cleanup
+@register(
+    "text_collapse_repeats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, toks,
+               [toks[i] for i in generate_series(1, len(toks))
+                if i = 1 OR toks[i] != toks[i - 1]] AS keep
+        FROM t
+    )
+    SELECT doc_id,
+           array_to_string(keep, ' ') AS cleaned_text,
+           CAST(len(toks) - len(keep) AS BIGINT) AS n_removed
+    FROM kept
+    """,
+)
+def text_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition cleanup: collapse consecutive duplicate
+    tokens (the stutter artifact of scraped/OCR text) and report how many
+    were dropped — a pure projection over higher-order array functions,
+    no shuffle at all. The generation-side cousin of the corpus-level
+    dedup family."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    kept = t.select(
+        "doc_id",
+        "toks",
+        F.expr(
+            "filter(toks, (tok, i) -> i = 0 OR toks[i - 1] != tok)"
+        ).alias("keep"),
+    )
+    return kept.select(
+        "doc_id",
+        F.array_join("keep", " ").alias("cleaned_text"),
+        (F.size("toks") - F.size("keep")).cast("long").alias("n_removed"),
+    )

@@ -445,3 +445,70 @@ def test_daily_trend_stacked_aggregates_no_window(spark):
     assert "Window" not in tree
     assert "Join" not in tree
     assert tree.count("Scan parquet") == 1
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark):
+    """Runtime row-level filtering (the 100 TB shuffle reducer): with a
+    selective filter on the build side, Catalyst injects a Bloom-filter
+    subquery on the probe side (might_contain over the join key), dropping
+    non-matching probe rows BEFORE the shuffle. Local scans sit under the
+    application-side size threshold, so the test pins the knob that
+    production relies on; correctness is unchanged either way."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = formatted_plan(j)
+        assert "might_contain" in plan  # the injected Bloom probe filter
+        assert j.count() > 0
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_star_join(spark, tmp_path):
+    """Dynamic partition pruning: joining a Hive-partitioned fact to a
+    FILTERED dimension must inject a runtime partition filter
+    (dynamicpruning subquery) on the fact scan — whole partitions skip at
+    runtime based on the dim filter, the star-schema pattern DPP exists
+    for."""
+    import pyspark.sql.functions as F
+
+    fact_path = str(tmp_path / "events_by_type")
+    from polars_ad_etl_spark.sources.star import load_events
+
+    load_events(spark, SF_DIR).write.partitionBy("event_type").parquet(
+        fact_path
+    )
+    dim = spark.createDataFrame(
+        [("purchase", "rev"), ("refund", "rev"), ("click", "traffic")],
+        "event_type string, category string",
+    ).filter("category = 'rev'")
+    fact = spark.read.parquet(fact_path)
+    j = fact.join(dim, "event_type").groupBy("category").agg(
+        F.count("*").alias("n")
+    )
+    plan = formatted_plan(j)
+    assert "dynamicpruning" in plan.lower()
+    want = (
+        load_events(spark, SF_DIR)
+        .filter(F.col("event_type").isin("purchase", "refund"))
+        .count()
+    )
+    assert {r.category: r.n for r in j.collect()} == {"rev": want}
