@@ -11,10 +11,10 @@ from polars_ad_etl_spark.operators import QUERIES
 SF_DIR = "/root/testdata/sf0.01"
 
 
-def formatted_plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from polars_ad_etl_spark.plans.audit import (  # noqa: E402
+    formatted_plan,
+    global_window_specs as _empty_partition_window_specs,
+)
 
 
 def test_q1_pushdown_and_pruning(spark):
@@ -296,38 +296,6 @@ def test_q8_region_composed_before_customer_join(spark):
     assert "region.parquet" not in tree.split("BroadcastHashJoin")[0]
 
 
-def _empty_partition_window_specs(plan: str) -> list[str]:
-    """All windowspecdefinition(...) occurrences whose FIRST argument is a
-    sort item (contains ASC/DESC) — i.e. windows with an empty partition
-    clause, which Spark executes as a single-partition global sort."""
-    out = []
-    i = 0
-    while True:
-        j = plan.find("windowspecdefinition(", i)
-        if j < 0:
-            break
-        k = j + len("windowspecdefinition(")
-        depth = 0
-        arg = []
-        while k < len(plan):
-            c = plan[k]
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                if depth == 0:
-                    break
-                depth -= 1
-            elif c == "," and depth == 0:
-                break
-            arg.append(c)
-            k += 1
-        first = "".join(arg)
-        if " ASC" in first or " DESC" in first:
-            out.append(first.strip())
-        i = j + 1
-    return out
-
-
 # Documented bounded exceptions: each allowed global window runs over an
 # AGGREGATE of bounded cardinality (10k hash buckets, |days|, |months|),
 # never the raw table — see the section comments at each query. The map
@@ -512,3 +480,36 @@ def test_dynamic_partition_pruning_on_star_join(spark, tmp_path):
         .count()
     )
     assert {r.category: r.n for r in j.collect()} == {"rev": want}
+
+
+def test_plan_audit_library_flags_and_passes(spark):
+    """The reusable plan auditor (plans/audit.py) must flag a deliberately
+    non-scalable plan (global window over a raw table, cartesian join) and
+    pass a clean aggregate, honoring the allow-prefix escape hatch."""
+    from pyspark.sql import Window, functions as F
+
+    from polars_ad_etl_spark.plans.audit import (
+        PlanQualityError,
+        assert_scalable,
+        plan_report,
+    )
+
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+    bad = l.withColumn(
+        "rn", F.row_number().over(Window.orderBy("l_extendedprice"))
+    )
+    with pytest.raises(PlanQualityError, match="global sort"):
+        assert_scalable(bad)
+    # ...unless the caller declares the window's input bounded
+    assert_scalable(bad, allow_global_window_prefixes=("l_extendedprice",))
+
+    cart = l.limit(5).crossJoin(
+        spark.read.parquet(f"{SF_DIR}/nation.parquet").limit(5)
+    )
+    r = plan_report(cart)
+    assert r.cartesian_products or r.nested_loop_joins
+
+    good = l.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    rep = assert_scalable(good)
+    assert rep.n_scans >= 1 and not rep.global_windows
