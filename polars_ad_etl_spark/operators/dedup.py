@@ -42,7 +42,7 @@ from polars_ad_etl_spark.functions.hashing import (
     tokens,
     tokens_sql,
 )
-from polars_ad_etl_spark.operators.registry import register
+from polars_ad_etl_spark.operators.registry import ORACLES, register
 
 K = 16  # MinHash signature length
 BANDS = 4  # 4 bands x 4 rows
@@ -1013,3 +1013,70 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------------ dedup run report
+@register(
+    "dedup_summary_report",
+    oracle=f"""
+    WITH pairs AS ({{pairs}}),
+    comp AS ({{comp}}),
+    docs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) - COUNT(DISTINCT md5(lower(trim(text))))
+                    AS BIGINT) AS n_exact_dup_docs
+        FROM documents
+    ),
+    p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh_pairs FROM pairs),
+    c AS (SELECT CAST(COUNT(DISTINCT component_id) AS BIGINT) AS n_clusters,
+                 CAST(COUNT(*) AS BIGINT) AS n_clustered_docs FROM comp)
+    SELECT n_docs, n_exact_dup_docs, n_lsh_pairs, n_clusters,
+           n_clustered_docs,
+           n_docs - n_clustered_docs + n_clusters AS n_keep
+    FROM docs, p, c
+    """,
+)
+def dedup_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row report a dedup run ships: corpus size, exact-dup count,
+    LSH candidate-pair count, near-dup cluster count/membership, and the
+    resulting keep-list size (n_docs - members + one exemplar per
+    cluster, computed arithmetically so the keep pipeline isn't re-run).
+    Every input number is produced by the already-verified primitives;
+    the single-row output is a cross join of broadcast scalar aggregates."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = d.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.count("*") - F.countDistinct(F.md5(F.lower(F.trim("text"))))
+        ).alias("n_exact_dup_docs"),
+    )
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).agg(
+        F.count("*").alias("n_lsh_pairs")
+    )
+    comp = dedup_connected_components(spark, sf_dir).agg(
+        F.countDistinct("component_id").alias("n_clusters"),
+        F.count("*").alias("n_clustered_docs"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(comp))
+        .select(
+            "n_docs",
+            "n_exact_dup_docs",
+            "n_lsh_pairs",
+            "n_clusters",
+            "n_clustered_docs",
+            (
+                F.col("n_docs")
+                - F.col("n_clustered_docs")
+                + F.col("n_clusters")
+            ).alias("n_keep"),
+        )
+    )
+
+
+# the oracle composes the already-registered pair/component CTEs; fill the
+# placeholders after both exist (register() stored the template above)
+ORACLES["dedup_summary_report"] = ORACLES["dedup_summary_report"].format(
+    pairs=_lsh_pairs_oracle(), comp=_components_oracle()
+)

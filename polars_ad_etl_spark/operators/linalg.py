@@ -190,3 +190,50 @@ def top_principal_component(
             return w
         v = [x / norm for x in w]
     return v
+
+
+# ------------------------------------------------- embedding QC: norms
+@register(
+    "embedding_norm_outliers",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform({_QUANT_DUCK},
+                    x -> x * x)) AS BIGINT) AS sqnorm_fp
+        FROM embeddings
+    ),
+    m AS (SELECT CAST(SUM(sqnorm_fp) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n FROM q)
+    SELECT vec_id, sqnorm_fp,
+           (100 * sqnorm_fp * m.n) // m.total AS pct_of_mean,
+           (sqnorm_fp * m.n > 2 * m.total
+            OR 2 * sqnorm_fp * m.n < m.total) AS flagged
+    FROM q, m
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus QC: exact fixed-point squared norm per vector and a
+    flag for vectors whose norm is more than 2x (or less than half) the
+    corpus mean — the cheap detector for corrupted/zeroed/unnormalized
+    embeddings before they poison an ANN index. One projection + one
+    broadcast 1-row mean; comparisons stay in integer cross-multiplied
+    form (no division, no floats)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            f"aggregate({_QUANT}, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+        ).alias("sqnorm_fp"),
+    )
+    m = q.agg(
+        F.sum("sqnorm_fp").alias("total"), F.count("*").alias("n")
+    )
+    return q.crossJoin(F.broadcast(m)).select(
+        "vec_id",
+        "sqnorm_fp",
+        F.expr("(100 * sqnorm_fp * n) div total").alias("pct_of_mean"),
+        (
+            (F.col("sqnorm_fp") * F.col("n") > 2 * F.col("total"))
+            | (2 * F.col("sqnorm_fp") * F.col("n") < F.col("total"))
+        ).alias("flagged"),
+    )

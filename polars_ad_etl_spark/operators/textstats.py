@@ -645,3 +645,60 @@ def text_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("keep", " ").alias("cleaned_text"),
         (F.size("toks") - F.size("keep")).cast("long").alias("n_removed"),
     )
+
+
+# ------------------------------------------------- char n-gram LM table
+# The training table behind real language-ID models (fastText-style char
+# n-grams): top character trigrams per language with counts. Window ranks
+# run over the (lang, trigram) AGGREGATE partitioned by lang — bounded per
+# partition, scale-safe.
+_CHAR_NGRAM_K = 20
+
+
+@register(
+    "text_char_trigram_table",
+    oracle=f"""
+    WITH grams AS (
+        SELECT lang,
+               unnest([substring(text, i, 3)
+                       for i in generate_series(1, length(text) - 2)]) AS g
+        FROM documents
+    ),
+    counts AS (
+        SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS n
+        FROM grams GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT lang, g, n,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, g) AS rnk
+        FROM counts
+    )
+    SELECT lang, g AS trigram, n, rnk
+    FROM ranked WHERE rnk <= {_CHAR_NGRAM_K}
+    """,
+)
+def text_char_trigram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-{_CHAR_NGRAM_K} character trigrams — the feature
+    table a char-n-gram language-ID model trains on. One explode + one
+    map-side-combinable count; the ranking window partitions by lang over
+    the aggregate."""
+    from pyspark.sql import Window as W
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("lang", "g").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.desc("n"), "g")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _CHAR_NGRAM_K)
+        .select("lang", F.col("g").alias("trigram"), "n", "rnk")
+    )
