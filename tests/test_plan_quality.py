@@ -513,3 +513,13 @@ def test_plan_audit_library_flags_and_passes(spark):
     good = l.groupBy("l_returnflag").agg(F.count("*").alias("n"))
     rep = assert_scalable(good)
     assert rep.n_scans >= 1 and not rep.global_windows
+
+
+def test_cep_single_shuffle_no_recursion(spark):
+    """The CEP match-instance query must execute as ONE user_id shuffle +
+    a JVM fold — never the oracle's recursive level-per-event join chain."""
+    plan = formatted_plan(QUERIES["events_cep_funnel_instances"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "Join" not in tree
+    assert tree.count("Scan parquet") == 1

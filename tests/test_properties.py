@@ -577,3 +577,38 @@ def test_oracle_compare_harness_detects_differences(spark):
     assert "columns differ" in compare(
         df, con, "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(k, w)"
     )
+
+
+def test_cep_greedy_nonoverlapping_semantics(spark):
+    """CEP fold semantics on a hand-built sequence: greedy leftmost
+    matching anchors each match at the FIRST view, intermediate repeats
+    are absorbed, and matches never overlap."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from polars_ad_etl_spark.operators.cep import _FOLD
+
+    events = [  # (ts_us, event_id, event_type)
+        (10, 1, "view"),
+        (20, 2, "view"),      # absorbed: already in state 1
+        (30, 3, "click"),
+        (40, 4, "purchase"),  # match 1: 10 -> 40 (anchored at FIRST view)
+        (50, 5, "purchase"),  # ignored: state 0
+        (60, 6, "view"),
+        (70, 7, "click"),
+        (80, 8, "click"),     # absorbed: already in state 2
+        (90, 9, "purchase"),  # match 2: 60 -> 90
+    ]
+    seq = [
+        {"ts_us": t, "event_id": i, "event_type": ty} for t, i, ty in events
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1], "seq": [seq]}),
+        schema="user_id long, seq array<struct<ts_us:bigint,event_id:bigint,event_type:string>>",
+    )
+    got = sorted(
+        (r.m.s, r.m.e)
+        for r in df.select(F.explode(F.expr(_FOLD)).alias("m")).collect()
+    )
+    assert got == [(10, 40), (60, 90)]
