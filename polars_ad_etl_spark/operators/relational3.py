@@ -1271,3 +1271,62 @@ def stats_mad_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mad_price"),
     )
+
+
+# -------------------------------------------- point-in-time feature join
+def _pit_oracle() -> str:
+    from polars_ad_etl_spark.operators.registry import ORACLES
+
+    return f"""
+    WITH scd AS ({ORACLES["events_user_value_bands_scd2"]}),
+    p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+    )
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+           s.band, s.version
+    FROM p JOIN scd s
+      ON p.user_id = s.user_id
+     AND p.ts >= s.valid_from AND p.ts <= s.valid_to
+    """
+
+
+@register("events_point_in_time_features", oracle=None)
+def events_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join — the feature-store op that
+    prevents training-serving skew: each purchase event is joined to the
+    SCD2 dimension version VALID AT ITS OWN TIMESTAMP (never a later
+    version = no feature leakage from the future). Equi join on user_id
+    with the validity-interval predicate as a post-join filter — the same
+    scale class as the attribution range join (the shuffle key is the
+    user, versions per user are few). The dimension side is the verified
+    ``events_user_value_bands_scd2`` output."""
+    e = load_events(spark, sf_dir)
+    p = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        "ts",
+    )
+    scd = events_user_value_bands_scd2(spark, sf_dir)
+    return (
+        p.join(
+            scd,
+            (F.col("p_user") == scd.user_id)
+            & (F.col("ts") >= scd.valid_from)
+            & (F.col("ts") <= scd.valid_to),
+        )
+        .select(
+            "purchase_id",
+            F.col("p_user").alias("user_id"),
+            "ts",
+            "band",
+            "version",
+        )
+    )
+
+
+from polars_ad_etl_spark.operators.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["events_point_in_time_features"] = _pit_oracle()
