@@ -3,11 +3,12 @@ BMP images, plus PNG header parsing — no PIL/librosa/pyav required.
 
 These back the real mode of the multimodal operators
 (``operators/multimodal.py``): the container ships no codec libraries, but
-WAV is fully parseable with ``wave`` + ``struct`` and BMP with ``struct``
-alone, and MP4/ISO-BMFF container *metadata* (mvhd/tkhd/mdat) is a pure
-length-prefixed box tree parseable with ``struct`` — so image, audio, and
-video-metadata pipelines are genuinely end-to-end executable. Only video
-frame-PIXEL decode remains the honest stub (it needs a real codec).
+WAV is fully parseable with ``wave`` + ``struct``, BMP with ``struct``
+alone, MP4/ISO-BMFF container *metadata* (mvhd/tkhd/mdat) is a pure
+length-prefixed box tree, uncompressed AVI carries DIB frame PIXELS in
+RIFF chunks, and GIF's LZW is implemented here in pure Python — so image,
+audio, video-metadata, AND video/animation frame-pixel pipelines are all
+genuinely end-to-end executable with no external codec.
 
 Reference parity note: the reference repo (pepsi-monster/polars-ad-etl) has
 no media path at all — this module exists for the training-data-pipeline
@@ -181,6 +182,8 @@ def sniff_media_container(blob: bytes) -> str:
         return "wav"
     if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
         return "avi"
+    if blob[:4] == b"GIF8":
+        return "gif"
     if blob[4:8] == b"ftyp":
         return "mp4"
     return "unknown"
@@ -445,3 +448,234 @@ def decode_mp4(blob: bytes) -> tuple[Mp4Meta, bytes]:
     if None in (timescale, duration, width, height):
         raise ValueError("missing mvhd/tkhd metadata")
     return Mp4Meta(width, height, timescale, duration), payload
+
+
+# --------------------------------------------------------------------- GIF
+# GIF89a with REAL LZW compression, pure Python — the second video/animation
+# format with full frame-PIXEL decode (AVI above is uncompressed; this one
+# exercises an actual compression codec round-trip). Global color table,
+# full-frame images, no interlace/transparency. LZW uses GIF's "late change"
+# code-size timing: the decoder grows its code size when its next slot hits
+# the current max; the encoder mirrors that one step later (its dictionary
+# is one entry ahead of the decoder at emit time), and both reset via an
+# explicit CLEAR when the 12-bit table fills.
+
+
+@dataclass(frozen=True)
+class GifMeta:
+    width: int
+    height: int
+    n_frames: int
+    delay_cs: int  # centiseconds per frame
+
+    @property
+    def duration_ms(self) -> int:
+        return self.n_frames * self.delay_cs * 10
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, size: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += size
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    bw = _BitWriter()
+
+    def reset():
+        return {(i,): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, code_size = reset()
+    bw.write(clear, code_size)
+    w: tuple[int, ...] = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        bw.write(table[w], code_size)
+        table[wk] = next_code
+        next_code += 1
+        # late change: the decoder's slot counter trails ours by one
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code == 4097:  # 12-bit table full -> explicit CLEAR
+            bw.write(clear, code_size)
+            table, next_code, code_size = reset()
+        w = (k,)
+    if w:
+        bw.write(table[w], code_size)
+    bw.write(end, code_size)
+    return bw.finish()
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = 0  # bit position
+
+    def read(size: int) -> int:
+        nonlocal pos
+        out = 0
+        for b in range(size):
+            byte = data[(pos + b) >> 3]
+            out |= ((byte >> ((pos + b) & 7)) & 1) << b
+        pos += size
+        return out
+
+    table: dict[int, tuple[int, ...]] = {}
+    code_size = min_code_size + 1
+    next_code = end + 1
+    prev: tuple[int, ...] | None = None
+    out: list[int] = []
+    total_bits = len(data) * 8
+    while pos + code_size <= total_bits:
+        code = read(code_size)
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            code_size = min_code_size + 1
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code] if code < clear else table[code]
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        elif code == next_code:
+            entry = prev + (prev[0],)
+            table[next_code] = entry
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > {next_code}")
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def _sub_blocks(payload: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    frames: list[list[tuple[int, int, int]]],
+    delay_cs: int = 10,
+) -> bytes:
+    """GIF89a encode: global color table from the union palette (<= 256
+    colors), one full-frame image per frame, real LZW compression."""
+    palette: list[tuple[int, int, int]] = []
+    index: dict[tuple[int, int, int], int] = {}
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError("frame pixel count != width*height")
+        for px in f:
+            if px not in index:
+                index[px] = len(palette)
+                palette.append(px)
+    if len(palette) > 256:
+        raise ValueError("more than 256 distinct colors")
+    depth = max(2, 1 << max(1, (len(palette) - 1).bit_length()))
+    gct_bits = depth.bit_length() - 1  # depth = 2^gct_bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack(
+        "<HHBBB", width, height, 0x80 | ((gct_bits - 1) & 7), 0, 0
+    )
+    for i in range(depth):
+        out += bytes(palette[i] if i < len(palette) else (0, 0, 0))
+    min_code = max(2, gct_bits)
+    for f in frames:
+        out += b"\x21\xf9" + bytes((4, 0)) + struct.pack("<H", delay_cs) + b"\0\0"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(min_code)
+        out += _sub_blocks(_lzw_encode([index[px] for px in f], min_code))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(blob: bytes) -> tuple[GifMeta, list[list[tuple[int, int, int]]]]:
+    """GIF89a/87a parse: global color table + per-frame LZW decode back to
+    row-major RGB pixels."""
+    if blob[:4] != b"GIF8":
+        raise ValueError("not a GIF (bad magic)")
+    width, height, packed, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    off = 13
+    palette: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        for i in range(n):
+            palette.append(tuple(blob[off + 3 * i : off + 3 * i + 3]))
+        off += 3 * n
+    frames: list[list[tuple[int, int, int]]] = []
+    delay_cs = 0
+    while off < len(blob):
+        marker = blob[off]
+        off += 1
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension
+            label = blob[off]
+            off += 1
+            if label == 0xF9:  # graphic control: read the frame delay
+                size = blob[off]
+                delay_cs = struct.unpack_from("<H", blob, off + 2)[0]
+            while True:  # skip sub-blocks
+                size = blob[off]
+                off += 1 + size
+                if size == 0:
+                    break
+            continue
+        if marker == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", blob, off)
+            off += 9
+            if ipacked & 0x80:
+                raise ValueError("local color tables not supported")
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            min_code = blob[off]
+            off += 1
+            data = bytearray()
+            while True:
+                size = blob[off]
+                off += 1
+                data += blob[off : off + size]
+                off += size
+                if size == 0:
+                    break
+            idx = _lzw_decode(bytes(data), min_code)
+            if len(idx) != w * h:
+                raise ValueError(
+                    f"frame decoded {len(idx)} pixels, expected {w * h}"
+                )
+            frames.append([palette[i] for i in idx])
+            continue
+        raise ValueError(f"unknown GIF block marker 0x{marker:02x} at {off - 1}")
+    return GifMeta(width, height, len(frames), delay_cs), frames

@@ -2,11 +2,12 @@
 with typed metadata, processed by Arrow-batched Pandas UDFs over
 ``mapInPandas``.
 
-Real mode (``fake=False``) genuinely decodes WAV audio and 24-bit BMP images
-with the stdlib-only codecs in ``operators/media_codecs.py`` (``wave`` +
-``struct`` — no PIL/librosa/pyav needed), so the audio+image pipelines are
-end-to-end executable in this container. Only video decode remains a
-clearly-marked NotImplementedError stub (no stdlib container parser exists).
+Real mode (``fake=False``) genuinely decodes WAV audio, 24-bit BMP images,
+uncompressed-DIB AVI video frames, and LZW-compressed GIF animation frames
+with the pure-Python codecs in ``operators/media_codecs.py`` (no
+PIL/librosa/pyav needed), so the audio+image+video pipelines are end-to-end
+executable in this container; MP4 contributes real container metadata
+(pixel decode there genuinely needs an external codec and raises loudly).
 Fake mode keeps the original deterministic byte-derived features for tests
 that don't care about codecs. Everything Spark-side is real and tested:
 schema (binary + metadata struct), partition-sized Arrow batches, UDF
@@ -194,16 +195,20 @@ def sample_frames(
 
         def real_frames(blob: bytes) -> list[bytes]:
             kind = mc.sniff_media_container(blob)
-            if kind != "avi":
+            if kind == "avi":
+                _meta, frames = mc.decode_avi(blob)
+            elif kind == "gif":
+                _meta, frames = mc.decode_gif(blob)
+            else:
                 raise NotImplementedError(
-                    f"real frame decode supports uncompressed AVI only "
-                    f"(stdlib struct); container {kind!r} needs a codec "
-                    "library (pyav) not present in this environment"
+                    f"real frame decode supports AVI and GIF (stdlib/pure "
+                    f"python); container {kind!r} needs a codec library "
+                    "(pyav) not present in this environment"
                 )
-            meta, frames = mc.decode_avi(blob)
-            picks = [i * meta.n_frames // n_frames for i in range(n_frames)]
+            total = len(frames)
+            picks = [i * total // n_frames for i in range(n_frames)]
             return [
-                bytes(ch for px in frames[min(p, meta.n_frames - 1)] for ch in px)
+                bytes(ch for px in frames[min(p, total - 1)] for ch in px)
                 for p in picks
             ]
 
@@ -372,6 +377,14 @@ def decode_real_media(media: DataFrame) -> DataFrame:
                     row["payload_sum"] = sum(
                         r + g + b for fr in frames for r, g, b in fr
                     )
+                elif kind == "gif":
+                    meta, frames = mc.decode_gif(blob)
+                    row["width"], row["height"] = meta.width, meta.height
+                    row["n_frames"] = meta.n_frames
+                    row["duration_ms"] = meta.duration_ms
+                    row["payload_sum"] = sum(
+                        r + g + b for fr in frames for r, g, b in fr
+                    )
                 else:
                     raise NotImplementedError(
                         f"unparseable container {kind!r} in real decode path"
@@ -513,3 +526,66 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_table(spark, sf_dir).select(
         "doc_id", "media_type", "n_bytes", "checksum"
     )
+
+
+@register(
+    "multimodal_gif_frames",
+    oracle="""
+    WITH fr AS (
+        SELECT doc_id,
+               unnest(generate_series(0, CAST(doc_id % 3 AS BIGINT)))
+                   AS frame_idx
+        FROM documents
+    )
+    SELECT doc_id, frame_idx,
+           2 + doc_id % 4 AS width,
+           1 + doc_id % 3 AS height,
+           1 + doc_id % 3 AS n_frames,
+           (1 + doc_id % 3) * 80 AS duration_ms,
+           (2 + doc_id % 4) * (1 + doc_id % 3)
+             * (  (doc_id * 5 + frame_idx * 17) % 256
+                + (doc_id * 9 + frame_idx * 3 ) % 256
+                + (doc_id * 2 + frame_idx * 11) % 256) AS frame_pixel_sum
+    FROM fr
+    """,
+)
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LZW round trip: synthesize genuine GIF89a animations
+    (global color table + real LZW-compressed frames) deterministically
+    from doc_id, decode every frame back through the pure-Python LZW
+    decoder, and emit one row per frame with its decoded pixel sum —
+    hash-checked against the synthesis arithmetic, so a single wrong bit
+    anywhere in the compressor/decompressor fails the driver gate. The
+    compressed sibling of ``multimodal_video_frames`` (uncompressed AVI)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id", "frame_idx", "width", "height",
+            "n_frames", "duration_ms", "frame_pixel_sum",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, n = 2 + d % 4, 1 + d % 3, 1 + d % 3
+                frames = [
+                    [((d * 5 + f * 17) % 256, (d * 9 + f * 3) % 256,
+                      (d * 2 + f * 11) % 256)] * (w * h)
+                    for f in range(n)
+                ]
+                blob = mc.encode_gif(w, h, frames, delay_cs=8)
+                meta, decoded = mc.decode_gif(blob)
+                for f, pixels in enumerate(decoded):
+                    out["doc_id"].append(d)
+                    out["frame_idx"].append(f)
+                    out["width"].append(meta.width)
+                    out["height"].append(meta.height)
+                    out["n_frames"].append(meta.n_frames)
+                    out["duration_ms"].append(meta.duration_ms)
+                    out["frame_pixel_sum"].append(
+                        sum(r + g + b for r, g, b in pixels)
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(op, schema=VIDEO_FRAME_SCHEMA)

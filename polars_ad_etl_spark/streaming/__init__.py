@@ -10,6 +10,7 @@ from polars_ad_etl_spark.streaming.events import (
     daily_active_users_stream,
     daily_active_users_approx_stream,
     spend_alerts_stream,
+    cep_funnel_stream,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "user_totals_stream",
     "dedup_events_stream",
     "spend_alerts_stream",
+    "cep_funnel_stream",
 ]

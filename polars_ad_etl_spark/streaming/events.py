@@ -353,3 +353,61 @@ def spend_alerts_stream(events: DataFrame, threshold: float = 100.0) -> DataFram
             timeMode="None",
         )
     )
+
+
+def cep_funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``events_cep_funnel_instances``: the
+    same greedy view->click->purchase automaton held in per-user keyed
+    state (``applyInPandasWithState``), emitting one row per completed
+    match instance as the stream advances.
+
+    Ordering contract: the automaton consumes each micro-batch's rows for
+    a user sorted by (ts, event_id); correctness across batches requires
+    event-time-ordered delivery (single ordered source here — in
+    production, buffer within the watermark horizon and sort on expiry via
+    a transformWithState timer before folding). State is three scalars per
+    user and never grows with the stream."""
+    import pandas as pd  # local import: only the stateful path needs it
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.exists:
+            st, start = state.get
+        else:
+            st, start = 0, 0
+        out_s, out_e = [], []
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        epoch = pd.Timestamp("1970-01-01")
+        for ts, etype in zip(rows["ts"], rows["event_type"]):
+            ts_us = (ts - epoch) // pd.Timedelta(microseconds=1)
+            if st == 0 and etype == "view":
+                st, start = 1, ts_us
+            elif st == 1 and etype == "click":
+                st = 2
+            elif st == 2 and etype == "purchase":
+                out_s.append(start)
+                out_e.append(ts_us)
+                st, start = 0, 0
+        state.update((st, start))
+        if out_s:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_s),
+                    "match_start_us": out_s,
+                    "match_end_us": out_e,
+                    "duration_us": [e - s for s, e in zip(out_s, out_e)],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, match_start_us long, match_end_us long,"
+            " duration_us long"
+        ),
+        stateStructType="state int, start_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

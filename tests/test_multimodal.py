@@ -450,3 +450,98 @@ def test_mp4_roundtrip_property():
         assert got == payload
 
     check()
+
+
+def test_gif_lzw_roundtrip_property():
+    """Property: random-noise frames (crossing several LZW code-size
+    boundaries) survive the pure-Python GIF LZW encode/decode exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    from polars_ad_etl_spark.operators import media_codecs as mc
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 16),
+        n=st.integers(1, 3),
+        ncolors=st.integers(1, 16),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, n, ncolors, seed):
+        import random
+
+        rnd = random.Random(seed)
+        palette = [
+            (rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+            for _ in range(ncolors)
+        ]
+        frames = [
+            [palette[rnd.randrange(ncolors)] for _ in range(w * h)]
+            for _ in range(n)
+        ]
+        meta, got = mc.decode_gif(mc.encode_gif(w, h, frames, delay_cs=5))
+        assert (meta.width, meta.height, meta.n_frames) == (w, h, n)
+        assert got == frames
+
+    check()
+
+
+def test_gif_large_noise_crosses_code_size_boundaries():
+    """A 64x64 256-color noise frame forces the LZW dictionary through
+    multiple code-size increments (and exercises long chains)."""
+    import random
+
+    from polars_ad_etl_spark.operators import media_codecs as mc
+
+    rnd = random.Random(12)
+    w = h = 64
+    frames = [
+        [(rnd.randrange(256), 0, 0) for _ in range(w * h)],
+        [(rnd.randrange(256), 0, 0) for _ in range(w * h)],
+    ]
+    # palette stays <= 256 (red channel only) while 8k pixels push the
+    # dictionary through every code size up to 12 bits
+    colors = {px for f in frames for px in f}
+    assert len(colors) <= 256
+    meta, got = mc.decode_gif(mc.encode_gif(w, h, frames))
+    assert got == frames
+
+
+def test_gif_corrupt_raises():
+    import pytest as _pytest
+
+    from polars_ad_etl_spark.operators import media_codecs as mc
+
+    blob = mc.encode_gif(2, 2, [[(1, 2, 3)] * 4])
+    with _pytest.raises(ValueError):
+        mc.decode_gif(b"NOTAGIF!")
+    with _pytest.raises(ValueError):
+        mc.encode_gif(2, 2, [[(1, 2, 3)] * 3])  # wrong pixel count
+
+
+def test_sample_frames_real_mode_decodes_gif(spark):
+    """Real-mode frame sampling decodes genuine GIF containers too."""
+    import pandas as pd
+
+    from polars_ad_etl_spark.operators import media_codecs as mc
+    from polars_ad_etl_spark.operators.multimodal import sample_frames
+
+    w, h = 3, 2
+    frames = [[(f * 30, 255 - f * 30, f)] * (w * h) for f in range(4)]
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [9],
+                "media_type": ["video"],
+                "blob": [mc.encode_gif(w, h, frames)],
+            }
+        )
+    )
+    rows = sorted(
+        sample_frames(media, n_frames=2, fake=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    # even sampling over 4 source frames -> source indices 0, 2
+    for out_idx, src in zip(range(2), (0, 2)):
+        want = bytes(ch for px in frames[src] for ch in px)
+        assert bytes(rows[out_idx].frame_blob) == want

@@ -447,3 +447,16 @@ def test_stream_incremental_agg_exactly_once(spark, tmp_path):
 
     compact_agg_deltas(spark, store, ["event_type"])
     assert totals() == batch
+
+
+def test_cep_funnel_stream_matches_batch(spark):
+    """The keyed-state streaming CEP automaton must emit exactly the batch
+    recursive-CTE/fold query's match instances when the stream drains."""
+    from polars_ad_etl_spark.streaming import cep_funnel_stream
+
+    stream = read_events_stream(spark, SF_DIR)
+    _run_to_completion(cep_funnel_stream(stream), "cep_out", mode="append")
+    got = _sorted_rows(spark.sql("SELECT * FROM cep_out"))
+    want = _sorted_rows(QUERIES["events_cep_funnel_instances"](spark, SF_DIR))
+    assert got == want
+    assert got, "no match instances emitted"
