@@ -160,11 +160,13 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_png_header(blob: bytes) -> PngMeta:
-    """Parse the IHDR chunk of a PNG (dimensions + depth). Full pixel decode
-    needs zlib inflate of filtered scanlines — header metadata is what the
-    pipeline consumes, and it is genuinely parsed, not faked."""
+    """Parse the IHDR chunk of a PNG (dimensions + depth); the full pixel
+    decode (zlib inflate + scanline de-filtering) lives in
+    :func:`decode_png` below."""
     if blob[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG (bad magic)")
+    if len(blob) < 33:  # magic + complete IHDR chunk
+        raise ValueError("truncated PNG (incomplete IHDR)")
     length, ctype = struct.unpack_from(">I4s", blob, 8)
     if ctype != b"IHDR" or length != 13:
         raise ValueError("PNG missing IHDR as first chunk")
@@ -679,3 +681,138 @@ def decode_gif(blob: bytes) -> tuple[GifMeta, list[list[tuple[int, int, int]]]]:
             continue
         raise ValueError(f"unknown GIF block marker 0x{marker:02x} at {off - 1}")
     return GifMeta(width, height, len(frames), delay_cs), frames
+
+
+# ----------------------------------------------------------- PNG (pixels)
+# Full truecolor PNG decode — zlib inflate IS stdlib, so the only real work
+# is scanline de-filtering (None/Sub/Up/Average/Paeth). The encoder can
+# emit any of the five filters per row; the decoder reverses all of them —
+# encoding the same image under every filter and getting identical pixels
+# back is the internal-consistency proof the tests run. 8-bit RGB (color
+# type 2), no interlace, no palette.
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: list[tuple[int, int, int]],
+    filter_type: int = 0,
+) -> bytes:
+    """Truecolor 8-bit PNG encode with the chosen per-row filter (0-4) and
+    real zlib compression. ``pixels`` is row-major top-down."""
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError("pixel count != width*height")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"invalid filter {filter_type}")
+    bpp = 3
+    raw = bytearray()
+    prev_row = bytes(width * bpp)
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(pixels[y * width + x])
+        filt = bytearray([filter_type])
+        for i in range(len(row)):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev_row[i]
+            c = prev_row[i - bpp] if i >= bpp else 0
+            if filter_type == 0:
+                v = row[i]
+            elif filter_type == 1:
+                v = (row[i] - a) & 0xFF
+            elif filter_type == 2:
+                v = (row[i] - b) & 0xFF
+            elif filter_type == 3:
+                v = (row[i] - ((a + b) >> 1)) & 0xFF
+            else:
+                v = (row[i] - _paeth(a, b, c)) & 0xFF
+            filt.append(v)
+        raw += filt
+        prev_row = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> tuple[PngMeta, list[tuple[int, int, int]]]:
+    """Full truecolor PNG decode: inflate IDAT, reverse per-row filters,
+    return row-major top-down RGB pixels."""
+    import zlib
+
+    meta = decode_png_header(blob)
+    if meta.bit_depth != 8 or meta.color_type != 2:
+        raise ValueError(
+            f"only 8-bit truecolor supported (depth={meta.bit_depth}, "
+            f"color_type={meta.color_type})"
+        )
+    interlace = blob[16 + 12]
+    if interlace:
+        raise ValueError("interlaced PNG not supported")
+    idat = bytearray()
+    off = 8
+    while off + 8 <= len(blob):
+        length, tag = struct.unpack_from(">I4s", blob, off)
+        body = blob[off + 8 : off + 8 + length]
+        if tag == b"IDAT":
+            idat += body
+        off += 12 + length
+        if tag == b"IEND":
+            break
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = meta.width * bpp
+    if len(raw) != meta.height * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out: list[tuple[int, int, int]] = []
+    prev = bytearray(stride)
+    pos = 0
+    for _y in range(meta.height):
+        ftype = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + stride])
+        pos += stride
+        for i in range(stride):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pass
+            elif ftype == 1:
+                row[i] = (row[i] + a) & 0xFF
+            elif ftype == 2:
+                row[i] = (row[i] + b) & 0xFF
+            elif ftype == 3:
+                row[i] = (row[i] + ((a + b) >> 1)) & 0xFF
+            elif ftype == 4:
+                row[i] = (row[i] + _paeth(a, b, c)) & 0xFF
+            else:
+                raise ValueError(f"unknown PNG filter {ftype}")
+        for x in range(meta.width):
+            out.append(tuple(row[x * bpp : x * bpp + bpp]))
+        prev = row
+    return meta, out

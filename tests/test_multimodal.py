@@ -545,3 +545,63 @@ def test_sample_frames_real_mode_decodes_gif(spark):
     for out_idx, src in zip(range(2), (0, 2)):
         want = bytes(ch for px in frames[src] for ch in px)
         assert bytes(rows[out_idx].frame_blob) == want
+
+
+def test_png_full_roundtrip_all_filters_property():
+    """Property: random truecolor images survive encode/decode under EVERY
+    scanline filter (None/Sub/Up/Average/Paeth) — five independent
+    encodings of the same image must all decode identically."""
+    from hypothesis import given, settings, strategies as st
+
+    from polars_ad_etl_spark.operators import media_codecs as mc
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 10),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, seed):
+        import random
+
+        rnd = random.Random(seed)
+        pixels = [
+            (rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+            for _ in range(w * h)
+        ]
+        for ft in range(5):
+            meta, got = mc.decode_png(mc.encode_png(w, h, pixels, filter_type=ft))
+            assert (meta.width, meta.height) == (w, h), ft
+            assert got == pixels, ft
+
+    check()
+
+
+def test_png_corrupt_and_unsupported_raise():
+    import pytest as _pytest
+
+    from polars_ad_etl_spark.operators import media_codecs as mc
+
+    with _pytest.raises(ValueError):
+        mc.encode_png(2, 2, [(0, 0, 0)] * 3)  # wrong pixel count
+    with _pytest.raises(ValueError):
+        mc.encode_png(2, 2, [(0, 0, 0)] * 4, filter_type=9)
+    blob = mc.encode_png(2, 2, [(1, 2, 3)] * 4)
+    with _pytest.raises(ValueError):
+        mc.decode_png(blob[:20])  # truncated
+
+
+def test_decode_media_real_png_and_gif():
+    """Real-mode feature extraction consumes full PNG pixels and GIF
+    frames now (not just headers)."""
+    from polars_ad_etl_spark.operators import media_codecs as mc
+    from polars_ad_etl_spark.operators.multimodal import FEATURE_DIM, decode_media
+
+    png = mc.encode_png(5, 4, [(120, 120, 120)] * 20, filter_type=4)
+    feats = decode_media(png, "image", fake=False)
+    assert len(feats) == FEATURE_DIM
+    assert all(abs(f - 120 / 255.0) < 1e-9 for f in feats)
+
+    gif = mc.encode_gif(4, 3, [[(60, 60, 60)] * 12] * 2)
+    feats = decode_media(gif, "video", fake=False)
+    assert all(abs(f - 60 / 255.0) < 1e-9 for f in feats)
