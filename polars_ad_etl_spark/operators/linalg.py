@@ -237,3 +237,58 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (2 * F.col("sqnorm_fp") * F.col("n") < F.col("total"))
         ).alias("flagged"),
     )
+
+
+# ------------------------------------------- per-dimension variance share
+@register(
+    "embedding_variance_by_dim",
+    oracle=f"""
+    WITH q AS (SELECT {_QUANT_DUCK} AS qv FROM embeddings),
+    d AS (
+        SELECT i.i AS dim, q.qv[i.i + 1] AS qx
+        FROM q, generate_series(0, {DIM - 1}) i(i)
+    ),
+    agg AS (
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qx) AS BIGINT) AS sum_x,
+               CAST(SUM(qx * qx) AS BIGINT) AS sum_xx
+        FROM d GROUP BY dim
+    ),
+    var AS (
+        SELECT dim, n, n * sum_xx - sum_x * sum_x AS var_num FROM agg
+    )
+    SELECT dim, var_num,
+           (1000 * var_num)
+               // (SELECT CAST(SUM(var_num) AS BIGINT) FROM var)
+               AS share_permille
+    FROM var
+    """,
+)
+def embedding_variance_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension exact variance (integer numerator n·Σx² − (Σx)²) and
+    its permille share of total variance — the diagnostic that tells you
+    which matryoshka prefix keeps how much signal and whether any
+    dimension is dead (share 0) or dominant. One explode to (dim, value),
+    map-side-combinable sums, a broadcast 1-row total."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = e.select(
+        F.posexplode(F.expr(_QUANT)).alias("dim", "qx")
+    ).withColumn("dim", F.col("dim").cast("long"))
+    agg = d.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("qx").alias("sum_x"),
+        F.sum(F.col("qx") * F.col("qx")).alias("sum_xx"),
+    )
+    var = agg.select(
+        "dim",
+        (F.col("n") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")).alias(
+            "var_num"
+        ),
+    )
+    tot = var.agg(F.sum("var_num").alias("total"))
+    return var.crossJoin(F.broadcast(tot)).select(
+        "dim",
+        "var_num",
+        F.expr("(1000 * var_num) div total").alias("share_permille"),
+    )

@@ -660,3 +660,110 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         op,
         schema="doc_id long, width long, height long, filter_type long, pixel_sum long",
     )
+
+
+@register(
+    "multimodal_image_histogram",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               unnest(generate_series(0,
+                   CAST((4 + doc_id % 5) * (3 + doc_id % 4) - 1 AS BIGINT)))
+                   AS i
+        FROM documents
+    ),
+    luma AS (
+        SELECT doc_id,
+               (  (doc_id * 7 + i * 11) % 256
+                + (doc_id * 3 + i * 19) % 256
+                + (doc_id * 5 + i * 2 ) % 256) // 3 AS y
+        FROM px
+    )
+    SELECT doc_id, y // 32 AS bin, CAST(COUNT(*) AS BIGINT) AS n_pixels
+    FROM luma
+    GROUP BY doc_id, y // 32
+    """,
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image 8-bin luma histogram computed from GENUINELY DECODED
+    pixels: synthesize a position-varying BMP per document, decode it with
+    the stdlib codec, bin mean-luma — the image-statistics feature stage
+    (exposure/contrast QC) running on real codec output, hash-checked
+    against the synthesis arithmetic. mapInPandas emits (doc, bin, count)
+    rows; the aggregate after it is map-side combinable."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "bin": [], "n_pixels": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 3 + d % 4
+                pixels_in = [
+                    ((d * 7 + i * 11) % 256, (d * 3 + i * 19) % 256,
+                     (d * 5 + i * 2) % 256)
+                    for i in range(w * h)
+                ]
+                _meta, pixels = mc.decode_bmp(mc.encode_bmp(w, h, pixels_in))
+                counts: dict[int, int] = {}
+                for r, g, b in pixels:
+                    bin_ = ((r + g + b) // 3) // 32
+                    counts[bin_] = counts.get(bin_, 0) + 1
+                for bin_, n in counts.items():
+                    out["doc_id"].append(d)
+                    out["bin"].append(bin_)
+                    out["n_pixels"].append(n)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        op, schema="doc_id long, bin long, n_pixels long"
+    )
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH sm AS (
+        SELECT doc_id,
+               unnest(generate_series(0,
+                   CAST(63 + doc_id % 64 AS BIGINT))) AS i
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, i,
+               ((doc_id * 7 + i * 13) % 2048) - 1024 AS amp
+        FROM sm
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(amp * amp) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN amp >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonneg
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction on genuinely decoded PCM: synthesize a
+    deterministic varying waveform per document, WAV-encode + decode it,
+    and emit exact integer energy (sum of squared samples) and sign
+    statistics — the RMS/silence-detection stage on real codec output."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "energy": [], "n_nonneg": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 64 + d % 64
+                samples = [((d * 7 + i * 13) % 2048) - 1024 for i in range(n)]
+                _meta, got = mc.decode_wav(mc.encode_wav(samples, 16000))
+                out["doc_id"].append(d)
+                out["n_samples"].append(len(got))
+                out["energy"].append(sum(s * s for s in got))
+                out["n_nonneg"].append(sum(1 for s in got if s >= 0))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        op,
+        schema="doc_id long, n_samples long, energy long, n_nonneg long",
+    )
