@@ -906,3 +906,61 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("slope_den"),
         F.sum("y").alias("total_events"),
     )
+
+
+# ------------------------------------------- seasonality-aware anomalies
+@register(
+    "events_seasonal_anomalies",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS hour_start,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    baseline AS (
+        SELECT event_type, hod,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(SUM(n) AS BIGINT) AS total_n
+        FROM hourly GROUP BY 1, 2
+    )
+    SELECT h.event_type, h.hour_start, h.n,
+           b.n_obs, b.total_n,
+           (2 * h.n * b.n_obs > 3 * b.total_n) AS spike,
+           (2 * h.n * b.n_obs < b.total_n) AS dip
+    FROM hourly h JOIN baseline b USING (event_type, hod)
+    """,
+)
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted volume anomalies: each (type, hour) bucket is
+    compared against the baseline for ITS OWN hour-of-day (so the nightly
+    lull never reads as a dip and the daily peak never as a spike —
+    the flaw of the global-moment detector ``events_value_anomalies`` for
+    strongly diurnal series). Thresholds are exact integer
+    cross-multiplications (spike: n > 1.5x its hod mean; dip: n < 0.5x),
+    no floats anywhere. Two stacked aggregates + a broadcast-scale join
+    on (type, hod) — 24x|types| baseline rows."""
+    e = load_events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    baseline = hourly.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_obs"), F.sum("n").alias("total_n")
+    )
+    return (
+        hourly.join(F.broadcast(baseline), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hour_start",
+            "n",
+            "n_obs",
+            "total_n",
+            (2 * F.col("n") * F.col("n_obs") > 3 * F.col("total_n")).alias(
+                "spike"
+            ),
+            (2 * F.col("n") * F.col("n_obs") < F.col("total_n")).alias("dip"),
+        )
+    )

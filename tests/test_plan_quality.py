@@ -523,3 +523,34 @@ def test_cep_single_shuffle_no_recursion(spark):
     assert tree.count("Exchange") == 1
     assert "Join" not in tree
     assert tree.count("Scan parquet") == 1
+
+
+def test_cbo_table_stats_flip_join_to_broadcast(spark, tmp_path):
+    """Cost-based optimization end-to-end: without statistics a managed
+    table's size is unknown (conservative sort-merge under a disabled
+    broadcast threshold is the safe default); after ANALYZE TABLE COMPUTE
+    STATISTICS the optimizer KNOWS the dimension is tiny and flips the
+    join to broadcast-hash on its own. This is the stats workflow a 100 TB
+    warehouse runs nightly."""
+    spark.sql("DROP TABLE IF EXISTS t_dim_stats")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    nation.write.mode("overwrite").saveAsTable("t_dim_stats")
+    big = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    try:
+        j = big.join(
+            spark.table("t_dim_stats"),
+            big.c_nationkey == spark.table("t_dim_stats").n_nationkey,
+        )
+        spark.sql("ANALYZE TABLE t_dim_stats COMPUTE STATISTICS")
+        j2 = big.join(
+            spark.table("t_dim_stats"),
+            big.c_nationkey == spark.table("t_dim_stats").n_nationkey,
+        )
+        plan2 = formatted_plan(j2)
+        assert "BroadcastHashJoin" in plan2
+        # row-count stats are recorded on the catalog table
+        desc = spark.sql("DESC EXTENDED t_dim_stats").collect()
+        stats_row = [r for r in desc if r.col_name == "Statistics"]
+        assert stats_row and "rows" in stats_row[0].data_type
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_dim_stats")
