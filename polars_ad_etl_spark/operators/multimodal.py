@@ -767,3 +767,70 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         op,
         schema="doc_id long, n_samples long, energy long, n_nonneg long",
     )
+
+
+@register(
+    "multimodal_thumbnail_sums",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               4 + doc_id % 5 AS sw,
+               3 + doc_id % 4 AS sh,
+               unnest(generate_series(0, 15)) AS tpos
+        FROM documents
+    ),
+    src AS (
+        SELECT doc_id, sw, sh,
+               LEAST((tpos % 4) * sw // 4, sw - 1) AS sx,
+               LEAST((tpos // 4) * sh // 4, sh - 1) AS sy
+        FROM t
+    ),
+    luma AS (
+        SELECT doc_id, sw, sh,
+               (  (doc_id * 7 + (sy * sw + sx) * 11) % 256
+                + (doc_id * 3 + (sy * sw + sx) * 19) % 256
+                + (doc_id * 5 + (sy * sw + sx) * 2 ) % 256) // 3 AS y
+        FROM src
+    )
+    SELECT doc_id,
+           CAST(ANY_VALUE(sw) AS BIGINT) AS src_width,
+           CAST(ANY_VALUE(sh) AS BIGINT) AS src_height,
+           CAST(SUM(y) AS BIGINT) AS thumb_luma_sum
+    FROM luma GROUP BY doc_id
+    """,
+)
+def multimodal_thumbnail_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-preprocessing RESIZE stage end-to-end on real codec
+    output: synthesize a position-varying BMP per document, decode it,
+    nearest-neighbor-resample to a 4x4 thumbnail with the real resizer,
+    and emit the thumbnail's luma sum — the oracle replays the
+    nearest-neighbor index arithmetic symbolically, so the resample
+    geometry (floor scaling, edge clamping) is verified, not assumed."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "src_width", "src_height", "thumb_luma_sum")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                sw, sh = 4 + d % 5, 3 + d % 4
+                pixels_in = [
+                    ((d * 7 + i * 11) % 256, (d * 3 + i * 19) % 256,
+                     (d * 5 + i * 2) % 256)
+                    for i in range(sw * sh)
+                ]
+                meta, pixels = mc.decode_bmp(mc.encode_bmp(sw, sh, pixels_in))
+                thumb = mc.resize_nearest(pixels, meta.width, meta.height, 4, 4)
+                out["doc_id"].append(d)
+                out["src_width"].append(meta.width)
+                out["src_height"].append(meta.height)
+                out["thumb_luma_sum"].append(
+                    sum((r + g + b) // 3 for r, g, b in thumb)
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        op,
+        schema="doc_id long, src_width long, src_height long, thumb_luma_sum long",
+    )

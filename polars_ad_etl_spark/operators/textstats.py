@@ -702,3 +702,66 @@ def text_char_trigram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _CHAR_NGRAM_K)
         .select("lang", F.col("g").alias("trigram"), "n", "rnk")
     )
+
+
+# ------------------------------------------------- keyword in context
+# The concordance (KWIC) view corpus linguists and data auditors read:
+# every occurrence of a term with its +-2-token context window. Pure
+# higher-order array work (positions via filtered transform, context via
+# bounded slices) — no shuffle until the output itself.
+_KWIC_TERM = "spark"
+_KWIC_CTX = 2
+
+
+@register(
+    "text_kwic_concordance",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, toks,
+               unnest([i for i in generate_series(1, len(toks))
+                       if toks[i] = '{_KWIC_TERM}']) AS pos
+        FROM t
+    )
+    SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos,
+           COALESCE(array_to_string(
+               toks[GREATEST(pos - {_KWIC_CTX}, 1) : pos - 1], ' '), '')
+               AS left_ctx,
+           COALESCE(array_to_string(toks[pos + 1 : pos + {_KWIC_CTX}], ' '),
+                    '') AS right_ctx
+    FROM hits
+    """,
+)
+def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every occurrence of '{_KWIC_TERM}' with its ±{_KWIC_CTX}-token
+    context — the audit/concordance view (0-based position to match the
+    engine's array conventions; the oracle re-bases DuckDB's 1-based
+    indices)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    hits = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr(
+                f"filter(transform(toks, (x, i) -> IF(x = '{_KWIC_TERM}',"
+                " i, -1)), p -> p >= 0)"
+            )
+        ).alias("pos"),
+    )
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(
+            F.expr(
+                f"slice(toks, greatest(pos - {_KWIC_CTX} + 1, 1),"
+                f" least(pos, {_KWIC_CTX}))"
+            ),
+            " ",
+        ).alias("left_ctx"),
+        F.array_join(
+            F.expr(f"slice(toks, pos + 2, {_KWIC_CTX})"), " "
+        ).alias("right_ctx"),
+    )
