@@ -1330,3 +1330,49 @@ def events_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame
 from polars_ad_etl_spark.operators.registry import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["events_point_in_time_features"] = _pit_oracle()
+
+
+# ----------------------------------------------------- fulfillment lags
+@register(
+    "orders_shipping_lag_percentiles",
+    oracle="""
+    WITH lags AS (
+        SELECT o_orderpriority,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) AS ship_lag
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(MIN(ship_lag) AS BIGINT) AS ship_lag_min,
+           round(quantile_cont(ship_lag, 0.5), 4) AS ship_lag_p50,
+           round(quantile_cont(ship_lag, 0.95), 4) AS ship_lag_p95,
+           CAST(MAX(ship_lag) AS BIGINT) AS ship_lag_max
+    FROM lags
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_shipping_lag_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fulfillment SLA report: per-priority min/median/p95/max of the
+    order->ship day lag — the supply-chain latency profile. Day diffs are
+    tz-free date arithmetic; percentiles use the established
+    exact-interpolation + round(4) cross-engine contract."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lags = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("ship_lag"),
+    )
+    return lags.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.min("ship_lag").cast("long").alias("ship_lag_min"),
+        F.round(F.percentile("ship_lag", 0.5), 4).alias("ship_lag_p50"),
+        F.round(F.percentile("ship_lag", 0.95), 4).alias("ship_lag_p95"),
+        F.max("ship_lag").cast("long").alias("ship_lag_max"),
+    )
