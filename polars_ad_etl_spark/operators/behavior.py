@@ -964,3 +964,34 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * F.col("n") * F.col("n_obs") < F.col("total_n")).alias("dip"),
         )
     )
+
+
+# ------------------------------------------------------- activity heatmap
+@register(
+    "events_dow_hour_heatmap",
+    oracle="""
+    SELECT event_type,
+           CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The activity heatmap behind every ops dashboard: event and distinct
+    user counts per (type, ISO day-of-week, hour-of-day). Extraction is
+    tz-free wall-clock field math on the NTZ timestamps; output is the
+    bounded |types|x7x24 grid. Spark's dayofweek is Sunday=1, so the ISO
+    value is derived arithmetically to match the oracle."""
+    e = load_events(spark, sf_dir)
+    iso_dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("long")
+    return e.groupBy(
+        "event_type",
+        iso_dow.alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

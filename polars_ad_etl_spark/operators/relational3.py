@@ -1376,3 +1376,50 @@ def orders_shipping_lag_percentiles(
         F.round(F.percentile("ship_lag", 0.95), 4).alias("ship_lag_p95"),
         F.max("ship_lag").cast("long").alias("ship_lag_max"),
     )
+
+
+# ----------------------------------------------------- trade flow matrix
+@register(
+    "nation_trade_flow_matrix",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def nation_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full supplier-nation x customer-nation revenue flow matrix —
+    q7's generalization with no pair filter (the Sankey/trade-balance
+    input). Both nation roles broadcast; supplier/customer join via AQE
+    stats; output is the bounded |nations|² matrix."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )

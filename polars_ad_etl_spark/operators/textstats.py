@@ -765,3 +765,60 @@ def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"slice(toks, pos + 2, {_KWIC_CTX})"), " "
         ).alias("right_ctx"),
     )
+
+
+# ------------------------------------------------- vocabulary growth curve
+@register(
+    "text_vocab_growth_by_source",
+    oracle=f"""
+    WITH first_seen AS (
+        SELECT source, tok, MIN(doc_id) AS first_doc
+        FROM (
+            SELECT source, doc_id, unnest({tokens_sql('text')}) AS tok
+            FROM documents
+        )
+        GROUP BY source, tok
+    ),
+    new_per_doc AS (
+        SELECT source, first_doc AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS new_tokens
+        FROM first_seen GROUP BY 1, 2
+    )
+    SELECT source, doc_id, new_tokens,
+           CAST(SUM(new_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+    FROM new_per_doc
+    """,
+)
+def text_vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth per ingest source: how many NEW token
+    types each document contributes (first-seen aggregation on
+    (source, token) — the same scale-safe first-occurrence pattern as
+    cumulative distinct users) and the running vocabulary size. The
+    cumulative window PARTITIONS BY source over the per-doc aggregate —
+    parallel across sources, never a global sort. The curve's flattening
+    point is the dedup/quality signal (a source whose vocabulary keeps
+    growing linearly is noisy or adversarial)."""
+    from pyspark.sql import Window as W
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(
+        "source", "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    first_seen = toks.groupBy("source", "tok").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    new_per_doc = first_seen.groupBy(
+        "source", F.col("first_doc").alias("doc_id")
+    ).agg(F.count("*").alias("new_tokens"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return new_per_doc.select(
+        "source",
+        "doc_id",
+        "new_tokens",
+        F.sum("new_tokens").over(w).alias("vocab_size"),
+    )
