@@ -131,3 +131,34 @@ def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(
         pairs.selectExpr("doc_a AS a", "doc_b AS b")
     ).select(F.col("node").alias("doc_id"), "pagerank_fp")
+
+
+# ------------------------------------------------- degree distribution
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH pairs AS ({_lsh_pairs_oracle()}),
+    edges AS (
+        SELECT doc_a AS src FROM pairs WHERE doc_a <> doc_b
+        UNION ALL
+        SELECT doc_b FROM pairs WHERE doc_a <> doc_b
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup candidate graph — the structural
+    QC companion to the triangle census and PageRank: a power-law tail
+    here means template hubs (salt candidates for the CC contraction), a
+    flat spectrum means well-separated duplicate pairs. Two stacked
+    map-side-combinable aggregates over the pair list."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("doc_a") != F.col("doc_b")
+    )
+    edges = pairs.select(F.col("doc_a").alias("src")).unionByName(
+        pairs.select(F.col("doc_b").alias("src"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))

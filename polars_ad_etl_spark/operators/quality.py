@@ -685,3 +685,36 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         "top_lang",
     )
+
+
+# ------------------------------------------------ length distribution
+@register(
+    "curation_length_histogram",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, len({tokens_sql('text')}) AS n_tokens FROM documents
+    )
+    SELECT source, (n_tokens // 10) * 10 AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+    FROM t
+    GROUP BY source, (n_tokens // 10) * 10
+    """,
+)
+def curation_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram per ingest source (10-token buckets) — the
+    length-filter tuning input (where do the truncation artifacts and
+    boilerplate stubs cluster?). One tokenize pass, one map-side-
+    combinable aggregate on the bounded (source, bucket) grid."""
+    t = _docs(spark, sf_dir).select(
+        "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return t.groupBy(
+        "source",
+        (F.floor(F.col("n_tokens") / 10) * 10).cast("long").alias(
+            "bucket_start"
+        ),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bucket_tokens"),
+    )
