@@ -1,0 +1,158 @@
+"""Concentration / inequality statistics — exact integer formulations.
+
+Gini coefficients and Gini-Simpson diversity indexes are the standard
+concentration diagnostics for a curation pipeline (is one source dominating
+the corpus? is a user's behavior monocultural?) and for revenue analytics
+(balance concentration per market). Both are computed here in *exact
+integer* arithmetic (cents / counts, permille outputs) so the DuckDB oracle
+hash-matches bit-for-bit — the same determinism rule as ``functions.exact``.
+
+Scale notes:
+- Gini needs a rank within each group. The window is PARTITIONED by the
+  group key (nation), never global; with ~25 nations a per-nation sort is
+  the right plan up to billions of customers per nation (the sort is
+  spillable and per-partition). If a single group ever outgrows a task, the
+  two-level bucketed-cumsum rank (``curation.py::curation_packed_sequences``)
+  is the drop-in replacement — same closed form, no per-group sort.
+- Simpson is two map-side-combinable aggregations (groupBy(user, type) then
+  groupBy(user)); no window, no skew hazard beyond the user key itself.
+
+Reference parity note: the reference repo has no statistics surface
+(SURVEY §2.8); this module is part of the Spark-native extension layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from polars_ad_etl_spark.operators.registry import register
+from polars_ad_etl_spark.sources.star import load_events
+
+
+@register(
+    "stats_gini_by_nation",
+    oracle="""
+    WITH cents AS (
+        SELECT c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+               c_custkey
+        FROM customer
+        WHERE c_acctbal > 0
+    ), ranked AS (
+        SELECT c_nationkey, cents,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY cents, c_custkey) AS r
+        FROM cents
+    ), agg AS (
+        SELECT c_nationkey,
+               COUNT(*) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(SUM(r * cents) AS BIGINT) AS rank_weighted
+        FROM ranked
+        GROUP BY c_nationkey
+    )
+    SELECT n_name,
+           n_customers,
+           total_cents,
+           CAST((1000 * (2 * rank_weighted - (n_customers + 1) * total_cents))
+                // (n_customers * total_cents) AS BIGINT) AS gini_permille
+    FROM agg JOIN nation ON n_nationkey = c_nationkey
+    ORDER BY n_name
+    """,
+)
+def stats_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of positive account balances per nation, in exact
+    integer permille: G = (2*Σ r·x − (n+1)*Σx) / (n*Σx) with r the
+    ascending within-nation rank. Ties in ``cents`` are broken by custkey;
+    the tie-break cannot change the result (tied values contribute the same
+    Σ r·x regardless of rank order within the tie), it only makes the
+    window deterministic. The rank window is partitioned by nation — never
+    a global sort — and the nation dim is broadcast onto the 25-row
+    aggregate."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cents = customer.filter(F.col("c_acctbal") > 0).select(
+        "c_nationkey",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("cents"),
+        "c_custkey",
+    )
+    ranked = cents.withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+        ),
+    )
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("r") * F.col("cents")).alias("rank_weighted"),
+    )
+    return (
+        agg.join(F.broadcast(nation), agg.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "n_customers",
+            "total_cents",
+            F.expr(
+                "(1000 * (2 * rank_weighted - (n_customers + 1) * total_cents))"
+                " div (n_customers * total_cents)"
+            ).alias("gini_permille"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "events_simpson_diversity",
+    oracle="""
+    WITH per_type AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events
+        GROUP BY user_id, event_type
+    ), per_user AS (
+        SELECT user_id,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               COUNT(*) AS n_types,
+               CAST(SUM(c * c) AS BIGINT) AS sum_sq
+        FROM per_type
+        GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           CAST((1000 * (n_events * n_events - sum_sq))
+                // (n_events * n_events) AS BIGINT) AS diversity_permille
+    FROM per_user
+    WHERE n_events >= 20
+    ORDER BY diversity_permille, user_id
+    LIMIT 100
+    """,
+)
+def events_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson diversity of each user's event-type mix, exact integer
+    permille: 1 − Σ pᵢ² = (n² − Σ cᵢ²)/n². The 100 least-diverse active
+    users (≥20 events) — the "monoculture" QC cut a behavior pipeline runs
+    before training on engagement data. Two map-side-combinable
+    aggregations, no window; top-k has a unique (diversity, user_id)
+    order."""
+    e = load_events(spark, sf_dir)
+    per_type = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    return (
+        per_user.filter(F.col("n_events") >= 20)
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.expr(
+                "(1000 * (n_events * n_events - sum_sq))"
+                " div (n_events * n_events)"
+            ).alias("diversity_permille"),
+        )
+        .orderBy("diversity_permille", "user_id")
+        .limit(100)
+    )

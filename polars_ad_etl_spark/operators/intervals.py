@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from polars_ad_etl_spark.functions.exact import dsum, dsum_sql
 from polars_ad_etl_spark.operators.registry import register
@@ -120,3 +121,136 @@ def range_join_global_click_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
     )
     return bucketed_range_join_counts(p, c, "p_ts", "c_ts")
+
+
+# ------------------------------------------------ sweep-line concurrency
+#
+# "How many sessions are open at once?" is an interval-overlap counting
+# problem. The naive formulation is a self range-join (quadratic); the
+# classic answer is a sweep line: emit (+1 at start, -1 at end) points and
+# take a running sum. A running sum over the whole timeline is a GLOBAL
+# window — the single-partition sort the plan lint exists to catch — so the
+# implementation is two-level: a per-hour partitioned running sum (window
+# partitioned by hour_start, parallel across ~|hours| partitions) plus an
+# hour-level carry-in offset computed on the tiny per-hour aggregate
+# (|hours| rows ≈ days×24; the one allowlisted global window, same class as
+# events_cumulative_distinct_users' |days| aggregate). At 100 TB the point
+# stream shuffles once on hour_start; no per-row cross-partition dependency.
+#
+# End points are exclusive ([ts, ts+300s)): at equal timestamps the -1
+# sorts before the +1, so a session ending exactly when another starts
+# never double-counts. Within a tie group of identical (t, delta) the
+# partial sums are the same multiset under any order, so MAX is
+# deterministic even though row order within ties is not.
+@register(
+    "events_max_concurrent_intervals",
+    oracle="""
+    WITH pts AS (
+        SELECT ts AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT ts + INTERVAL 300 SECOND AS t, -1 AS delta FROM events
+    ), run AS (
+        SELECT date_trunc('hour', t) AS hour_start,
+               SUM(delta) OVER (ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS conc
+        FROM pts
+    )
+    SELECT hour_start,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent
+    FROM run
+    GROUP BY hour_start
+    ORDER BY hour_start
+    """,
+)
+def events_max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per hour, treating each event as a 5-minute-open
+    interval [ts, ts+300s) — the load-planning / capacity metric. DuckDB
+    oracle runs the textbook single global running sum; Spark runs the
+    two-level decomposition (per-hour local sweep + bounded hour-offset
+    cumsum), and the hash match proves them equal, tie semantics included."""
+    e = load_events(spark, sf_dir)
+    starts = e.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = e.select(
+        F.expr("timestampadd(SECOND, 300, ts)").alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionByName(ends).withColumn(
+        "hour_start", F.date_trunc("hour", F.col("t"))
+    )
+    local_w = (
+        W.partitionBy("hour_start")
+        .orderBy("t", "delta")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = pts.withColumn("local_run", F.sum("delta").over(local_w))
+    per_hour = local.groupBy("hour_start").agg(
+        F.max("local_run").alias("local_max"),
+        F.sum("delta").alias("hour_delta"),
+    )
+    # carry-in for each hour = sum of all earlier hours' deltas; |hours| is
+    # a bounded aggregate (~days*24 rows), the allowlisted global-window
+    # class (sort column pinned by the plan test).
+    offset_w = (
+        W.orderBy("hour_start")
+        .rowsBetween(W.unboundedPreceding, W.currentRow - 1)
+    )
+    return (
+        per_hour.withColumn(
+            "carry_in", F.coalesce(F.sum("hour_delta").over(offset_w), F.lit(0))
+        )
+        .select(
+            "hour_start",
+            (F.col("carry_in") + F.col("local_max")).alias("max_concurrent"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+# ------------------------------------------------ time-weighted average
+@register(
+    "events_time_weighted_value",
+    oracle="""
+    WITH held AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               DATEDIFF('microsecond', ts,
+                        LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)) AS dur_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(dur_us) AS BIGINT) AS held_us,
+           CAST(SUM(cents * dur_us) // SUM(dur_us) AS BIGINT) AS twa_cents
+    FROM held
+    WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(dur_us) > 0
+    ORDER BY user_id
+    """,
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average event value (TWAP): each event's value
+    is "held" until the user's next event; the average weights value-cents
+    by exact holding microseconds. Integer arithmetic end-to-end
+    (cents × µs sums stay far inside int64 at per-user scale) so the oracle
+    hash-matches. One user-partitioned window + one aggregation — a single
+    shuffle on the high-cardinality user key; same scale shape as
+    events_interarrival_stats."""
+    e = load_events(spark, sf_dir)
+    held = e.select(
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            "timestampdiff(MICROSECOND, ts,"
+            " lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))"
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.sum("dur_us").alias("held_us"),
+            F.expr("sum(cents * dur_us) div sum(dur_us)").alias("twa_cents"),
+        )
+        .filter(F.col("held_us") > 0)
+        .orderBy("user_id")
+    )

@@ -1,0 +1,184 @@
+"""Full-text search primitives: positional inverted index, phrase search,
+and the Zipf rank-frequency table.
+
+An inverted index (term → postings with in-document positions) is the core
+data structure of text retrieval, and *building* one is a pure shuffle
+workload Spark is good at: tokenize (JVM-side ``split``/``posexplode``),
+then one map-side-combinable aggregation keyed by (term, doc). Phrase
+search is then an equi-join of two postings streams on (doc, position+1) —
+no regex rescans of the corpus.
+
+Scale notes (100 TB corpus):
+- Index build: one shuffle on (term, doc_id). Stop-word-class terms make
+  the *collection* frequency skewed but the aggregation key includes
+  doc_id, so no single reducer sees a whole hot term. Output is naturally
+  partitionable by term for serving.
+- Phrase search: postings are pre-filtered to the query's terms *before*
+  the join (predicate pushdown to the scan), so the join input is the
+  postings of two terms, not the corpus; the join key (doc_id, pos) is
+  unique per side — no expansion.
+- Positions are emitted as a comma-joined ordered string (repo convention
+  for deterministic collection-valued outputs — struct/array hash layouts
+  differ between engines, strings don't).
+
+Reference parity note: the reference repo has no text-search surface
+(SURVEY §2.8); this module is part of the training-data extension layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from polars_ad_etl_spark.operators.registry import register
+
+# Shared tokenization CTE: DuckDB zip-unnests the term list with its
+# 0-based offsets, mirroring Spark's posexplode exactly.
+_TOKENS_CTE = """
+    tokens AS (
+        SELECT doc_id,
+               UNNEST(string_split(text, ' ')) AS term,
+               UNNEST(range(len(string_split(text, ' ')))) AS pos
+        FROM documents
+    )
+"""
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, pos) token stream — posexplode is JVM-side and the
+    0-based position matches the oracle's ``range(len(...))``."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+
+
+@register(
+    "search_inverted_index",
+    oracle=f"""
+    WITH {_TOKENS_CTE}
+    SELECT term, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           STRING_AGG(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+    FROM tokens
+    GROUP BY term, doc_id
+    ORDER BY term, doc_id
+    """,
+)
+def search_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index over the corpus: one row per (term, doc)
+    with term frequency and the ordered 0-based position list. Single
+    map-side-combinable aggregation; the position list is bounded by
+    document length (documents are chunked upstream by
+    curation_doc_chunks at 100 TB)."""
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.groupBy("term", "doc_id")
+        .agg(
+            F.count("*").alias("tf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("pos")),
+                    lambda p: p.cast("string"),
+                ),
+                ",",
+            ).alias("positions"),
+        )
+        .orderBy("term", "doc_id")
+    )
+
+
+PHRASE = ("hash", "join")
+
+
+@register(
+    "search_phrase_hits",
+    oracle=f"""
+    WITH {_TOKENS_CTE}
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(a.pos) AS BIGINT) AS first_pos
+    FROM tokens a JOIN tokens b
+      ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+    GROUP BY a.doc_id
+    ORDER BY a.doc_id
+    """,
+)
+def search_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("hash join") via the positional index: postings
+    of the two terms equi-joined on (doc_id, adjacent position). Both join
+    inputs are filtered to a single term before the shuffle — the plan
+    touches two posting lists, never the corpus — and the (doc_id, pos) key
+    is unique per side so the join cannot expand."""
+    toks = _tokens(spark, sf_dir)
+    a = toks.filter(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = toks.filter(F.col("term") == PHRASE[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    hits = a.join(
+        b,
+        (a.doc_id == b.doc_b) & (b.pos_b == a.pos_a + F.lit(1)),
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min("pos_a").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "search_zipf_rank",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    freq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM tokens GROUP BY term
+    ), top AS (
+        SELECT term, freq FROM freq
+        ORDER BY freq DESC, term LIMIT 100
+    ), tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM freq)
+    SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank,
+           term, freq,
+           CAST((1000 * SUM(freq) OVER (ORDER BY freq DESC, term
+                                        ROWS UNBOUNDED PRECEDING))
+                // total AS BIGINT) AS cum_share_permille
+    FROM top, tot
+    ORDER BY rank
+    """,
+)
+def search_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency head: the top-100 terms with rank and exact
+    integer cumulative corpus-share permille. The top-k is a TakeOrdered
+    (distributed, no global sort of the vocabulary); the rank/cumsum
+    windows then run over the 100-row LIMIT output only (the allowlisted
+    bounded-input window class), and the corpus total is a broadcast 1-row
+    aggregate."""
+    toks = _tokens(spark, sf_dir)
+    freq = toks.groupBy("term").agg(F.count("*").alias("freq"))
+    top = freq.orderBy(F.desc("freq"), "term").limit(100)
+    total = freq.agg(F.sum("freq").alias("total"))
+    w = W.orderBy(F.desc("freq"), "term")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_share_permille",
+            F.expr("1000 * sum(freq) OVER (ORDER BY freq DESC, term"
+                   " ROWS UNBOUNDED PRECEDING)")
+            .cast("long"),
+        )
+        .select(
+            "rank",
+            "term",
+            "freq",
+            F.expr("cum_share_permille div total").alias("cum_share_permille"),
+        )
+        .orderBy("rank")
+    )

@@ -306,6 +306,8 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "curation_packed_sequences": "bk#",        # 10k-bucket cumsum
     "events_cumulative_distinct_users": "day#",    # |days| daily aggregate
     "orders_yoy_growth": "month_start#",           # |months| aggregate
+    "events_max_concurrent_intervals": "hour_start#",  # |hours| aggregate
+    "search_zipf_rank": "freq#",               # 100-row LIMIT input
 }
 
 
