@@ -88,3 +88,114 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = asof_join(purchases, clicks, key="user_id", time_col="ts",
                        value_cols=["value", "event_id"])
     return joined.select("event_id", "user_id", "value", "asof_value", "asof_event_id")
+
+
+# ------------------------------------- nearest-asof with tolerance
+#
+# The third member of the asof family (after backward, which
+# asof_purchase_last_click covers, and forward, its mirror): match each left
+# row to the temporally NEAREST right row in either direction, within a
+# tolerance — pd.merge_asof(direction="nearest", tolerance=...). Spark has
+# no native form; the scalable composition is one union + ONE sorted window
+# pass per user producing both the backward candidate (last click at or
+# before) and the forward candidate (first click after), then a cheap
+# row-local argmin of the two. Same-timestamp clicks are pre-deduped to
+# MIN(event_id) so both engines resolve ties identically and the window
+# carry is well-defined. One shuffle+sort on the user key, no range
+# explosion, no self-join of the events table.
+TOL_US = 120_000_000  # ±120 s
+
+
+@register(
+    "asof_nearest_click",
+    oracle="""
+    WITH cl AS (
+        SELECT user_id, ts, MIN(event_id) AS c_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ), p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           n.c_id AS nearest_click_id,
+           n.diff_us
+    FROM p LEFT JOIN LATERAL (
+        SELECT c.c_id,
+               CAST(DATEDIFF('microsecond', p.ts, c.ts) AS BIGINT) AS diff_us
+        FROM cl c
+        WHERE c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 120 SECOND
+          AND c.ts <= p.ts + INTERVAL 120 SECOND
+        ORDER BY abs(DATEDIFF('microsecond', p.ts, c.ts)), c.ts
+        LIMIT 1
+    ) n ON TRUE
+    ORDER BY purchase_id
+    """,
+)
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the nearest same-user click within ±120 s —
+    either direction, ties to the earlier click. The DuckDB oracle runs the
+    declarative LATERAL top-1; Spark runs the single-window two-candidate
+    composition, and the hash match proves them equal (signed microsecond
+    offset included)."""
+    e = load_events(spark, sf_dir)
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("c_id"))
+        .select(
+            "user_id",
+            "ts",
+            F.struct(F.col("ts").alias("c_ts"), F.col("c_id")).alias("c"),
+            F.lit(0).alias("side"),
+            F.lit(None).cast("bigint").alias("purchase_id"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<c_ts:timestamp_ntz,c_id:bigint>")
+        .alias("c"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    u = clicks.unionByName(purchases)
+    # clicks at equal ts sort BEFORE the purchase (side 0 < 1): the backward
+    # frame is inclusive of simultaneous clicks, the forward frame excludes
+    # them — a 0-µs match is always taken from the backward side.
+    ob = W.partitionBy("user_id").orderBy("ts", "side")
+    back = F.last("c", ignorenulls=True).over(
+        ob.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = F.first("c", ignorenulls=True).over(
+        ob.rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    cand = (
+        u.withColumn("back", back)
+        .withColumn("fwd", fwd)
+        .filter(F.col("side") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.expr("timestampdiff(MICROSECOND, back.c_ts, ts)").alias("bd"),
+            F.col("back.c_id").alias("b_id"),
+            F.expr("timestampdiff(MICROSECOND, ts, fwd.c_ts)").alias("fd"),
+            F.col("fwd.c_id").alias("f_id"),
+        )
+    )
+    vb = F.col("bd").isNotNull() & (F.col("bd") <= TOL_US)
+    vf = F.col("fd").isNotNull() & (F.col("fd") <= TOL_US)
+    pick_back = vb & (~vf | (F.col("bd") <= F.col("fd")))
+    pick_fwd = vf & ~pick_back
+    return cand.select(
+        "purchase_id",
+        "user_id",
+        F.when(pick_back, F.col("b_id"))
+        .when(pick_fwd, F.col("f_id"))
+        .alias("nearest_click_id"),
+        F.when(pick_back, -F.col("bd"))
+        .when(pick_fwd, F.col("fd"))
+        .alias("diff_us"),
+    ).orderBy("purchase_id")

@@ -995,3 +995,60 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# --------------------------------------------- retention hazard rates
+@register(
+    "retention_hazard_rates",
+    oracle="""
+    WITH span AS (
+        SELECT user_id,
+               DATEDIFF('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+                   // 7 AS tenure_w
+        FROM events GROUP BY user_id
+    ), cohort AS (
+        SELECT tenure_w, COUNT(*) AS n_churned FROM span GROUP BY tenure_w
+    )
+    SELECT a.tenure_w AS tenure_weeks,
+           CAST(a.n_churned AS BIGINT) AS n_churned,
+           CAST(SUM(b.n_churned) AS BIGINT) AS n_at_risk,
+           CAST((1000 * a.n_churned) // SUM(b.n_churned) AS BIGINT)
+               AS hazard_permille
+    FROM cohort a JOIN cohort b ON b.tenure_w >= a.tenure_w
+    GROUP BY a.tenure_w, a.n_churned
+    ORDER BY tenure_weeks
+    """,
+)
+def retention_hazard_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard (the Kaplan-Meier building block): a
+    user's tenure is full weeks between first and last activity; the hazard
+    at week w is users churning at exactly w over users still at risk at w,
+    in exact integer permille. The survival denominator is a suffix sum
+    computed by a triangular self-join ON THE TINY TENURE AGGREGATE
+    (|weeks| rows — broadcast; base data is touched once by the per-user
+    min/max aggregation). Day arithmetic is on DATE casts of the NTZ wall
+    clock, so the result is session-timezone-free."""
+    e = load_events(spark, sf_dir)
+    span = e.groupBy("user_id").agg(
+        F.expr(
+            "datediff(CAST(max(ts) AS DATE), CAST(min(ts) AS DATE)) div 7"
+        ).alias("tenure_w")
+    )
+    cohort = span.groupBy("tenure_w").agg(F.count("*").alias("n_churned"))
+    b = cohort.select(
+        F.col("tenure_w").alias("w2"), F.col("n_churned").alias("c2")
+    )
+    return (
+        cohort.join(F.broadcast(b), F.col("w2") >= F.col("tenure_w"))
+        .groupBy("tenure_w", "n_churned")
+        .agg(F.sum("c2").alias("n_at_risk"))
+        .select(
+            F.col("tenure_w").alias("tenure_weeks"),
+            "n_churned",
+            "n_at_risk",
+            F.expr("(1000 * n_churned) div n_at_risk").alias(
+                "hazard_permille"
+            ),
+        )
+        .orderBy("tenure_weeks")
+    )
