@@ -1052,3 +1052,69 @@ def retention_hazard_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tenure_weeks")
     )
+
+
+# --------------------------------------------- session bounce rate
+@register(
+    "events_session_bounce_rate",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM ordered
+    ), sessions AS (
+        SELECT user_id, sid,
+               CAST(MIN(ts) AS DATE) AS day,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, sid
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounces,
+           CAST((1000 * COUNT(*) FILTER (WHERE n_events = 1)) // COUNT(*)
+                AS BIGINT) AS bounce_permille
+    FROM sessions
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def events_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of 30-minute-gap sessions containing exactly
+    one event, keyed by the session's start day — the engagement KPI on top
+    of the verified sessionization primitive. Spark uses the native
+    session_window operator; the oracle re-derives sessions with the
+    lag-gap-cumsum program, so the two formulations are proven equal at the
+    KPI level too. Two aggregations, both map-side-combinable; no window on
+    the Spark side at all."""
+    e = load_events(spark, sf_dir)
+    sessions = e.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    return (
+        sessions.select(
+            F.col("w.start").cast("date").alias("day"), "n_events"
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias(
+                "n_bounces"
+            ),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            F.expr("(1000 * n_bounces) div n_sessions").alias(
+                "bounce_permille"
+            ),
+        )
+        .orderBy("day")
+    )
