@@ -1118,3 +1118,80 @@ def events_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------- sequential EWMA (stateful fold)
+#
+# An exponentially weighted moving average is inherently SEQUENTIAL state —
+# s_i = f(s_{i-1}, x_i) — the op class SQL engines usually push to UDFs.
+# With alpha = 1/2 on integer cents the recurrence stays in exact integer
+# arithmetic (s_i = (x_i + s_{i-1}) div 2), so both engines can replay it
+# bit-for-bit: DuckDB as a recursive CTE (one level per event index — fine
+# for an oracle, wrong as a plan), Spark as a single JVM aggregate() fold
+# over each user's sorted event array (one user_id shuffle, no recursion,
+# no Python) — the events_cep_funnel_instances execution pattern applied to
+# numeric state. Truncating integer division matches between engines
+# (both truncate toward zero; inputs here are nonnegative anyway).
+@register(
+    "events_value_ewma",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS i
+        FROM events
+    ), walk AS (
+        SELECT user_id, i, cents AS ewma FROM ordered WHERE i = 1
+        UNION ALL
+        SELECT o.user_id, o.i, (o.cents + w.ewma) // 2
+        FROM walk w
+        JOIN ordered o ON o.user_id = w.user_id AND o.i = w.i + 1
+    ), last AS (
+        SELECT user_id, MAX(i) AS n FROM walk GROUP BY user_id
+    )
+    SELECT w.user_id,
+           CAST(l.n AS BIGINT) AS n_events,
+           CAST(w.ewma AS BIGINT) AS ewma_cents
+    FROM walk w JOIN last l ON l.user_id = w.user_id AND w.i = l.n
+    ORDER BY w.user_id
+    """,
+)
+def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's half-life-one EWMA of event value after their final
+    event, in exact integer cents — the smoothed-engagement feature a
+    ranking model consumes. See the section comment for the fold-vs-
+    recursion proof strategy."""
+    e = load_events(spark, sf_dir)
+    seqs = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                ).alias("ts_us"),
+                F.col("event_id"),
+                F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            ).alias("ev"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("ev")).alias("seq"))
+    )
+    fold = """
+        aggregate(
+            seq,
+            named_struct('ewma', CAST(0 AS BIGINT), 'n', CAST(0 AS BIGINT)),
+            (acc, x) -> IF(acc.n = 0,
+                named_struct('ewma', x.cents, 'n', CAST(1 AS BIGINT)),
+                named_struct('ewma', (x.cents + acc.ewma) div 2,
+                             'n', acc.n + 1)),
+            acc -> acc)
+    """
+    return seqs.select(
+        "user_id", F.expr(fold).alias("acc")
+    ).select(
+        "user_id",
+        F.col("acc.n").alias("n_events"),
+        F.col("acc.ewma").alias("ewma_cents"),
+    ).orderBy("user_id")

@@ -547,3 +547,58 @@ def curation_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _PER_GROUP_K)
     )
+
+
+# ------------------------------------------ weighted priority sampling
+#
+# Weighted sampling WITHOUT replacement, deterministically: every document
+# draws a pseudo-uniform u from the salted id-hash and competes with
+# priority ≈ u/weight (the exponential-clocks / A-ES construction — bigger
+# weight, stochastically smaller priority). Selection = global bottom-k by
+# priority, which Spark executes as TakeOrdered (per-partition top-k then a
+# k-row merge — no global sort). Integer arithmetic only: priority =
+# ((u+1) * 1e6) div weight, so both engines compute identical priorities
+# and the draw is reproducible forever (same salt → same sample at any
+# scale/partitioning — the same no-RNG rule as the rest of this module).
+_PRIORITY_K = 50
+
+
+@register(
+    "curation_priority_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, priority
+    FROM (SELECT doc_id, lang, n_chars,
+                 CAST((({_bucket_sql('doc_id', 'prio9')} + 1) * 1000000)
+                      // n_chars AS BIGINT) AS priority
+          FROM documents
+          WHERE n_chars > 0)
+    ORDER BY priority, doc_id LIMIT {_PRIORITY_K}
+    """,
+)
+def curation_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic length-weighted sample of {K} documents: inclusion
+    odds scale with n_chars, selection is exact bottom-k on the integer
+    hash priority (ties broken by doc_id). A stateless projection + top-k;
+    no RNG state, no shuffle beyond the k-row merge.""".replace(
+        "{K}", str(_PRIORITY_K)
+    )
+    d = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    u = _bucket(F.col("doc_id"), "prio9")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            ((u + F.lit(1)) * F.lit(1_000_000))
+            .cast("bigint")
+            .alias("_num"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.expr("_num div n_chars").alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(_PRIORITY_K)
+    )

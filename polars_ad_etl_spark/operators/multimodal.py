@@ -834,3 +834,66 @@ def multimodal_thumbnail_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         op,
         schema="doc_id long, src_width long, src_height long, thumb_luma_sum long",
     )
+
+
+@register(
+    "multimodal_audio_downsample",
+    oracle="""
+    WITH sm AS (
+        SELECT doc_id,
+               unnest(generate_series(0,
+                   CAST(63 + doc_id % 64 AS BIGINT))) AS i
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, i,
+               (doc_id * 7 + i * 13) % 2048 AS amp
+        FROM sm
+    ),
+    blocks AS (
+        SELECT doc_id, i // 4 AS blk,
+               CAST(SUM(amp) AS BIGINT) // 4 AS mean_amp,
+               COUNT(*) AS n_in_block
+        FROM s GROUP BY doc_id, i // 4
+        HAVING COUNT(*) = 4
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(SUM(mean_amp) AS BIGINT) AS out_sum,
+           CAST(SUM(mean_amp * mean_amp) AS BIGINT) AS out_energy
+    FROM blocks GROUP BY doc_id
+    """,
+)
+def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4× audio decimation on genuinely decoded PCM: synthesize a
+    deterministic nonnegative waveform per document, WAV-encode/decode at
+    16 kHz, boxcar-average each full 4-sample block (truncating integer
+    mean; the partial tail block is dropped), WAV-encode/decode the result
+    again at 4 kHz, and emit exact integer stats of the final samples —
+    the resample stage with its codec round trips made real, verified
+    symbolically by the oracle's recomputed block arithmetic. Per-document
+    work rides one Arrow batch at a time; samples stay nonnegative so
+    truncating division agrees between engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_out": [], "out_sum": [], "out_energy": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 64 + d % 64
+                samples = [(d * 7 + i * 13) % 2048 for i in range(n)]
+                _m, pcm = mc.decode_wav(mc.encode_wav(samples, 16000))
+                means = [
+                    sum(pcm[b * 4 : b * 4 + 4]) // 4 for b in range(len(pcm) // 4)
+                ]
+                _m2, got = mc.decode_wav(mc.encode_wav(means, 4000))
+                out["doc_id"].append(d)
+                out["n_out"].append(len(got))
+                out["out_sum"].append(sum(got))
+                out["out_energy"].append(sum(s * s for s in got))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        op, schema="doc_id long, n_out long, out_sum long, out_energy long"
+    )

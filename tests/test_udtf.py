@@ -1,0 +1,42 @@
+"""Python UDTF surface: registration, LATERAL invocation, and parity with
+the JVM-native chunker on real data (the two must never drift)."""
+
+import os
+
+from polars_ad_etl_spark.functions.udtfs import register_udtfs
+from polars_ad_etl_spark.operators import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_chunk_udtf_matches_jvm_chunker(spark):
+    register_udtfs(spark)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.createOrReplaceTempView("_udtf_docs")
+    via_udtf = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk_text, c.chunk_tokens
+        FROM _udtf_docs d, LATERAL chunk_text(d.text) c
+        """
+    )
+    via_jvm = QUERIES["curation_doc_chunks"](spark, SF_DIR)
+    cols = ["doc_id", "chunk_id", "chunk_text", "chunk_tokens"]
+    a = sorted(map(tuple, via_udtf.select(cols).collect()))
+    b = sorted(map(tuple, via_jvm.select(cols).collect()))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_chunk_udtf_null_and_empty(spark):
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one two")], "doc_id int, text string"
+    )
+    df.createOrReplaceTempView("_udtf_edge")
+    rows = spark.sql(
+        "SELECT d.doc_id, c.* FROM _udtf_edge d, LATERAL chunk_text(d.text) c"
+    ).collect()
+    # null and empty text yield no chunks; the short doc yields one
+    assert [(r.doc_id, r.chunk_id, r.chunk_tokens) for r in rows] == [
+        (3, 0, 2)
+    ]
