@@ -162,3 +162,81 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+# ---------------------------------------------------- k-core peeling
+#
+# The k-core (maximal subgraph where every node keeps degree ≥ k) is the
+# third iterative-graph tool a curation pipeline wants: dense template
+# families survive 2-core peeling, incidental pairwise matches do not —
+# a sharper spam/boilerplate signal than raw degree. Same oracle strategy
+# as PageRank: a FIXED number of peeling rounds (not a convergence test)
+# makes the result a pure function of the graph, so DuckDB replays the
+# identical unrolled rounds; a pytest asserts an extra round is a no-op at
+# test scale, i.e. the fixed count reaches the true fixpoint there. Each
+# round is one degree aggregation + two semi-joins, lineage truncated with
+# localCheckpoint (the dedup-CC pattern); at 100 TB the edge list is
+# bucketed by src so rounds reuse the partitioning.
+K_CORE = 2
+CORE_ROUNDS = 3
+
+
+def kcore_edges(edges: DataFrame, k: int = K_CORE, rounds: int = CORE_ROUNDS) -> DataFrame:
+    """Peel an undirected edge list (columns ``a``, ``b``) for ``rounds``
+    iterations; returns the surviving symmetric edge list (src, dst)."""
+    sym = edges.filter(F.col("a") != F.col("b")).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    sym = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = sym.groupBy("src").agg(F.count("*").alias("c"))
+        keep = deg.filter(F.col("c") >= k).select("src")
+        sym = (
+            sym.join(keep, "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+    return sym
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "e0"
+    for r in range(1, CORE_ROUNDS + 1):
+        rounds.append(f"""
+    d{r} AS (SELECT src, COUNT(*) AS c FROM {prev} GROUP BY src),
+    k{r} AS (SELECT src FROM d{r} WHERE c >= {K_CORE}),
+    e{r} AS (SELECT e.src, e.dst FROM {prev} e
+             JOIN k{r} a ON a.src = e.src
+             JOIN k{r} b ON b.src = e.dst)""")
+        prev = f"e{r}"
+    return f"""
+    WITH pairs AS ({_lsh_pairs_oracle()}),
+    e0 AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE doc_a <> doc_b
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs WHERE doc_a <> doc_b
+    ),
+    {",".join(rounds)}
+    SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM {prev} GROUP BY src ORDER BY doc_id
+    """
+
+
+@register("graph_kcore_members", oracle=_kcore_oracle())
+def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents surviving 2-core peeling of the near-dup pair graph, with
+    their within-core degree — the dense-template-family membership list.
+    See the section comment for the fixed-rounds oracle strategy."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    core = kcore_edges(pairs.selectExpr("doc_a AS a", "doc_b AS b"))
+    return (
+        core.groupBy("src")
+        .agg(F.count("*").alias("core_degree"))
+        .select(F.col("src").alias("doc_id"), "core_degree")
+        .orderBy("doc_id")
+    )

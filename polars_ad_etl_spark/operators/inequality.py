@@ -156,3 +156,77 @@ def events_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("diversity_permille", "user_id")
         .limit(100)
     )
+
+
+@register(
+    "stats_lorenz_deciles",
+    oracle="""
+    WITH cents AS (
+        SELECT c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+               c_custkey
+        FROM customer WHERE c_acctbal > 0
+    ), ranked AS (
+        SELECT c_nationkey, cents,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY cents, c_custkey) AS r,
+               COUNT(*) OVER (PARTITION BY c_nationkey) AS n,
+               SUM(cents) OVER (PARTITION BY c_nationkey
+                                ORDER BY cents, c_custkey
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cents) OVER (PARTITION BY c_nationkey) AS total
+        FROM cents
+    )
+    SELECT n_name, d.decile,
+           CAST((1000 * cum) // total AS BIGINT) AS cum_share_permille
+    FROM ranked
+    JOIN (SELECT UNNEST(range(1, 11)) AS decile) d
+      ON ranked.r = (ranked.n * d.decile) // 10
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE (ranked.n * d.decile) // 10 >= 1
+    ORDER BY n_name, d.decile
+    """,
+)
+def stats_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve points per nation: the cumulative balance share held by
+    the bottom ⌊n·d/10⌋ customers at each decile d — the curve whose area
+    gap is [[stats_gini_by_nation]]'s Gini. Windows are all partitioned by
+    nation (never global); the 10-row decile frame is a broadcast literal;
+    arithmetic is exact integer permille. Deciles whose boundary rank
+    rounds to zero (tiny groups) are omitted identically by both engines."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cents = customer.filter(F.col("c_acctbal") > 0).select(
+        "c_nationkey",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("cents"),
+        "c_custkey",
+    )
+    pw = W.partitionBy("c_nationkey")
+    ow = pw.orderBy("cents", "c_custkey")
+    ranked = cents.select(
+        "c_nationkey",
+        F.row_number().over(ow).alias("r"),
+        F.count("*").over(pw).alias("n"),
+        F.sum("cents")
+        .over(ow.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.sum("cents").over(pw).alias("total"),
+    )
+    deciles = spark.range(1, 11).select(F.col("id").alias("decile"))
+    return (
+        ranked.join(
+            F.broadcast(deciles),
+            F.col("r") == F.expr("(n * decile) div 10"),
+        )
+        .filter(F.expr("(n * decile) div 10 >= 1"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            "decile",
+            F.expr("(1000 * cum) div total").alias("cum_share_permille"),
+        )
+        .orderBy("n_name", "decile")
+    )

@@ -624,3 +624,41 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prior.alias("revenue_prior_year"),
         F.round(F.col("revenue") / prior - 1.0, 6).alias("yoy_growth"),
     )
+
+
+# ---------------------------------------------- ISO week calendar parity
+@register(
+    "orders_iso_week_revenue",
+    oracle=f"""
+    SELECT CAST(extract(isoyear FROM o_orderdate) AS BIGINT) AS iso_year,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY iso_year, iso_week
+    ORDER BY iso_year, iso_week
+    """,
+)
+def orders_iso_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly revenue on the ISO-8601 calendar — the fiscal-reporting grain
+    where the year boundary is the hard part (Dec 29 can be week 1 of the
+    NEXT iso-year, Jan 1 can be week 52/53 of the previous one; a plain
+    year(ts) GROUP BY double-counts those boundary weeks). Spark has
+    weekofyear (ISO) but no isoyear extract, so the iso-year comes from the
+    ISO "Thursday rule": the year of (date + (4 - isodow)) days — pure date
+    arithmetic, proven against DuckDB's native isoyear across the seven
+    order-date years. Single map-side-combinable aggregation with exact
+    decimal revenue."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    iso_year = F.year(
+        F.date_add(d, F.lit(4) - F.expr("extract(dayofweek_iso FROM o_orderdate)").cast("int"))
+    ).cast("long")
+    return (
+        o.groupBy(
+            iso_year.alias("iso_year"),
+            F.weekofyear(d).cast("long").alias("iso_week"),
+        )
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+        .orderBy("iso_year", "iso_week")
+    )

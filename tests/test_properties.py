@@ -612,3 +612,29 @@ def test_cep_greedy_nonoverlapping_semantics(spark):
         for r in df.select(F.explode(F.expr(_FOLD)).alias("m")).collect()
     )
     assert got == [(10, 40), (60, 90)]
+
+
+def test_kcore_fixed_rounds_reach_fixpoint(spark):
+    """graph_kcore_members runs CORE_ROUNDS peeling rounds and its oracle
+    unrolls the same count — valid only if that count reaches the true
+    fixpoint on the actual graph. Assert one EXTRA round changes nothing,
+    and that peeling did remove something (the test has teeth)."""
+    import os
+
+    from polars_ad_etl_spark.operators.dedup import dedup_minhash_lsh_pairs
+    from polars_ad_etl_spark.operators.graph import (
+        CORE_ROUNDS,
+        kcore_edges,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    pairs = dedup_minhash_lsh_pairs(spark, sf).selectExpr(
+        "doc_a AS a", "doc_b AS b"
+    )
+    base = kcore_edges(pairs, rounds=CORE_ROUNDS)
+    extra = kcore_edges(pairs, rounds=CORE_ROUNDS + 1)
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, extra.collect()))
+    assert a == b, "CORE_ROUNDS does not reach the fixpoint on test data"
+    n_sym = pairs.filter("a <> b").count() * 2
+    assert len(a) < n_sym, "peeling removed nothing — trivial graph?"
