@@ -1195,3 +1195,61 @@ def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("acc.n").alias("n_events"),
         F.col("acc.ewma").alias("ewma_cents"),
     ).orderBy("user_id")
+
+
+# ------------------------------------------ funnel conversion latency
+@register(
+    "events_funnel_latency",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+        GROUP BY e.user_id
+    ), lat AS (
+        SELECT DATEDIFF('microsecond', v.v_ts, p.p_ts) AS lat_us
+        FROM v JOIN p ON p.user_id = v.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+           CAST(MIN(lat_us) AS BIGINT) AS lat_us_min,
+           round(quantile_cont(lat_us, 0.5), 4) AS lat_us_p50,
+           round(quantile_cont(lat_us, 0.9), 4) AS lat_us_p90,
+           round(quantile_cont(lat_us, 0.99), 4) AS lat_us_p99,
+           CAST(MAX(lat_us) AS BIGINT) AS lat_us_max
+    FROM lat
+    """,
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, first view to the first
+    purchase at-or-after it, summarized as exact interpolated percentiles
+    of the microsecond latency (the established round(4) cross-engine
+    percentile contract). Two user-keyed aggregations and one user-keyed
+    join — a single shuffle family on the high-cardinality key; the
+    percentile runs over the converters-only aggregate."""
+    e = load_events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = v.join(p, "user_id").select(
+        F.expr("timestampdiff(MICROSECOND, v_ts, p_ts)").alias("lat_us")
+    )
+    return lat.agg(
+        F.count("*").alias("n_converters"),
+        F.min("lat_us").cast("long").alias("lat_us_min"),
+        F.round(F.percentile("lat_us", 0.5), 4).alias("lat_us_p50"),
+        F.round(F.percentile("lat_us", 0.9), 4).alias("lat_us_p90"),
+        F.round(F.percentile("lat_us", 0.99), 4).alias("lat_us_p99"),
+        F.max("lat_us").cast("long").alias("lat_us_max"),
+    )

@@ -230,3 +230,68 @@ def stats_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "decile")
     )
+
+
+@register(
+    "stats_weighted_median_price",
+    oracle="""
+    WITH w AS (
+        SELECT p_brand,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+               CAST(p_size AS BIGINT) AS wt,
+               p_partkey
+        FROM part
+    ), cum AS (
+        SELECT p_brand, cents, wt,
+               SUM(wt) OVER (PARTITION BY p_brand
+                             ORDER BY cents, p_partkey
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(wt) OVER (PARTITION BY p_brand) AS total
+        FROM w
+    )
+    SELECT p_brand,
+           CAST(MIN(cents) AS BIGINT) AS weighted_median_cents,
+           CAST(MIN(total) AS BIGINT) AS total_weight
+    FROM cum
+    WHERE 2 * cw >= total
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def stats_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lower weighted median of part price per brand, weighted by size —
+    the robust "typical price of the material we actually stock" statistic
+    (plain median ignores how much of each part exists). Exact selection
+    rule: the smallest price whose cumulative weight reaches half the
+    total. The cumsum window is partitioned by brand over the part
+    DIMENSION (never the fact table); for a fact-scale weighted median the
+    two-level bucketed-cumsum decomposition applies unchanged."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    w = part.select(
+        "p_brand",
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("cents"),
+        F.col("p_size").cast("long").alias("wt"),
+        "p_partkey",
+    )
+    pw = W.partitionBy("p_brand")
+    cum = w.select(
+        "p_brand",
+        "cents",
+        F.sum("wt")
+        .over(
+            pw.orderBy("cents", "p_partkey").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .alias("cw"),
+        F.sum("wt").over(pw).alias("total"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("total"))
+        .groupBy("p_brand")
+        .agg(
+            F.min("cents").alias("weighted_median_cents"),
+            F.min("total").alias("total_weight"),
+        )
+        .orderBy("p_brand")
+    )

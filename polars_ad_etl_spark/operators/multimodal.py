@@ -897,3 +897,101 @@ def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         op, schema="doc_id long, n_out long, out_sum long, out_energy long"
     )
+
+
+@register(
+    "multimodal_shot_detection",
+    oracle="""
+    WITH geom AS (
+        SELECT doc_id,
+               6 + doc_id % 4 AS n,
+               4 + doc_id % 3 AS w,
+               3 + doc_id % 2 AS h,
+               2 + doc_id % 3 AS cut
+        FROM documents
+    ), fr AS (
+        SELECT doc_id, n, w, h, cut,
+               unnest(range(1, n)) AS f
+        FROM geom
+    ), ch AS (
+        SELECT doc_id, n, w, h, f,
+               (doc_id * 7 + CASE WHEN f >= cut THEN 120 ELSE 0 END + f)
+                   % 256 AS r1,
+               (doc_id * 7 + CASE WHEN f - 1 >= cut THEN 120 ELSE 0 END
+                   + f - 1) % 256 AS r0,
+               (doc_id * 3 + CASE WHEN f >= cut THEN 90 ELSE 0 END + 2 * f)
+                   % 256 AS g1,
+               (doc_id * 3 + CASE WHEN f - 1 >= cut THEN 90 ELSE 0 END
+                   + 2 * (f - 1)) % 256 AS g0,
+               (doc_id * 5 + CASE WHEN f >= cut THEN 60 ELSE 0 END + 3 * f)
+                   % 256 AS b1,
+               (doc_id * 5 + CASE WHEN f - 1 >= cut THEN 60 ELSE 0 END
+                   + 3 * (f - 1)) % 256 AS b0
+        FROM fr
+    ), diffs AS (
+        SELECT doc_id, n, f,
+               w * h * (abs(r1 - r0) + abs(g1 - g0) + abs(b1 - b0))
+                   AS frame_diff,
+               abs(r1 - r0) + abs(g1 - g0) + abs(b1 - b0) > 60 AS boundary
+        FROM ch
+    )
+    SELECT doc_id,
+           CAST(MIN(n) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) FILTER (WHERE boundary) AS BIGINT) AS n_boundaries,
+           CAST(MIN(f) FILTER (WHERE boundary) AS BIGINT)
+               AS first_boundary_frame
+    FROM diffs GROUP BY doc_id
+    """,
+)
+def multimodal_shot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection on genuinely decoded video: synthesize a
+    two-scene uniform-color clip per document (scene change at a
+    deterministic cut frame), AVI-encode it, decode it back with the stdlib
+    codec, and flag frames whose decoded per-pixel RGB L1 difference from
+    the previous frame exceeds 60 — the cut detector every video-curation
+    pipeline runs before frame sampling. The oracle recomputes the decoded
+    pixel arithmetic symbolically, so a hash match proves detection ran on
+    real codec output, mod-256 wraparound "false cuts" included (both
+    engines see the identical wrap). Partition-local mapInPandas, one
+    Arrow batch in flight per task."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "n_frames", "n_boundaries", "first_boundary_frame")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n, w, h, cut = 6 + d % 4, 4 + d % 3, 3 + d % 2, 2 + d % 3
+                def rgb(f):
+                    s = 1 if f >= cut else 0
+                    return (
+                        (d * 7 + s * 120 + f) % 256,
+                        (d * 3 + s * 90 + 2 * f) % 256,
+                        (d * 5 + s * 60 + 3 * f) % 256,
+                    )
+                frames = [[rgb(f)] * (w * h) for f in range(n)]
+                blob = mc.encode_avi(w, h, frames, usec_per_frame=100_000)
+                _meta, decoded = mc.decode_avi(blob)
+                boundaries = []
+                for f in range(1, len(decoded)):
+                    diff = sum(
+                        abs(a - b)
+                        for pa, pb in zip(decoded[f], decoded[f - 1])
+                        for a, b in zip(pa, pb)
+                    )
+                    if diff > 60 * w * h:
+                        boundaries.append(f)
+                out["doc_id"].append(d)
+                out["n_frames"].append(len(decoded))
+                out["n_boundaries"].append(len(boundaries))
+                out["first_boundary_frame"].append(
+                    boundaries[0] if boundaries else None
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        op,
+        schema="doc_id long, n_frames long, n_boundaries long,"
+        " first_boundary_frame long",
+    )
