@@ -295,3 +295,75 @@ def stats_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "events_pareto_8020",
+    oracle="""
+    WITH spend AS (
+        SELECT user_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ), ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents DESC, user_id) AS r,
+               SUM(cents) OVER (ORDER BY cents DESC, user_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM spend
+    ), tot AS (
+        SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total FROM spend
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(MIN(r) AS BIGINT) AS n_top_users,
+           CAST((1000 * MIN(r)) // n AS BIGINT) AS users_permille,
+           CAST((1000 * MIN(cum)) // total AS BIGINT) AS spend_permille
+    FROM ranked, tot
+    WHERE 5 * cum >= 4 * total
+    GROUP BY n, total
+    """,
+)
+def events_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 concentration headline: how many top spenders cover 80% of
+    purchase value, exactly. The oracle's global DESC cumsum window is
+    replaced on the Spark side by ``with_global_rank_cumsum`` (range
+    repartition + per-partition windows + broadcast prefix stats — see
+    ``functions/distributed_rank.py``), so the plan has NO empty-partitionBy
+    window; descending order rides a negated sort key. The crossing row is
+    the minimum rank whose cumulative share reaches 4/5, found by a plain
+    aggregate over the filtered frame (cum is monotone in rank because
+    spends are positive)."""
+    from polars_ad_etl_spark.functions.distributed_rank import (
+        with_global_rank_cumsum,
+    )
+
+    e = load_events(spark, sf_dir)
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"))
+        .withColumn("neg_cents", -F.col("cents"))
+    )
+    ranked = with_global_rank_cumsum(
+        spend, ["neg_cents", "user_id"], value_col="cents"
+    )
+    tot = spend.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("total")
+    )
+    crossing = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(5 * F.col("cumsum") >= 4 * F.col("total"))
+        .agg(
+            F.max("n").alias("n_users"),
+            F.min("rank").alias("n_top_users"),
+            F.min("cumsum").alias("min_cum"),
+            F.max("total").alias("total"),
+        )
+    )
+    return crossing.select(
+        "n_users",
+        "n_top_users",
+        F.expr("(1000 * n_top_users) div n_users").alias("users_permille"),
+        F.expr("(1000 * min_cum) div total").alias("spend_permille"),
+    )

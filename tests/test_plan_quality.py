@@ -556,3 +556,12 @@ def test_cbo_table_stats_flip_join_to_broadcast(spark, tmp_path):
         assert stats_row and "rows" in stats_row[0].data_type
     finally:
         spark.sql("DROP TABLE IF EXISTS t_dim_stats")
+
+
+def test_pareto_8020_distributed_rank(spark):
+    """events_pareto_8020's exact global rank/cumsum must stay fully
+    distributed: range-partitioned sort, no empty-partitionBy window."""
+    df = QUERIES["events_pareto_8020"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert not _empty_partition_window_specs(plan)
+    assert "rangepartitioning(neg_cents" in plan

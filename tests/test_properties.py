@@ -638,3 +638,33 @@ def test_kcore_fixed_rounds_reach_fixpoint(spark):
     assert a == b, "CORE_ROUNDS does not reach the fixpoint on test data"
     n_sym = pairs.filter("a <> b").count() * 2
     assert len(a) < n_sym, "peeling removed nothing — trivial graph?"
+
+
+def test_distributed_rank_cumsum_matches_naive_window(spark):
+    """with_global_rank_cumsum must equal the naive global-sort window on
+    arbitrary (skewed) data — ranks dense from 1, cumsum inclusive."""
+    from pyspark.sql import functions as F
+
+    from polars_ad_etl_spark.functions.distributed_rank import (
+        with_global_rank_cumsum,
+    )
+
+    df = (
+        spark.range(999)
+        .select(
+            F.col("id"),
+            (F.col("id") % 13).alias("k"),
+            ((F.col("id") * 37) % 101).alias("v"),
+        )
+    )
+    got = {
+        (r.k, r.id): (r.rank, r.cumsum)
+        for r in with_global_rank_cumsum(
+            df, ["k", "id"], value_col="v"
+        ).collect()
+    }
+    rows = sorted(df.collect(), key=lambda r: (r.k, r.id))
+    cum = 0
+    for i, r in enumerate(rows, start=1):
+        cum += r.v
+        assert got[(r.k, r.id)] == (i, cum), (r.k, r.id)
