@@ -1253,3 +1253,92 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("lat_us", 0.99), 4).alias("lat_us_p99"),
         F.max("lat_us").cast("long").alias("lat_us_max"),
     )
+
+
+# ------------------------------------------------ cohort LTV curve
+@register(
+    "events_cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week,
+               CAST(MIN(ts) AS DATE) AS first_day
+        FROM events GROUP BY user_id
+    ), spend AS (
+        SELECT f.cohort_week,
+               DATEDIFF('day', f.first_day, CAST(e.ts AS DATE)) // 7
+                   AS age_week,
+               CAST(round(e.value * 100) AS BIGINT) AS cents
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+    ), weekly AS (
+        SELECT cohort_week, age_week,
+               CAST(SUM(cents) AS BIGINT) AS week_cents
+        FROM spend GROUP BY cohort_week, age_week
+    )
+    SELECT cohort_week, age_week, week_cents,
+           CAST(SUM(week_cents) OVER (PARTITION BY cohort_week
+                                      ORDER BY age_week
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_cents,
+           CAST((1000 * SUM(week_cents) OVER (PARTITION BY cohort_week
+                                              ORDER BY age_week
+                                              ROWS UNBOUNDED PRECEDING))
+                // SUM(week_cents) OVER (PARTITION BY cohort_week)
+                AS BIGINT) AS cum_share_permille
+    FROM weekly
+    ORDER BY cohort_week, age_week
+    """,
+)
+def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value accumulation by signup cohort: purchase cents per
+    user-age week, cumulated within each cohort (exact integer, permille of
+    the cohort's final LTV) — the curve growth teams read to decide when a
+    cohort has "matured". Age is measured from each user's own first event
+    (tz-free date arithmetic); the cumsum window is partitioned by cohort
+    over the tiny (cohort × age) aggregate, never the event table."""
+    e = load_events(spark, sf_dir)
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"),
+        F.min("ts").cast("date").alias("first_day"),
+    )
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("ts").cast("date"), F.col("first_day"))
+                / 7
+            )
+            .cast("int")
+            .alias("age_week"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    weekly = spend.groupBy("cohort_week", "age_week").agg(
+        F.sum("cents").alias("week_cents")
+    )
+    cw = W.partitionBy("cohort_week")
+    cum = F.sum("week_cents").over(
+        cw.orderBy("age_week").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        weekly.select(
+            "cohort_week",
+            "age_week",
+            "week_cents",
+            cum.alias("cum_cents"),
+            F.sum("week_cents").over(cw).alias("total_cents"),
+        )
+        .select(
+            "cohort_week",
+            "age_week",
+            "week_cents",
+            "cum_cents",
+            F.expr("(1000 * cum_cents) div total_cents").alias(
+                "cum_share_permille"
+            ),
+        )
+        .orderBy("cohort_week", "age_week")
+    )

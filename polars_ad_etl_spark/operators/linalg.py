@@ -292,3 +292,70 @@ def embedding_variance_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var_num",
         F.expr("(1000 * var_num) div total").alias("share_permille"),
     )
+
+
+# ------------------------------------------- pairwise dot histogram
+#
+# Corpus-geometry QC: the distribution of dot products between embedding
+# pairs (tight around a positive mode → collapsed/anisotropic space, the
+# known failure mode of contrastive encoders). Computing ALL pairs is
+# O(n²); the diagnostic only needs a representative sample, so pairs come
+# from a deterministic modular derangement (partner(id) = (7·id+3) mod n —
+# coprime multiplier, so the pairing is a permutation and reproducible at
+# any scale, no RNG). One equi-join on the partner id + a JVM zip_with
+# fold per pair; the histogram buckets the exact fixed-point dot.
+_DOT_BUCKET = 1 << 28
+
+
+@register(
+    "embedding_dot_histogram",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+    q AS (SELECT vec_id, {_QUANT_DUCK} AS qv FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id_a, a.qv AS qa, b.qv AS qb
+        FROM q a
+        JOIN n ON TRUE
+        JOIN q b ON b.vec_id = (a.vec_id * 7 + 3) % n.n
+        WHERE b.vec_id <> a.vec_id
+    ), dots AS (
+        SELECT id_a, CAST(SUM(ea * eb) AS BIGINT) AS dot_fp
+        FROM (SELECT id_a, UNNEST(qa) AS ea, UNNEST(qb) AS eb FROM pairs)
+        GROUP BY id_a
+    )
+    SELECT dot_fp // {_DOT_BUCKET} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM dots GROUP BY bucket ORDER BY bucket
+    """,
+)
+def embedding_dot_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of exact fixed-point dot products over a deterministic
+    modular-derangement pair sample — the anisotropy diagnostic. See the
+    section comment; the join key is the computed partner id (hash-join
+    shuffle on a uniform key), the fold is JVM-side zip_with/aggregate."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the modulus enters as a broadcast 1-row aggregate, not a collected
+    # literal (the scalar-subquery rule from the TPC-H family)
+    n_row = e.agg(F.count("*").alias("n"))
+    q = e.select("vec_id", F.expr(_QUANT).alias("qv"))
+    a = q.crossJoin(F.broadcast(n_row)).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("qv").alias("qa"),
+        ((F.col("vec_id") * 7 + 3) % F.col("n")).alias("partner"),
+    )
+    b = q.select(F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"))
+    dots = (
+        a.join(b, a.partner == b.id_b)
+        .filter(F.col("id_b") != F.col("id_a"))
+        .select(
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot_fp")
+        )
+    )
+    return (
+        dots.groupBy(F.expr(f"dot_fp div {_DOT_BUCKET}").alias("bucket"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("bucket")
+    )

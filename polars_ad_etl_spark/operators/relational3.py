@@ -1423,3 +1423,24 @@ def nation_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_GROUP_BY_ALL_TEXT = """
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register("sql_api_group_by_all", oracle=_GROUP_BY_ALL_TEXT)
+def sql_api_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL sugar through the front door: GROUP BY ALL (grouping keys
+    inferred from the non-aggregate select items) and ORDER BY ALL, the
+    same text running verbatim on Spark and DuckDB — both dialects support
+    the inference, and the hash match proves they infer the SAME keys and
+    order. Execution is the ordinary partial/final hash aggregate."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUP_BY_ALL_TEXT)

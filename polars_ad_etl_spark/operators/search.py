@@ -182,3 +182,51 @@ def search_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@register(
+    "text_hapax_ratio",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    tf AS (
+        SELECT d.source, t.term, COUNT(*) AS freq
+        FROM tokens t JOIN documents d ON d.doc_id = t.doc_id
+        GROUP BY d.source, t.term
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(COUNT(*) FILTER (WHERE freq = 1) AS BIGINT) AS n_hapax,
+           CAST((1000 * COUNT(*) FILTER (WHERE freq = 1)) // COUNT(*)
+                AS BIGINT) AS hapax_permille
+    FROM tf GROUP BY source ORDER BY source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena share per source: the fraction of each source's
+    vocabulary occurring exactly once — high hapax ratio flags noisy or
+    OCR-damaged sources, near-zero flags templated/boilerplate ones (the
+    companion signal to [[text_vocab_growth_by_source]]'s Heaps curve).
+    Two stacked map-side-combinable aggregations keyed by (source, term);
+    the source column rides the tokenize projection so no join with the
+    documents table is needed on the Spark side."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("freq"))
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.count("*").alias("vocab_size"),
+            F.sum((F.col("freq") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "vocab_size",
+            "n_hapax",
+            F.expr("(1000 * n_hapax) div vocab_size").alias(
+                "hapax_permille"
+            ),
+        )
+        .orderBy("source")
+    )
