@@ -408,3 +408,52 @@ def test_read_csv_quarantined_split(spark, tmp_path):
     assert len(bad_rows) == 1 and "NOT_INT" in bad_rows[0]
     assert good.count() + bad.count() == 3
     parsed.unpersist()
+
+
+# ----------------------------------------------------------- XML (Spark 4)
+def test_xml_roundtrip_with_attributes(spark, tmp_path):
+    """Native XML read/write: nested elements and attributes (attribute
+    columns carry the '_' prefix), values preserved through a write→read
+    round trip."""
+    from pyspark.sql import Row
+
+    from polars_ad_etl_spark.sources.xml import read_xml, write_xml
+
+    src = tmp_path / "feed.xml"
+    src.write_text(
+        "<rows>"
+        "<item id=\"7\"><name>widget</name><qty>3</qty></item>"
+        "<item id=\"8\"><name>gadget</name><qty>5</qty></item>"
+        "</rows>"
+    )
+    df = read_xml(spark, str(src), row_tag="item")
+    rows = {r._id: (r.name, r.qty) for r in df.collect()}
+    assert rows == {7: ("widget", 3), 8: ("gadget", 5)}
+
+    out = tmp_path / "out_xml"
+    write_xml(df.select("name", "qty"), str(out), row_tag="item")
+    back = read_xml(spark, str(out), row_tag="item")
+    assert sorted((r.name, r.qty) for r in back.collect()) == [
+        ("gadget", 5),
+        ("widget", 3),
+    ]
+
+
+def test_xml_explicit_schema_skips_inference(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from polars_ad_etl_spark.sources.xml import read_xml
+
+    src = tmp_path / "feed2.xml"
+    src.write_text(
+        "<rows><item><name>x</name><qty>1</qty></item></rows>"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("qty", T.LongType()),
+        ]
+    )
+    df = read_xml(spark, str(src), row_tag="item", schema=schema)
+    assert df.schema == schema
+    assert df.collect()[0].qty == 1
