@@ -367,3 +367,74 @@ def events_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000 * n_top_users) div n_users").alias("users_permille"),
         F.expr("(1000 * min_cum) div total").alias("spend_permille"),
     )
+
+
+@register(
+    "supplier_hhi_by_nation",
+    oracle="""
+    WITH rev AS (
+        SELECT s_nationkey,
+               l_suppkey,
+               CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY s_nationkey, l_suppkey
+    ), agg AS (
+        SELECT s_nationkey,
+               COUNT(*) AS n_suppliers,
+               CAST(SUM(cents) AS BIGINT) AS total,
+               SUM(CAST(cents AS HUGEINT) * cents) AS sum_sq
+        FROM rev GROUP BY s_nationkey
+    )
+    SELECT n_name, n_suppliers,
+           CAST((1000000 * sum_sq) // (CAST(total AS HUGEINT) * total)
+                AS BIGINT) AS hhi_ppm
+    FROM agg JOIN nation ON n_nationkey = s_nationkey
+    ORDER BY n_name
+    """,
+)
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue per nation in
+    exact parts-per-million: HHI = Σ shareᵢ² = Σ cᵢ² / (Σ cᵢ)². Revenue
+    cents squared overflow int64 at 100 TB scale, so the squared sums ride
+    DECIMAL(38,0) on the Spark side and HUGEINT in the oracle — both exact
+    integer arithmetic; the final ppm result casts back to BIGINT (the
+    driver-visible type stays HUGEINT-free). Two stacked aggregations plus
+    a broadcast nation join."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (
+        lineitem.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            lineitem.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+                    " AS BIGINT)"
+                )
+            ).alias("cents")
+        )
+    )
+    agg = rev.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("cents").alias("total"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ).alias("sum_sq"),
+    )
+    return (
+        agg.join(F.broadcast(nation), agg.s_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "n_suppliers",
+            F.expr(
+                "CAST((1000000 * sum_sq)"
+                " div (CAST(total AS DECIMAL(38,0)) * total) AS BIGINT)"
+            ).alias("hhi_ppm"),
+        )
+        .orderBy("n_name")
+    )

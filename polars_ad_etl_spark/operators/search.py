@@ -230,3 +230,70 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_source_vocab_jaccard",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    vocab AS (
+        SELECT DISTINCT d.source, t.term
+        FROM tokens t JOIN documents d ON d.doc_id = t.doc_id
+    ), sizes AS (
+        SELECT source, COUNT(*) AS v FROM vocab GROUP BY source
+    ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_common
+        FROM vocab a JOIN vocab b
+          ON a.term = b.term AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.v + sb.v - n_common AS BIGINT) AS n_union,
+           CAST((1000 * n_common) // (sa.v + sb.v - n_common) AS BIGINT)
+               AS jaccard_permille
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def text_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the dataset-mixing
+    diagnostic (two sources with near-identical vocabularies add less
+    diversity than their token counts suggest). The intersection join is
+    keyed by TERM over the deduplicated (source, term) vocabulary — at
+    100 TB that table is |sources|·|vocab|, tiny next to the corpus, and
+    per-term fan-out is bounded by |sources|². Sizes broadcast onto the
+    |sources|² result."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("v"))
+    a = vocab.select(F.col("source").alias("source_a"), "term")
+    b = vocab.select(F.col("source").alias("source_b"), "term")
+    inter = (
+        a.join(b, ["term"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("v").alias("va")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("v").alias("vb")))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            (F.col("va") + F.col("vb") - F.col("n_common")).alias("n_union"),
+            F.expr("(1000 * n_common) div (va + vb - n_common)").alias(
+                "jaccard_permille"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )

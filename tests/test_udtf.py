@@ -40,3 +40,20 @@ def test_chunk_udtf_null_and_empty(spark):
     assert [(r.doc_id, r.chunk_id, r.chunk_tokens) for r in rows] == [
         (3, 0, 2)
     ]
+
+
+def test_parameterized_sql_named_args(spark):
+    """Spark 4 named-parameter SQL (the injection-safe front door): the
+    same template re-executes with different bindings."""
+    spark.range(50).selectExpr("id", "id % 5 AS k").createOrReplaceTempView(
+        "_param_t"
+    )
+    tpl = "SELECT COUNT(*) AS n FROM _param_t WHERE k = :k AND id >= :lo"
+    n0 = spark.sql(tpl, args={"k": 0, "lo": 0}).collect()[0].n
+    n1 = spark.sql(tpl, args={"k": 0, "lo": 25}).collect()[0].n
+    assert n0 == 10 and n1 == 5
+
+
+def test_parameterized_sql_positional_args(spark):
+    df = spark.sql("SELECT ? + ? AS s", args=[2, 3])
+    assert df.collect()[0].s == 5
