@@ -438,3 +438,124 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# --------------------------------------- robust statistics (pair-based)
+#
+# Theil-Sen and Kendall's tau are the robust complements to the exact
+# integer OLS in events_daily_trend: both are functions of DAY PAIRS, so
+# the O(n²) pair expansion happens on the bounded daily AGGREGATE
+# (|days|² ≈ 900 pairs here; even a decade of days is ~13M pairs), never
+# on base data — the same aggregate-then-expand discipline as the hazard
+# and skyline queries. For planet-scale day counts the sampled-pairs
+# estimator drops in without changing the shape.
+
+
+@register(
+    "events_theilsen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), slopes AS (
+        SELECT CAST(b.y - a.y AS DOUBLE) / (b.t - a.t) AS slope
+        FROM daily a JOIN daily b ON b.t > a.t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 4) AS theilsen_slope
+    FROM slopes
+    """,
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator of the daily-volume trend: the median of all
+    pairwise day-slopes — robust to outlier days that wreck the OLS fit
+    ([[events_daily_trend]]). Pair slopes are exact doubles (integer
+    numerator / integer denominator, identical bitwise in both engines);
+    the median uses the round(4) interpolated-percentile contract. See the
+    section comment for why the quadratic expansion is safe."""
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("t")
+    ).agg(F.count("*").alias("y"))
+    a = daily.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = daily.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    slopes = a.join(F.broadcast(b), F.col("tb") > F.col("ta")).select(
+        (
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("tb") - F.col("ta"))
+        ).alias("slope")
+    )
+    return slopes.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.percentile("slope", 0.5), 4).alias("theilsen_slope"),
+    )
+
+
+@register(
+    "stats_kendall_tau_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+                   AS views,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS purchases
+        FROM events GROUP BY 1
+    ), pairs AS (
+        SELECT CASE WHEN (b.views - a.views) * (b.purchases - a.purchases)
+                         > 0 THEN 1 ELSE 0 END AS concordant,
+               CASE WHEN (b.views - a.views) * (b.purchases - a.purchases)
+                         < 0 THEN 1 ELSE 0 END AS discordant
+        FROM daily a JOIN daily b ON b.day > a.day
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(concordant) AS BIGINT) AS n_concordant,
+           CAST(SUM(discordant) AS BIGINT) AS n_discordant,
+           CAST((1000 * (SUM(concordant) - SUM(discordant))) // COUNT(*)
+                AS BIGINT) AS tau_permille
+    FROM pairs
+    """,
+)
+def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau between daily view volume and daily purchase volume —
+    "do views and purchases move together day to day", as exact integer
+    concordant/discordant pair counts and permille tau (tau-a; ties count
+    in the denominator identically in both engines). Pair expansion on the
+    |days| aggregate only."""
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("views"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "purchases"
+        ),
+    )
+    a = daily.select(
+        F.col("day").alias("da"),
+        F.col("views").alias("va"),
+        F.col("purchases").alias("pa"),
+    )
+    b = daily.select(
+        F.col("day").alias("db"),
+        F.col("views").alias("vb"),
+        F.col("purchases").alias("pb"),
+    )
+    prod = (F.col("vb") - F.col("va")) * (F.col("pb") - F.col("pa"))
+    pairs = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(
+        F.when(prod > 0, 1).otherwise(0).alias("concordant"),
+        F.when(prod < 0, 1).otherwise(0).alias("discordant"),
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("concordant").alias("n_concordant"),
+        F.sum("discordant").alias("n_discordant"),
+    ).select(
+        "n_pairs",
+        "n_concordant",
+        "n_discordant",
+        F.expr(
+            "(1000 * (n_concordant - n_discordant)) div n_pairs"
+        ).alias("tau_permille"),
+    )

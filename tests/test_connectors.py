@@ -2,6 +2,7 @@
 constructor), Excel gating, header-only CSV detection path."""
 
 import datetime as dt
+import json
 
 import pytest
 
@@ -457,3 +458,55 @@ def test_xml_explicit_schema_skips_inference(spark, tmp_path):
     df = read_xml(spark, str(src), row_tag="item", schema=schema)
     assert df.schema == schema
     assert df.collect()[0].qty == 1
+
+
+# ------------------------------------- Python streaming DataSource
+def test_jsonl_tail_stream_exactly_once(spark, tmp_path):
+    """The custom streaming DataSource must deliver every row exactly once
+    across micro-batches (offset contract + deterministic replay)."""
+    from polars_ad_etl_spark.sources.stream_jsonl import JsonlTailDataSource
+
+    spark.dataSource.register(JsonlTailDataSource)
+    src = tmp_path / "feed.jsonl"
+    rows = [{"id": i, "v": f"r{i}"} for i in range(25)]
+    src.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    got = []
+
+    def sink(batch_df, _bid):
+        got.extend((r.id, r.v) for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("jsonl_tail")
+        .schema("id long, v string")
+        .option("path", str(src))
+        .option("batchrows", "7")  # forces 4 uneven micro-batches
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # continuous micro-batches (availableNow drains only one read() for
+    # simple stream readers); poll until the tail is fully consumed
+    import time
+
+    deadline = time.time() + 120
+    while len(got) < 25 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    assert sorted(got) == [(i, f"r{i}") for i in range(25)]
+
+
+def test_jsonl_tail_replay_is_deterministic(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    from polars_ad_etl_spark.sources.stream_jsonl import _JsonlTailReader
+
+    src = tmp_path / "feed2.jsonl"
+    src.write_text("\n".join(json.dumps({"id": i, "v": str(i)}) for i in range(10)))
+    schema = StructType.fromDDL("id long, v string")
+    r = _JsonlTailReader(schema, {"path": str(src), "batchrows": "4"})
+    first, off = r.read(r.initialOffset())
+    assert off == {"row": 4}
+    replay = list(r.readBetweenOffsets({"row": 0}, {"row": 4}))
+    assert list(first) == replay == [(i, str(i)) for i in range(4)]
