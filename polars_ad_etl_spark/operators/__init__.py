@@ -31,5 +31,6 @@ from polars_ad_etl_spark.operators import search  # noqa: E402,F401
 from polars_ad_etl_spark.operators import skyline  # noqa: E402,F401
 from polars_ad_etl_spark.operators import dq  # noqa: E402,F401
 from polars_ad_etl_spark.operators import privacy  # noqa: E402,F401
+from polars_ad_etl_spark.operators import diffing  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -668,3 +668,27 @@ def test_distributed_rank_cumsum_matches_naive_window(spark):
     for i, r in enumerate(rows, start=1):
         cum += r.v
         assert got[(r.k, r.id)] == (i, cum), (r.k, r.id)
+
+
+def test_table_diff_classifies_all_cases(spark):
+    """table_diff: added/removed/changed/unchanged, including the null
+    transitions a naive equality compare misclassifies."""
+    from polars_ad_etl_spark.operators.diffing import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "now-set"), (4, None), (5, "e")], "k int, v string"
+    )
+    got = {
+        r.k: r.change_type
+        for r in table_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",   # NULL -> value
+        4: "changed",   # value -> NULL
+        5: "added",
+    }
