@@ -237,3 +237,49 @@ def compact_agg_deltas(
             shutil.rmtree(d)
     tmp.rename(p / f"batch_id={keep_batch_id}")
     return str(p)
+
+
+# --------------------------------------------------------------------------
+# Incremental JOIN-aggregate maintenance (delta propagation / IVM)
+#
+# The aggregate deltas above maintain single-table views; the other view
+# class a warehouse materializes is a JOIN aggregate (revenue per customer
+# = orders ⋈ lineitem, grouped). Recomputing it per batch is the 100 TB
+# anti-pattern; the algebraic identity for APPEND-ONLY bases is
+#
+#   (A+ΔA) ⋈ (B+ΔB) = A⋈B  +  ΔA⋈(B+ΔB)  +  A⋈ΔB
+#
+# so the view's additive partial grows by exactly two joins, each with one
+# DELTA side — small by definition, hence broadcast, hence no shuffle of
+# the big bases at all. The result is a per-key PARTIAL in the same
+# cnt/sum_* convention as write_agg_delta, so the existing delta-log,
+# consolidated-view, and compaction machinery apply unchanged.
+# (Retractions/updates need signed multiplicities — out of scope for the
+# append-only feeds this repo models.)
+
+
+def join_agg_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: str,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-key partial (cnt, sum_<value>) contributed by one batch of
+    append-only deltas to the A⋈B GROUP BY view. Append the result with
+    ``write_agg_delta``; ``read_incremental_agg`` then serves the
+    maintained view."""
+    from pyspark.sql import functions as F
+
+    b_new = b_old.unionByName(b_delta)
+    contributions = F.broadcast(a_delta).join(b_new, on).unionByName(
+        a_old.join(F.broadcast(b_delta), on)
+    )
+    return contributions.groupBy(*key_cols).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col(value_col).cast("decimal(25,6)"))
+        .cast("double")
+        .alias(f"sum_{value_col}"),
+    )
