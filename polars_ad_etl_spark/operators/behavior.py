@@ -1342,3 +1342,68 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_week")
     )
+
+
+# -------------------------------------------- customer band migration
+@register(
+    "customer_band_migration",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ), banded AS (
+        SELECT o_custkey, yr,
+               CASE WHEN cents < 20000000 THEN 'low'
+                    WHEN cents < 60000000 THEN 'mid'
+                    ELSE 'high' END AS band
+        FROM spend
+    )
+    SELECT a.band AS band_from, b.band AS band_to,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM banded a
+    JOIN banded b ON b.o_custkey = a.o_custkey AND b.yr = a.yr + 1
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def customer_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year spend-band migration matrix (low/mid/high by annual
+    order cents): who upgraded, who churned down — the segment-transition
+    counterpart of [[events_transition_matrix]] at the customer-value
+    grain. One aggregation to (customer, year) then a self-join on
+    (customer, adjacent year); the matrix output is |bands|² per year
+    pair. All thresholds exact integer cents."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spend = orders.groupBy(
+        "o_custkey", F.year("o_orderdate").cast("long").alias("yr")
+    ).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    banded = spend.select(
+        "o_custkey",
+        "yr",
+        F.when(F.col("cents") < 20_000_000, "low")
+        .when(F.col("cents") < 60_000_000, "mid")
+        .otherwise("high")
+        .alias("band"),
+    )
+    a = banded.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("yr").alias("yra"),
+        F.col("band").alias("band_from"),
+    )
+    b = banded.select(
+        F.col("o_custkey").alias("ckb"),
+        F.col("yr").alias("yrb"),
+        F.col("band").alias("band_to"),
+    )
+    return (
+        a.join(b, (F.col("ckb") == F.col("ck")) & (F.col("yrb") == F.col("yra") + 1))
+        .groupBy("band_from", "band_to")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("band_from", "band_to")
+    )

@@ -602,3 +602,70 @@ def curation_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(_PRIORITY_K)
     )
+
+
+# ------------------------------------------------ curation gate funnel
+@register(
+    "curation_gate_funnel",
+    oracle="""
+    WITH flags AS (
+        SELECT doc_id,
+               n_chars BETWEEN 100 AND 10000 AS pass_len,
+               lang IN ('en', 'de', 'fr', 'es', 'zh') AS pass_lang,
+               doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+                   AS pass_dedup
+        FROM documents
+    )
+    SELECT stage, n_docs FROM (
+        SELECT 1 AS ord, 'ingested' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs FROM flags
+        UNION ALL
+        SELECT 2, 'len_filtered', CAST(COUNT(*) FILTER (WHERE pass_len)
+               AS BIGINT) FROM flags
+        UNION ALL
+        SELECT 3, 'lang_filtered', CAST(COUNT(*) FILTER (
+               WHERE pass_len AND pass_lang) AS BIGINT) FROM flags
+        UNION ALL
+        SELECT 4, 'deduped', CAST(COUNT(*) FILTER (
+               WHERE pass_len AND pass_lang AND pass_dedup) AS BIGINT)
+        FROM flags
+    ) ORDER BY ord
+    """,
+)
+def curation_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's survival funnel: document counts after each
+    successive gate (length window → allowed language → exact-dup keep
+    rule) — the attrition report every dataset card publishes. All four
+    counts come from ONE pass: per-document booleans (the dedup keep flag
+    is a window over the md5 hash partition — high-cardinality key, no
+    hot spot) then a single aggregate with cumulative-conjunction
+    filters, unpivoted to (stage, n_docs)."""
+    from pyspark.sql import Window as W
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dedup_w = W.partitionBy(F.md5("text"))
+    flags = docs.select(
+        F.col("n_chars").between(100, 10000).alias("pass_len"),
+        F.col("lang").isin("en", "de", "fr", "es", "zh").alias("pass_lang"),
+        (F.col("doc_id") == F.min("doc_id").over(dedup_w)).alias(
+            "pass_dedup"
+        ),
+    )
+    wide = flags.agg(
+        F.count(F.lit(1)).alias("c1"),
+        F.sum(F.col("pass_len").cast("long")).alias("c2"),
+        F.sum((F.col("pass_len") & F.col("pass_lang")).cast("long")).alias(
+            "c3"
+        ),
+        F.sum(
+            (
+                F.col("pass_len") & F.col("pass_lang") & F.col("pass_dedup")
+            ).cast("long")
+        ).alias("c4"),
+    )
+    return (
+        wide.selectExpr(
+            "stack(4, 'ingested', c1, 'len_filtered', c2,"
+            " 'lang_filtered', c3, 'deduped', c4) AS (stage, n_docs)"
+        )
+    )
