@@ -1407,3 +1407,76 @@ def customer_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("band_from", "band_to")
     )
+
+
+# ------------------------------------------------- bot suspect scoring
+@register(
+    "events_bot_suspects",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               DATEDIFF('microsecond',
+                        LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id), ts) AS gap_us
+        FROM events
+    ), gap_stats AS (
+        SELECT user_id,
+               round(quantile_cont(gap_us, 0.5), 4) AS median_gap_us
+        FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
+    ), mix AS (
+        SELECT user_id, COUNT(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ), diversity AS (
+        SELECT user_id,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               CAST((1000 * (SUM(c) * SUM(c) - SUM(c * c)))
+                    // (SUM(c) * SUM(c)) AS BIGINT) AS diversity_permille
+        FROM mix GROUP BY user_id
+    )
+    SELECT d.user_id, d.n_events, d.diversity_permille, g.median_gap_us
+    FROM diversity d JOIN gap_stats g ON g.user_id = d.user_id
+    WHERE d.n_events >= 30
+      AND d.diversity_permille <= 700
+      AND g.median_gap_us <= 21600000000
+    ORDER BY d.user_id
+    """,
+)
+def events_bot_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based bot shortlist composing three verified per-user signals:
+    high volume (≥30 events), low behavioral diversity (Gini-Simpson ≤
+    0.7 — the [[events_simpson_diversity]] statistic), and a tight median
+    inter-event gap (≤6 h; interpolated median of exact integer µs gaps —
+    the average of two int64s is exact in doubles, so the threshold
+    comparison cannot flip between engines). Everything shuffles once on
+    user_id; the three signal aggregates join on that same key."""
+    e = load_events(spark, sf_dir)
+    gaps = e.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    gap_stats = gaps.groupBy("user_id").agg(
+        F.round(F.percentile("gap_us", 0.5), 4).alias("median_gap_us")
+    )
+    mix = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    diversity = mix.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.expr(
+            "(1000 * (sum(c) * sum(c) - sum(c * c)))"
+            " div (sum(c) * sum(c))"
+        ).alias("diversity_permille"),
+    )
+    return (
+        diversity.join(gap_stats, "user_id")
+        .filter(
+            (F.col("n_events") >= 30)
+            & (F.col("diversity_permille") <= 700)
+            & (F.col("median_gap_us") <= 21_600_000_000)
+        )
+        .select(
+            "user_id", "n_events", "diversity_permille", "median_gap_us"
+        )
+        .orderBy("user_id")
+    )

@@ -120,3 +120,51 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "key")
         .limit(_SKEW_TOP_K)
     )
+
+
+@register(
+    "profile_join_fanout",
+    oracle="""
+    WITH a AS (
+        SELECT l_orderkey AS k, COUNT(*) AS ca FROM lineitem GROUP BY 1
+    ), b AS (
+        SELECT o_orderkey AS k, COUNT(*) AS cb FROM orders GROUP BY 1
+    ), prod AS (
+        SELECT a.k, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+               CAST(ca * cb AS BIGINT) AS fanout
+        FROM a JOIN b ON b.k = a.k
+    ), tot AS (
+        SELECT CAST(SUM(fanout) AS BIGINT) AS total_rows_out FROM prod
+    )
+    SELECT k, ca, cb, fanout, total_rows_out
+    FROM prod, tot
+    ORDER BY fanout DESC, k LIMIT 10
+    """,
+)
+def profile_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-explosion diagnostic (the companion to
+    [[profile_key_skew]]): for a prospective join key, per-side key counts
+    and their product — the exact output-row contribution of each key —
+    plus the total join output size, BEFORE running the join. The top-10
+    by fanout names the keys that would dominate a blowup. Two map-side-
+    combinable aggregates + a join of the (small) per-key count tables;
+    the total is a broadcast 1-row aggregate. Run this when a join's
+    estimated output explodes — it distinguishes 'one hot key' (salt it)
+    from 'uniformly multiplicative' (rethink the join)."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").alias("ca")
+    )
+    b = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").alias("cb")
+    )
+    prod = a.join(b, "k").select(
+        "k", "ca", "cb", (F.col("ca") * F.col("cb")).alias("fanout")
+    )
+    tot = prod.agg(F.sum("fanout").alias("total_rows_out"))
+    return (
+        prod.crossJoin(F.broadcast(tot))
+        .orderBy(F.desc("fanout"), "k")
+        .limit(10)
+    )
