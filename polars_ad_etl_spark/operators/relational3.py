@@ -1444,3 +1444,34 @@ def sql_api_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     order. Execution is the ordinary partial/final hash aggregate."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_GROUP_BY_ALL_TEXT)
+
+
+@register(
+    "sql_api_pipe_syntax",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_api_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (|>, SQL:2023-era sugar Spark 4 ships): the query
+    reads top-down as a dataflow — FROM |> WHERE |> AGGREGATE |> ORDER BY —
+    and compiles to the identical plan as the classic formulation the
+    oracle runs. Proves the front door accepts the modern dialect."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                          AS DOUBLE) AS revenue
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )

@@ -57,3 +57,33 @@ def test_parameterized_sql_named_args(spark):
 def test_parameterized_sql_positional_args(spark):
     df = spark.sql("SELECT ? + ? AS s", args=[2, 3])
     assert df.collect()[0].s == 5
+
+
+def test_collation_case_insensitive_compare(spark):
+    """Spark 4 collation surface: UTF8_LCASE comparisons and grouping."""
+    df = spark.createDataFrame(
+        [("Apple",), ("APPLE",), ("banana",), ("Banana",), ("cherry",)],
+        "fruit string",
+    )
+    df.createOrReplaceTempView("_coll_t")
+    rows = spark.sql(
+        """
+        SELECT lower(fruit COLLATE UTF8_LCASE) AS f, COUNT(*) AS n
+        FROM _coll_t GROUP BY fruit COLLATE UTF8_LCASE
+        """
+    ).collect()
+    assert sorted((r.f, r.n) for r in rows) == [
+        ("apple", 2),
+        ("banana", 2),
+        ("cherry", 1),
+    ]
+
+
+def test_try_arithmetic_is_null_safe_under_ansi(spark):
+    """ANSI mode makes 1/0 raise; the try_ family returns NULL instead —
+    the error-safe path pipelines use for ratio columns."""
+    row = spark.sql(
+        "SELECT try_divide(10, 0) AS a, try_add(9223372036854775807, 1) AS b,"
+        " try_cast('xyz' AS INT) AS c"
+    ).collect()[0]
+    assert row.a is None and row.b is None and row.c is None
