@@ -1475,3 +1475,119 @@ def sql_api_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "window_rolling_median_value",
+    oracle="""
+    WITH cents AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT user_id, event_id,
+           round(quantile_cont(cents, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+               AS rolling_median_cents
+    FROM cents
+    ORDER BY user_id, event_id
+    """,
+)
+def window_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median of each user's last five event values — the robust
+    moving level estimate (a rolling MEAN breaks on one outlier). Spark has
+    no percentile-over-moving-frame, so the rewrite collects the ≤5-row
+    frame as an array and takes the exact interpolated median JVM-side
+    (sort_array + element arithmetic; midpoints of int64 cents are exact
+    doubles, same round(4) contract as every percentile here). The frame
+    is bounded by construction, so the array never exceeds five elements —
+    memory-safe at any scale; one user_id shuffle total."""
+    e = load_events(spark, sf_dir)
+    cents = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    frame = F.sort_array(F.collect_list("cents").over(w))
+    med = F.expr(
+        """
+        CASE WHEN size(frame) % 2 = 1
+             THEN CAST(element_at(frame, CAST(size(frame) div 2 + 1 AS INT)) AS DOUBLE)
+             ELSE (CAST(element_at(frame, CAST(size(frame) div 2 AS INT))
+                        AS DOUBLE)
+                   + element_at(frame,
+                                CAST(size(frame) div 2 + 1 AS INT))) / 2.0
+             END
+        """
+    )
+    return (
+        cents.withColumn("frame", frame)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(med, 4).alias("rolling_median_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH dau AS (
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS month_start,
+               CAST(ts AS DATE) AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events GROUP BY 1, 2
+    ), mau AS (
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS month_start,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+        FROM events GROUP BY 1
+    ), d AS (
+        SELECT month_start, CAST(SUM(dau) AS BIGINT) AS dau_sum,
+               COUNT(*) AS n_days
+        FROM dau GROUP BY month_start
+    )
+    SELECT d.month_start, d.n_days, d.dau_sum, m.mau,
+           CAST((1000 * d.dau_sum) // (d.n_days * m.mau) AS BIGINT)
+               AS stickiness_permille
+    FROM d JOIN mau m ON m.month_start = d.month_start
+    ORDER BY d.month_start
+    """,
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month in exact integer permille (mean daily
+    actives over monthly actives — the habit-formation KPI). Two distinct
+    aggregations (day grain and month grain) joined on the bounded month
+    key; distincts shuffle on user_id with partial aggregation."""
+    e = load_events(spark, sf_dir)
+    month = F.date_trunc("month", F.col("ts")).cast("date")
+    dau = e.groupBy(
+        month.alias("month_start"), F.col("ts").cast("date").alias("day")
+    ).agg(F.count_distinct("user_id").alias("dau"))
+    mau = e.groupBy(month.alias("month_start")).agg(
+        F.count_distinct("user_id").alias("mau")
+    )
+    d = dau.groupBy("month_start").agg(
+        F.sum("dau").alias("dau_sum"), F.count("*").alias("n_days")
+    )
+    return (
+        d.join(mau, "month_start")
+        .select(
+            "month_start",
+            "n_days",
+            "dau_sum",
+            "mau",
+            F.expr("(1000 * dau_sum) div (n_days * mau)").alias(
+                "stickiness_permille"
+            ),
+        )
+        .orderBy("month_start")
+    )
