@@ -1294,3 +1294,60 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / TOP_K).alias("recall"),
         )
     )
+
+
+@register(
+    "sim_kmeans_label_purity",
+    oracle=f"""
+    WITH assign AS ({_kmeans_oracle_sql()}),
+    j AS (
+        SELECT a.cluster, e.label
+        FROM assign a JOIN embeddings e USING (vec_id)
+    ),
+    cl AS (SELECT cluster, label, COUNT(*) AS c FROM j GROUP BY 1, 2),
+    top AS (
+        SELECT cluster, label AS majority_label, c AS n_majority,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY c DESC, label) AS rn
+        FROM cl
+    ),
+    n AS (SELECT cluster, CAST(SUM(c) AS BIGINT) AS n_vecs
+          FROM cl GROUP BY 1)
+    SELECT n.cluster, n.n_vecs, t.majority_label,
+           CAST(t.n_majority AS BIGINT) AS n_majority,
+           CAST((1000 * t.n_majority) // n.n_vecs AS BIGINT)
+               AS purity_permille
+    FROM n JOIN top t ON t.cluster = n.cluster AND t.rn = 1
+    ORDER BY n.cluster
+    """,
+)
+def sim_kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality readout: per k-means cluster, the majority ground-
+    truth label and its exact permille share — the external-validation
+    metric (purity) for the verified fixed-iteration Lloyd clustering.
+    Composes the oracle-checked assignment with the labels column; two
+    stacked aggregates and a min_by/max_by-style majority pick (ties to
+    the smaller label in both engines)."""
+    assign = sim_kmeans_clusters(spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label"
+    )
+    cl = (
+        assign.join(e, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    # majority pick: min of (-c, label) == max count, ties to smaller label
+    top = cl.groupBy("cluster").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias(
+            "m"
+        ),
+        F.sum("c").alias("n_vecs"),
+    )
+    return top.select(
+        "cluster",
+        "n_vecs",
+        F.col("m.label").alias("majority_label"),
+        (-F.col("m.nc")).alias("n_majority"),
+        F.expr("(1000 * -m.nc) div n_vecs").alias("purity_permille"),
+    ).orderBy("cluster")
