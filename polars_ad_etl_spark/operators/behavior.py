@@ -1480,3 +1480,59 @@ def events_bot_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# -------------------------------------------- new vs returning users
+@register(
+    "events_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day
+        FROM events GROUP BY user_id
+    ), daily AS (
+        SELECT CAST(e.ts AS DATE) AS day, e.user_id,
+               CAST(e.ts AS DATE) = f.first_day AS is_new
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT day,
+           CAST(COUNT(*) FILTER (WHERE is_new) AS BIGINT) AS new_users,
+           CAST(COUNT(*) FILTER (WHERE NOT is_new) AS BIGINT)
+               AS returning_users,
+           CAST((1000 * COUNT(*) FILTER (WHERE is_new)) // COUNT(*)
+                AS BIGINT) AS new_share_permille
+    FROM daily GROUP BY day ORDER BY day
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning active-user split (the growth-accounting
+    KPI): a user is "new" on the calendar day of their first event,
+    returning on any later active day. Distinct (day, user) pairs join the
+    per-user first-day aggregate on user_id — the cohort-retention scale
+    shape reused; all arithmetic exact integer."""
+    e = load_events(spark, sf_dir)
+    firsts = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_day")
+    )
+    daily = (
+        e.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .join(firsts, "user_id")
+        .select("day", (F.col("day") == F.col("first_day")).alias("is_new"))
+    )
+    return (
+        daily.groupBy("day")
+        .agg(
+            F.sum(F.col("is_new").cast("long")).alias("new_users"),
+            F.sum((~F.col("is_new")).cast("long")).alias("returning_users"),
+        )
+        .select(
+            "day",
+            "new_users",
+            "returning_users",
+            F.expr(
+                "(1000 * new_users) div (new_users + returning_users)"
+            ).alias("new_share_permille"),
+        )
+        .orderBy("day")
+    )

@@ -662,3 +662,49 @@ def orders_iso_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
         .orderBy("iso_year", "iso_week")
     )
+
+
+@register(
+    "orders_seasonality_index",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(month(o_orderdate) AS BIGINT) AS month_num,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_orders) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_months
+        FROM monthly
+    )
+    SELECT month_num,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST((1000 * n_orders * n_months) // total AS BIGINT)
+               AS seasonality_index_permille
+    FROM monthly, tot
+    ORDER BY month_num
+    """,
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonality index: each month's order volume over the
+    all-month mean, in exact integer permille (1000 = average month) — the
+    demand-planning normalization factor. One aggregation to 12 rows plus
+    a broadcast 1-row total; index = n·|months|/total avoids any float
+    mean."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.month("o_orderdate").cast("long").alias("month_num")
+    ).agg(F.count("*").alias("n_orders"))
+    tot = monthly.agg(
+        F.sum("n_orders").alias("total"), F.count("*").alias("n_months")
+    )
+    return (
+        monthly.crossJoin(F.broadcast(tot))
+        .select(
+            "month_num",
+            "n_orders",
+            F.expr("(1000 * n_orders * n_months) div total").alias(
+                "seasonality_index_permille"
+            ),
+        )
+        .orderBy("month_num")
+    )
