@@ -559,3 +559,76 @@ def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000 * (n_concordant - n_discordant)) div n_pairs"
         ).alias("tau_permille"),
     )
+
+
+@register(
+    "stats_percentile_disc_prices",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ), ranked AS (
+        SELECT o_orderpriority, cents,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY cents, o_orderkey) AS r,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM cents
+    ), pk AS (
+        SELECT o_orderpriority, cents, r, n,
+               UNNEST([500, 900, 990]) AS p
+        FROM ranked
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(CASE WHEN p = 500 THEN cents END) AS BIGINT) AS p50_cents,
+           CAST(MAX(CASE WHEN p = 900 THEN cents END) AS BIGINT) AS p90_cents,
+           CAST(MAX(CASE WHEN p = 990 THEN cents END) AS BIGINT) AS p99_cents
+    FROM pk
+    WHERE r = (p * n + 999) // 1000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def stats_percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (p50/p90/p99 of order price cents per
+    priority): the value at rank ⌈p·n⌉ — an actual observed price, never
+    an interpolated midpoint, and therefore pure int64 with no float
+    contract at all (the complement to the round(4) continuous-percentile
+    family). Rank windows partitioned by priority; the three target ranks
+    come from exploding a 3-element literal; one pass, conditional-max
+    pivot."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = orders.select(
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+    )
+    pw = W.partitionBy("o_orderpriority")
+    ranked = cents.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number()
+        .over(pw.orderBy("cents", "o_orderkey"))
+        .alias("r"),
+        F.count("*").over(pw).alias("n"),
+    )
+    pk = ranked.withColumn(
+        "p", F.explode(F.array(F.lit(500), F.lit(900), F.lit(990)))
+    )
+    return (
+        pk.filter(F.expr("r = (p * n + 999) div 1000"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max(F.when(F.col("p") == 500, F.col("cents"))).alias(
+                "p50_cents"
+            ),
+            F.max(F.when(F.col("p") == 900, F.col("cents"))).alias(
+                "p90_cents"
+            ),
+            F.max(F.when(F.col("p") == 990, F.col("cents"))).alias(
+                "p99_cents"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
