@@ -632,3 +632,75 @@ def stats_percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "part_xyz_classes",
+    oracle="""
+    WITH monthly AS (
+        SELECT l_partkey,
+               date_trunc('month', l_shipdate) AS m,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2
+    ), per_part AS (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS BIGINT) AS s,
+               CAST(SUM(q * q) AS BIGINT) AS ss
+        FROM monthly GROUP BY 1
+    ), classed AS (
+        SELECT p.p_brand,
+               CASE WHEN 4 * (n * ss - s * s) < s * s THEN 'X'
+                    WHEN n * ss - s * s < s * s THEN 'Y'
+                    ELSE 'Z' END AS xyz
+        FROM per_part JOIN part p ON p.p_partkey = l_partkey
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) FILTER (WHERE xyz = 'X') AS BIGINT) AS n_x,
+           CAST(COUNT(*) FILTER (WHERE xyz = 'Y') AS BIGINT) AS n_y,
+           CAST(COUNT(*) FILTER (WHERE xyz = 'Z') AS BIGINT) AS n_z
+    FROM classed GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def part_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification (the inventory-planning
+    companion to [[supplier_pareto_class]]'s ABC): per part, the squared
+    coefficient of variation of monthly shipped quantity, classed X
+    (CV² < ¼, steady), Y (< 1), Z (erratic) — entirely via integer
+    cross-multiplication (4(n·SS − S²) < S² etc.), no division or floats.
+    Two stacked aggregates on the fact, then a part-dimension join and the
+    per-brand class census."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    monthly = lineitem.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(
+        F.sum(F.expr("CAST(round(l_quantity) AS BIGINT)")).alias("q")
+    )
+    per_part = monthly.groupBy("l_partkey").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("ss"),
+    )
+    classed = per_part.join(
+        F.broadcast(part), per_part.l_partkey == part.p_partkey
+    ).select(
+        "p_brand",
+        F.when(
+            F.expr("4 * (n * ss - s * s) < s * s"), "X"
+        )
+        .when(F.expr("n * ss - s * s < s * s"), "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return (
+        classed.groupBy("p_brand")
+        .agg(
+            F.sum((F.col("xyz") == "X").cast("long")).alias("n_x"),
+            F.sum((F.col("xyz") == "Y").cast("long")).alias("n_y"),
+            F.sum((F.col("xyz") == "Z").cast("long")).alias("n_z"),
+        )
+        .orderBy("p_brand")
+    )
