@@ -297,3 +297,104 @@ def text_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "search_proximity_hits",
+    oracle=f"""
+    WITH {_TOKENS_CTE}
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(abs(b.pos - a.pos)) AS BIGINT) AS min_distance
+    FROM tokens a JOIN tokens b
+      ON b.doc_id = a.doc_id
+     AND b.pos BETWEEN a.pos - 3 AND a.pos + 3
+     AND b.pos <> a.pos
+    WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+    GROUP BY a.doc_id
+    ORDER BY a.doc_id
+    """,
+)
+def search_proximity_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search ("hash" NEAR/3 "join", either order): co-occurrence
+    pairs within a ±3-token window, from the same pre-filtered posting
+    lists as [[search_phrase_hits]]. The position-range predicate rides a
+    doc_id equi join (bounded ±3 fan-out per posting), so the plan stays a
+    hash join — no interval machinery needed at this window size."""
+    toks = _tokens(spark, sf_dir)
+    a = toks.filter(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = toks.filter(F.col("term") == PHRASE[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    pairs = a.join(
+        b,
+        (a.doc_id == b.doc_b)
+        & (F.col("pos_b") >= F.col("pos_a") - 3)
+        & (F.col("pos_b") <= F.col("pos_a") + 3)
+        & (F.col("pos_b") != F.col("pos_a")),
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min(F.abs(F.col("pos_b") - F.col("pos_a")))
+            .cast("long")
+            .alias("min_distance"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "search_ranked_retrieval",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    tf AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tokens WHERE term IN ('{PHRASE[0]}', '{PHRASE[1]}')
+        GROUP BY 1, 2
+    ), df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT doc_id,
+           CAST(SUM(tf.tf * ((1000 * n.n) // df.df)) AS BIGINT) AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+    FROM tf JOIN df USING (term), n
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def search_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval for the query {"hash", "join"}: score = Σ tf ×
+    idf_proxy with the integer idf proxy 1000·N/df (monotone in true IDF —
+    ranking-equivalent without logs, hence exactly comparable across
+    engines). Postings pre-filtered to the query terms; document frequency
+    is a |terms|-row aggregate and the corpus size a broadcast scalar;
+    top-20 by (score, doc_id) is TakeOrdered. This is the index-serving
+    query completing build → phrase → proximity → ranked."""
+    toks = _tokens(spark, sf_dir)
+    tf = (
+        toks.filter(F.col("term").isin(*PHRASE))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf") * F.expr("(1000 * n) div df")
+            ).alias("score"),
+            F.count("*").alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
