@@ -359,3 +359,69 @@ def embedding_dot_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "embedding_participation_ratio",
+    oracle=f"""
+    WITH q AS (SELECT {_QUANT_DUCK} AS qv FROM embeddings),
+    d AS (
+        SELECT i.i AS dim, q.qv[i.i + 1] AS qx
+        FROM q, generate_series(0, {DIM - 1}) i(i)
+    ),
+    agg AS (
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qx) AS BIGINT) AS sum_x,
+               CAST(SUM(qx * qx) AS BIGINT) AS sum_xx
+        FROM d GROUP BY dim
+    ),
+    var AS (
+        SELECT dim, n * sum_xx - sum_x * sum_x AS var_num FROM agg
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+               SUM(CAST(var_num AS HUGEINT)) AS sv,
+               SUM(CAST(var_num AS HUGEINT) * var_num) AS sv2
+        FROM var
+    )
+    SELECT n_dims,
+           CAST((1000 * sv * sv) // sv2 AS BIGINT) AS pr_permille
+    FROM tot
+    """,
+)
+def embedding_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation ratio of the per-dimension variance spectrum —
+    PR = (Σλ)²/Σλ² in [1, D] — the one-number intrinsic-dimension proxy
+    (PR ≈ D: isotropic, healthy; PR ≪ D: variance collapsed into few
+    directions). Emitted as exact integer permille (so 64000 = all {D}
+    dims participate) on the same integer variance numerators as
+    [[embedding_variance_by_dim]]; squares ride DECIMAL(38,0)/HUGEINT
+    (int64 would overflow), output stays BIGINT.""".replace("{D}", str(DIM))
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = e.select(
+        F.posexplode(F.expr(_QUANT)).alias("dim", "qx")
+    )
+    agg = d.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("qx").alias("sum_x"),
+        F.sum(F.col("qx") * F.col("qx")).alias("sum_xx"),
+    )
+    var = agg.select(
+        (
+            F.col("n") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")
+        ).alias("var_num")
+    )
+    tot = var.agg(
+        F.count("*").alias("n_dims"),
+        F.sum(F.col("var_num").cast("decimal(38,0)")).alias("sv"),
+        F.sum(
+            F.col("var_num").cast("decimal(38,0)") * F.col("var_num")
+        ).alias("sv2"),
+    )
+    return tot.select(
+        "n_dims",
+        F.expr("CAST((1000 * sv * sv) div sv2 AS BIGINT)").alias(
+            "pr_permille"
+        ),
+    )

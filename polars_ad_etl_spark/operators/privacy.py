@@ -72,7 +72,7 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) FILTER (WHERE gs < {K_ANON}) AS BIGINT)
                AS n_small_groups,
            CAST(SUM(gs) AS BIGINT) AS n_rows,
-           CAST(SUM(gs) FILTER (WHERE gs < {K_ANON}) AS BIGINT)
+           CAST(COALESCE(SUM(gs) FILTER (WHERE gs < {K_ANON}), 0) AS BIGINT)
                AS n_suppressed_rows,
            CAST((1000 * COALESCE(SUM(gs) FILTER (WHERE gs < {K_ANON}), 0))
                 // SUM(gs) AS BIGINT) AS suppressed_permille
