@@ -1536,3 +1536,55 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ------------------------------------- recency-decay weighted value
+@register(
+    "events_recency_weighted_value",
+    oracle="""
+    WITH aged AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               LEAST(DATEDIFF('day', CAST(ts AS DATE), DATE '2024-01-31'),
+                     CAST(30 AS BIGINT)) AS age_days
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents // (CAST(1 AS BIGINT) << age_days)) AS BIGINT)
+               AS decayed_cents
+    FROM aged GROUP BY user_id
+    HAVING SUM(cents // (CAST(1 AS BIGINT) << age_days)) > 0
+    ORDER BY user_id
+    """,
+)
+def events_recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed purchase value per user with a one-day half-life:
+    each purchase contributes cents / 2^age_days (integer shift — the decay
+    stays EXACT instead of a float exp()), ages capped at 30 days and
+    measured from the corpus horizon date. The ranking feature recommender
+    pipelines want, with bit-for-bit reproducibility. One aggregation on
+    user_id; users fully decayed to zero are dropped identically by both
+    engines."""
+    e = load_events(spark, sf_dir)
+    aged = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.least(
+            F.datediff(
+                F.lit("2024-01-31").cast("date"), F.col("ts").cast("date")
+            ).cast("long"),
+            F.lit(30).cast("long"),
+        ).alias("age_days"),
+    )
+    return (
+        aged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(
+                F.expr("cents div shiftleft(CAST(1 AS BIGINT), CAST(age_days AS INT))")
+            ).alias("decayed_cents"),
+        )
+        .filter(F.col("decayed_cents") > 0)
+        .orderBy("user_id")
+    )
