@@ -425,3 +425,75 @@ def embedding_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame
             "pr_permille"
         ),
     )
+
+
+@register(
+    "embedding_label_confusion",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label, {_QUANT_DUCK} AS qv FROM embeddings
+    ), d AS (
+        SELECT vec_id, label, i.i AS dim, qv[i.i + 1] AS qx
+        FROM q, generate_series(0, {DIM - 1}) i(i)
+    ), cent AS (
+        SELECT label AS clabel, dim,
+               CAST(SUM(qx) AS BIGINT) // COUNT(*) AS c
+        FROM d GROUP BY 1, 2
+    ), dist AS (
+        SELECT d.vec_id, d.label, cent.clabel,
+               CAST(SUM((d.qx - cent.c) * (d.qx - cent.c)) AS BIGINT)
+                   AS dist
+        FROM d JOIN cent ON cent.dim = d.dim
+        GROUP BY 1, 2, 3
+    ), nearest AS (
+        SELECT vec_id, label, clabel AS nearest_label, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, clabel) AS rn
+        FROM dist
+    )
+    SELECT vec_id, label AS own_label, nearest_label,
+           CAST(dist AS BIGINT) AS nearest_dist
+    FROM nearest
+    WHERE rn = 1 AND nearest_label <> label
+    ORDER BY vec_id
+    """,
+)
+def embedding_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise mining, geometric version: vectors that sit closer to
+    ANOTHER label's centroid than to their own — the shortlist a labeling
+    QA queue reviews first. Centroids are floor-quantized to integers
+    (s div n per dimension), so every vector-to-centroid distance is a
+    plain int64 sum directly comparable across labels — no ratio
+    arithmetic, no floats, and argmin ties break on the smaller label in
+    both engines. The |labels|-wide expansion makes this the exact
+    verifier; at corpus scale the same question routes through the
+    verified k-means/ANN ladder."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = e.select(
+        "vec_id", "label", F.posexplode(F.expr(_QUANT)).alias("dim", "qx")
+    )
+    cent = d.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.expr("sum(qx) div count(*)").alias("c")
+    )
+    dist = (
+        d.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                (F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))
+            ).alias("dist")
+        )
+    )
+    nearest = dist.groupBy("vec_id", "label").agg(
+        F.min(F.struct("dist", "clabel")).alias("m")
+    )
+    return (
+        nearest.filter(F.col("m.clabel") != F.col("label"))
+        .select(
+            "vec_id",
+            F.col("label").alias("own_label"),
+            F.col("m.clabel").alias("nearest_label"),
+            F.col("m.dist").alias("nearest_dist"),
+        )
+        .orderBy("vec_id")
+    )
