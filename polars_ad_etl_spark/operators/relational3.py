@@ -1591,3 +1591,109 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_start")
     )
+
+
+@register(
+    "orders_business_day_lag",
+    oracle="""
+    WITH firstship AS (
+        SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ship_day
+        FROM lineitem GROUP BY 1
+    ), lag AS (
+        SELECT o.o_orderpriority,
+               CAST(o.o_orderdate AS DATE) AS a,
+               f.ship_day AS b,
+               DATEDIFF('day', CAST(o.o_orderdate AS DATE), f.ship_day) AS n
+        FROM orders o JOIN firstship f ON f.l_orderkey = o.o_orderkey
+        WHERE f.ship_day >= CAST(o.o_orderdate AS DATE)
+    ), expanded AS (
+        SELECT o_orderpriority, a, n,
+               5 * (n // 7) AS full_weeks_days,
+               UNNEST(range(0, n % 7 + 1)) AS i
+        FROM lag
+    ), extra AS (
+        SELECT o_orderpriority, a, n, full_weeks_days,
+               CAST(COUNT(*) FILTER (
+                   WHERE i >= 1 AND (isodow(a) - 1 + i) % 7 < 5)
+                    AS BIGINT) AS extra_days
+        FROM expanded GROUP BY 1, 2, 3, 4
+    ), bd AS (
+        SELECT o_orderpriority, full_weeks_days + extra_days AS bdays
+        FROM extra
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(bdays) AS BIGINT) AS min_bdays,
+           CAST(SUM(bdays) // COUNT(*) AS BIGINT) AS mean_bdays,
+           CAST(MAX(bdays) AS BIGINT) AS max_bdays
+    FROM bd GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def orders_business_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-ship lag in BUSINESS days (weekends excluded) per
+    priority — the SLA metric ops teams actually contract on. Closed-form
+    integer calendar arithmetic: 5 days per full week plus a ≤6-element
+    explode counting weekday remainders from the order date's ISO
+    day-of-week — no calendar table, no UDF, identical modular arithmetic
+    in both engines. The expansion is 0-based so it is never empty:
+    Spark's sequence(1, 0) descends and DuckDB's range(1, 1) drops the
+    row — both wrong for n%7 = 0 — so the zero element rides along and is
+    excluded from the count instead (this exact divergence was caught by
+    the differential probe). Rows shipping BEFORE the order date (the
+    synthetic data contains them; negative remainders re-diverge the
+    engines' sequence semantics) are excluded — they are a data-quality
+    signal for the DQ rule engine, not an SLA input.
+
+    Caveat shared with every real business-day system: holidays need a
+    broadcast calendar dim joined in — the weekend closed form is the
+    engine primitive."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    firstship = lineitem.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("ship_day")
+    )
+    lag = orders.join(
+        firstship, orders.o_orderkey == firstship.l_orderkey
+    ).filter(
+        F.col("ship_day") >= F.col("o_orderdate").cast("date")
+    ).select(
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("a"),
+        F.datediff(F.col("ship_day"), F.col("o_orderdate").cast("date")).alias(
+            "n"
+        ),
+    )
+    expanded = lag.select(
+        "o_orderpriority",
+        "a",
+        "n",
+        F.expr("5 * (n div 7)").alias("full_weeks_days"),
+        # sequence(0, x) is never empty and never descends (Spark's
+        # sequence(1, 0) would count phantom days; DuckDB's range(1, 1)
+        # would DROP the row) — the i = 0 element is filtered in the count
+        F.explode(F.expr("sequence(0, n % 7)")).alias("i"),
+    )
+    extra = expanded.groupBy(
+        "o_orderpriority", "a", "n", "full_weeks_days"
+    ).agg(
+        F.sum(
+            F.expr(
+                "CAST(i >= 1 AND"
+                " (extract(dayofweek_iso FROM a) - 1 + i) % 7 < 5 AS LONG)"
+            )
+        ).alias("extra_days")
+    )
+    bd = extra.select(
+        "o_orderpriority",
+        (F.col("full_weeks_days") + F.col("extra_days")).alias("bdays"),
+    )
+    return (
+        bd.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("bdays").alias("min_bdays"),
+            F.expr("sum(bdays) div count(*)").alias("mean_bdays"),
+            F.max("bdays").alias("max_bdays"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -87,3 +87,26 @@ def test_try_arithmetic_is_null_safe_under_ansi(spark):
         " try_cast('xyz' AS INT) AS c"
     ).collect()[0]
     assert row.a is None and row.b is None and row.c is None
+
+
+def test_sql_scalar_udf_create_function(spark):
+    """Spark 4 SQL scalar UDFs (CREATE FUNCTION ... RETURN expr): declared
+    in SQL, inlined by Catalyst — the user-extensibility path that stays
+    fully JVM-side."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_revenue(p DOUBLE, d DOUBLE)"
+        " RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    row = spark.sql(
+        "SELECT net_revenue(100.0, 0.25) AS r,"
+        " net_revenue(0.0, 0.5) AS z"
+    ).collect()[0]
+    assert row.r == 75.0 and row.z == 0.0
+    # usable over a table, composed with aggregation
+    spark.range(4).selectExpr(
+        "CAST(id AS DOUBLE) * 10 AS p", "0.1 AS d"
+    ).createOrReplaceTempView("_udf_rows")
+    got = spark.sql(
+        "SELECT CAST(SUM(net_revenue(p, d)) AS DOUBLE) AS s FROM _udf_rows"
+    ).collect()[0].s
+    assert got == (0 + 10 + 20 + 30) * 0.9
