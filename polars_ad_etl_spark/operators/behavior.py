@@ -1588,3 +1588,129 @@ def events_recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("decayed_cents") > 0)
         .orderBy("user_id")
     )
+
+
+# -------------------------------------------- feature assembly / hashing
+@register(
+    "user_feature_vector",
+    oracle="""
+    WITH base AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               COUNT(*) FILTER (WHERE event_type = 'purchase')
+                   AS n_purchases,
+               COALESCE(SUM(CAST(round(value * 100) AS BIGINT))
+                        FILTER (WHERE event_type = 'purchase'), 0)
+                   AS purchase_cents,
+               COUNT(DISTINCT event_type) AS n_types,
+               COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+               DATEDIFF('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+                   AS tenure_days
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_purchases AS BIGINT) AS n_purchases,
+           CAST(purchase_cents AS BIGINT) AS purchase_cents,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(n_active_days AS BIGINT) AS n_active_days,
+           CAST(tenure_days AS BIGINT) AS tenure_days,
+           CAST((1000 * n_active_days) // (tenure_days + 1) AS BIGINT)
+               AS activity_density_permille
+    FROM base ORDER BY user_id
+    """,
+)
+def user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-user feature row a training pipeline materializes: volume,
+    purchase count and exact cents, type breadth, active days, tenure, and
+    an activity-density ratio — ALL from ONE aggregation pass over events
+    (count-distincts included; Catalyst plans the multi-distinct with
+    expand, still a single user_id shuffle family). Integer arithmetic
+    end-to-end; density denominates tenure+1 so day-one users are defined
+    identically in both engines."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("n_purchases"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.expr("CAST(round(value * 100) AS BIGINT)"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("purchase_cents"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.count_distinct(F.col("ts").cast("date")).alias(
+                "n_active_days"
+            ),
+            F.datediff(
+                F.max("ts").cast("date"), F.min("ts").cast("date")
+            )
+            .cast("long")
+            .alias("tenure_days"),
+        )
+        .withColumn(
+            "activity_density_permille",
+            F.expr("(1000 * n_active_days) div (tenure_days + 1)"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_CROSS_BUCKETS = 256
+
+
+@register(
+    "events_feature_crosses",
+    oracle=f"""
+    WITH crossed AS (
+        SELECT {portable_hash32_sql(
+            "event_type || ':' || CAST(isodow(ts) AS VARCHAR) || ':' || "
+            "CAST(CAST(round(value * 100) AS BIGINT) // 5000 AS VARCHAR)"
+        )} % {_CROSS_BUCKETS} AS bucket
+        FROM events
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM crossed GROUP BY bucket
+    ORDER BY n_rows DESC, bucket LIMIT 30
+    """,
+)
+def events_feature_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing of the (event_type × ISO weekday × value-band)
+    cross: the hashing-trick primitive that turns a combinatorial
+    categorical cross into a fixed {B}-bucket space with no vocabulary
+    state. Portable md5-derived hash (engine-identical), top-30 buckets by
+    collision mass — the table you inspect to size B before training.
+    Stateless projection + one aggregation.""".replace(
+        "{B}", str(_CROSS_BUCKETS)
+    )
+    e = load_events(spark, sf_dir)
+    from polars_ad_etl_spark.functions.hashing import portable_hash32
+
+    crossed = e.select(
+        (
+            portable_hash32(
+                F.concat_ws(
+                    ":",
+                    F.col("event_type"),
+                    F.expr("extract(dayofweek_iso FROM ts)").cast("string"),
+                    F.expr(
+                        "CAST(round(value * 100) AS BIGINT) div 5000"
+                    ).cast("string"),
+                )
+            )
+            % _CROSS_BUCKETS
+        ).alias("bucket")
+    )
+    return (
+        crossed.groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy(F.desc("n_rows"), "bucket")
+        .limit(30)
+    )
