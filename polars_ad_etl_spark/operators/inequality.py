@@ -704,3 +704,60 @@ def part_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "stats_chi2_priority_status",
+    oracle="""
+    WITH obs AS (
+        SELECT o_orderpriority AS r, o_orderstatus AS c,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1, 2
+    ), rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rsum FROM obs GROUP BY r),
+    ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS csum FROM obs GROUP BY c),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+        SELECT obs.r, obs.c, obs.o, rt.rsum, ct.csum, n.n,
+               (obs.o * n.n - rt.rsum * ct.csum)
+                   * (obs.o * n.n - rt.rsum * ct.csum)
+                   // (rt.rsum * ct.csum) AS cell_num
+        FROM obs JOIN rt USING (r) JOIN ct USING (c), n
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MIN(n) AS BIGINT) AS n_rows,
+           CAST(SUM(cell_num) // MIN(n) AS BIGINT) AS chi2_scaled
+    FROM cells
+    """,
+)
+def stats_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the priority × status
+    contingency table, in deterministic integer arithmetic: per cell
+    (O·N − R·C)²/(R·C), summed and divided by N — algebraically N·χ²
+    rounded cell-wise the same way in both engines (truncating integer
+    division; all terms positive). Large ⇒ priority and status are not
+    independent. One contingency aggregation + broadcast margins."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    obs = orders.groupBy(
+        F.col("o_orderpriority").alias("r"),
+        F.col("o_orderstatus").alias("c"),
+    ).agg(F.count("*").alias("o"))
+    rt = obs.groupBy("r").agg(F.sum("o").alias("rsum"))
+    ct = obs.groupBy("c").agg(F.sum("o").alias("csum"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr(
+                "(o * n - rsum * csum) * (o * n - rsum * csum)"
+                " div (rsum * csum)"
+            ).alias("cell_num"),
+            "n",
+        )
+    )
+    return cells.agg(
+        F.count("*").alias("n_cells"),
+        F.min("n").alias("n_rows"),
+        F.expr("sum(cell_num) div min(n)").alias("chi2_scaled"),
+    )

@@ -398,3 +398,63 @@ def search_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "text_bigram_lm_table",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    bigrams AS (
+        SELECT a.term AS w1, b.term AS w2, COUNT(*) AS c
+        FROM tokens a JOIN tokens b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2
+    ), totals AS (
+        SELECT w1, CAST(SUM(c) AS BIGINT) AS t FROM bigrams GROUP BY w1
+    ), ranked AS (
+        SELECT b.w1, b.w2, CAST(b.c AS BIGINT) AS c,
+               CAST((1000 * b.c) // t.t AS BIGINT) AS p_permille,
+               ROW_NUMBER() OVER (PARTITION BY b.w1
+                                  ORDER BY b.c DESC, b.w2) AS rn
+        FROM bigrams b JOIN totals t USING (w1)
+    )
+    SELECT w1, w2, c, p_permille
+    FROM ranked WHERE rn <= 3
+    ORDER BY w1, p_permille DESC, w2
+    """,
+)
+def text_bigram_lm_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram language-model table: for every context word, its top-3
+    next words with exact integer permille conditional probability — the
+    word-level sibling of [[text_char_trigram_table]] and the statistical
+    core of next-token modeling. Adjacent-position self-join on (doc, pos)
+    builds the bigram counts; the per-context top-3 window partitions on
+    the context word."""
+    toks = _tokens(spark, sf_dir)
+    a = toks.select("doc_id", F.col("pos").alias("p"), F.col("term").alias("w1"))
+    b = toks.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("p2"),
+        F.col("term").alias("w2"),
+    )
+    bigrams = (
+        a.join(b, (a.doc_id == b.d2) & (F.col("p2") == F.col("p") + 1))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = bigrams.groupBy("w1").agg(F.sum("c").alias("t"))
+    ranked = (
+        bigrams.join(F.broadcast(totals), "w1")
+        .withColumn("p_permille", F.expr("(1000 * c) div t"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("w1").orderBy(F.desc("c"), "w2")
+            ),
+        )
+    )
+    return (
+        ranked.filter(F.col("rn") <= 3)
+        .select("w1", "w2", "c", "p_permille")
+        .orderBy("w1", F.desc("p_permille"), "w2")
+    )
