@@ -1714,3 +1714,131 @@ def events_feature_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows"), "bucket")
         .limit(30)
     )
+
+
+@register(
+    "events_ab_srm_check",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN {portable_hash32_sql("'exp1' || CAST(user_id AS VARCHAR)")} % 2 = 0
+                    THEN 'A' ELSE 'B' END AS variant
+        FROM events
+    ), counts AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE variant = 'A') AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (WHERE variant = 'B') AS BIGINT) AS n_b
+        FROM assigned
+    )
+    SELECT n_a, n_b,
+           CAST((1000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b)
+                AS BIGINT) AS srm_chi2_milli,
+           (1000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b) > 3841
+               AS srm_alarm
+    FROM counts
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate for the [[events_ab_metrics]] experiment:
+    the 1-df chi-square against the intended 50/50 split — χ² =
+    (n_a−n_b)²/(n_a+n_b) — in exact integer milli-units, alarmed at the
+    p≈0.05 critical value 3.841. The FIRST check any experiment readout
+    must pass (a biased assignment invalidates every downstream metric).
+    Same deterministic hash assignment as the metrics query; one distinct
+    + one 2-row aggregate."""
+    from polars_ad_etl_spark.functions.hashing import portable_hash32
+
+    e = load_events(spark, sf_dir)
+    assigned = e.select(
+        "user_id",
+        F.when(
+            portable_hash32(
+                F.concat(F.lit("exp1"), F.col("user_id").cast("string"))
+            )
+            % 2
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+    ).distinct()
+    counts = assigned.agg(
+        F.sum((F.col("variant") == "A").cast("long")).alias("n_a"),
+        F.sum((F.col("variant") == "B").cast("long")).alias("n_b"),
+    )
+    return counts.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "(1000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)"
+        ).alias("srm_chi2_milli"),
+        (
+            F.expr("(1000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)")
+            > 3841
+        ).alias("srm_alarm"),
+    )
+
+
+@register(
+    "orders_revenue_bridge",
+    oracle="""
+    WITH yearly AS (
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        GROUP BY 1, 2
+    ), wide AS (
+        SELECT o_orderpriority,
+               MAX(CASE WHEN yr = 1995 THEN n END) AS n0,
+               MAX(CASE WHEN yr = 1995 THEN cents END) AS c0,
+               MAX(CASE WHEN yr = 1996 THEN n END) AS n1,
+               MAX(CASE WHEN yr = 1996 THEN cents END) AS c1
+        FROM yearly GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, c0 AS rev1995_cents, c1 AS rev1996_cents,
+           c1 - c0 AS delta_cents,
+           (n1 - n0) * (c0 // n0) AS volume_effect_cents,
+           (c1 - c0) - (n1 - n0) * (c0 // n0) AS price_mix_effect_cents
+    FROM wide
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge (FP&A waterfall) per priority, 1995 → 1996: the
+    year-over-year delta decomposed into a volume effect (order-count
+    change at the base-year truncated average ticket) and the price/mix
+    residual — defined as the exact remainder, so the two effects sum to
+    the delta to the cent by construction. One two-year aggregation,
+    conditional-max pivot, pure integer arithmetic."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    yearly = (
+        orders.filter(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy(
+            "o_orderpriority",
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            ).alias("cents"),
+        )
+    )
+    wide = yearly.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("yr") == 1995, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("yr") == 1995, F.col("cents"))).alias("c0"),
+        F.max(F.when(F.col("yr") == 1996, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("yr") == 1996, F.col("cents"))).alias("c1"),
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("c0").alias("rev1995_cents"),
+        F.col("c1").alias("rev1996_cents"),
+        (F.col("c1") - F.col("c0")).alias("delta_cents"),
+        F.expr("(n1 - n0) * (c0 div n0)").alias("volume_effect_cents"),
+        F.expr("(c1 - c0) - (n1 - n0) * (c0 div n0)").alias(
+            "price_mix_effect_cents"
+        ),
+    ).orderBy("o_orderpriority")
