@@ -240,3 +240,83 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("doc_id"), "core_degree")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "graph_clustering_coefficients",
+    oracle=f"""
+    WITH pairs AS ({_lsh_pairs_oracle()}),
+    e AS (
+        SELECT DISTINCT LEAST(doc_a, doc_b) AS a,
+               GREATEST(doc_a, doc_b) AS b
+        FROM pairs WHERE doc_a <> doc_b
+    ),
+    sym AS (
+        SELECT a AS src, b AS dst FROM e
+        UNION ALL SELECT b, a FROM e
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM sym GROUP BY src),
+    tri AS (
+        SELECT w1.src AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM sym w1
+        JOIN sym w2 ON w2.src = w1.src AND w1.dst < w2.dst
+        JOIN e ON e.a = w1.dst AND e.b = w2.dst
+        GROUP BY w1.src
+    )
+    SELECT d.src AS doc_id, d.degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST((2000 * COALESCE(t.n_triangles, 0))
+                // (d.degree * (d.degree - 1)) AS BIGINT)
+               AS clustering_permille
+    FROM deg d LEFT JOIN tri t ON t.node = d.src
+    WHERE d.degree >= 2
+    ORDER BY doc_id
+    """,
+)
+def graph_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the near-dup graph —
+    2·T_v / deg_v(deg_v − 1) in exact permille — separating tight template
+    CLIQUES (coefficient → 1000) from hub-and-spoke false-positive stars
+    (→ 0), the structural signal the global triangle census can't localize.
+    Wedges centered at each node join against the canonical edge set; the
+    wedge fan-out is Σ deg², the quantity [[profile_key_skew]]-style
+    diagnostics bound before running at scale."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    e = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("degree"))
+    w1 = sym.select(F.col("src").alias("node"), F.col("dst").alias("u"))
+    w2 = sym.select(F.col("src").alias("node2"), F.col("dst").alias("w"))
+    wedges = w1.join(
+        w2, (F.col("node2") == F.col("node")) & (F.col("u") < F.col("w"))
+    )
+    tri = wedges.join(
+        e,
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("w")),
+        "left_semi",
+    ).groupBy("node").agg(F.count("*").alias("n_triangles"))
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, deg.src == tri.node, "left_outer")
+        .select(
+            F.col("src").alias("doc_id"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "(2000 * coalesce(n_triangles, 0))"
+                " div (degree * (degree - 1))"
+            ).alias("clustering_permille"),
+        )
+        .orderBy("doc_id")
+    )
