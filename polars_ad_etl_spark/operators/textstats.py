@@ -822,3 +822,61 @@ def text_vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_tokens",
         F.sum("new_tokens").over(w).alias("vocab_size"),
     )
+
+
+@register(
+    "text_lang_id_confusion",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, text, {tokens_sql('text')} AS toks FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               regexp_matches(text, '{_CJK_DUCK}') AS has_cjk,
+               len(list_filter(toks, x -> x IN {_in_list_sql(LANG_MARKERS['en'])})) AS s_en,
+               len(list_filter(toks, x -> x IN {_in_list_sql(LANG_MARKERS['de'])})) AS s_de,
+               len(list_filter(toks, x -> x IN {_in_list_sql(LANG_MARKERS['fr'])})) AS s_fr,
+               len(list_filter(toks, x -> x IN {_in_list_sql(LANG_MARKERS['es'])})) AS s_es
+        FROM t
+    ),
+    pred AS (
+        SELECT lang AS actual,
+               CASE WHEN has_cjk THEN 'zh'
+                    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END AS predicted
+        FROM scored
+    ), cm AS (
+        SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
+    ), row_tot AS (
+        SELECT actual, CAST(SUM(n) AS BIGINT) AS rt FROM cm GROUP BY 1
+    )
+    SELECT cm.actual, cm.predicted, cm.n,
+           CAST((1000 * cm.n) // rt AS BIGINT) AS row_share_permille
+    FROM cm JOIN row_tot USING (actual)
+    ORDER BY actual, predicted
+    """,
+)
+def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the [[text_lang_id]] classifier against the
+    gold ``lang`` label, each cell with its exact permille share of the
+    actual-language row — the evaluation every heuristic classifier ships
+    with (the diagonal is per-language recall). Reuses the verified
+    scoring projection; two stacked aggregates over the ≤|langs|² cells."""
+    preds = text_lang_id(spark, sf_dir).select(
+        F.col("lang").alias("actual"), "predicted"
+    )
+    cm = preds.groupBy("actual", "predicted").agg(F.count("*").alias("n"))
+    rt = cm.groupBy("actual").agg(F.sum("n").alias("rt"))
+    return (
+        cm.join(F.broadcast(rt), "actual")
+        .select(
+            "actual",
+            "predicted",
+            "n",
+            F.expr("(1000 * n) div rt").alias("row_share_permille"),
+        )
+        .orderBy("actual", "predicted")
+    )
