@@ -1080,3 +1080,121 @@ def dedup_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["dedup_summary_report"] = ORACLES["dedup_summary_report"].format(
     pairs=_lsh_pairs_oracle(), comp=_components_oracle()
 )
+
+
+# -------------------------------------- content-defined chunking (CDC)
+#
+# Storage-level dedup (backup systems, artifact stores, chunk-level
+# delta-sync) cuts byte streams at CONTENT-DEFINED boundaries — positions
+# where a rolling window hash satisfies a modulus condition — so an
+# insertion early in a document shifts only the chunk it lands in, not
+# every chunk after it (the failure mode of fixed-size chunking). The
+# window hash here is the portable md5-derived hash of each 8-char window
+# (engine-identical); boundary ⇔ hash % 64 == 0 (expected chunk ≈ 64
+# chars). The position explode is O(total chars) rows of tiny integers —
+# one shuffle on (doc, pos); chunk assembly is a per-doc window over
+# boundary positions only.
+CDC_WINDOW = 8
+CDC_MODULUS = 64
+
+
+@register(
+    "text_cdc_duplicate_chunks",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, text,
+               UNNEST(range(1, GREATEST(len(text) - {CDC_WINDOW} + 2, 1)))
+                   AS i
+        FROM documents
+    ), bounds AS (
+        SELECT doc_id, text, CAST(i AS BIGINT) AS b
+        FROM pos
+        WHERE {portable_hash32_sql(f"substr(text, CAST(i AS INTEGER), {CDC_WINDOW})")}
+              % {CDC_MODULUS} = 0 AND i > 1
+        UNION ALL
+        SELECT doc_id, text, 1 FROM documents
+        UNION ALL
+        SELECT doc_id, text, CAST(len(text) + 1 AS BIGINT) FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               substr(text, CAST(b AS INTEGER),
+                      CAST(LEAD(b) OVER (PARTITION BY doc_id ORDER BY b) - b
+                           AS INTEGER)) AS chunk
+        FROM bounds
+    ), hashed AS (
+        SELECT doc_id, md5(chunk) AS chunk_hash, len(chunk) AS chunk_len
+        FROM chunks
+        WHERE chunk IS NOT NULL AND len(chunk) > 0
+    )
+    SELECT chunk_hash,
+           CAST(MIN(chunk_len) AS BIGINT) AS chunk_len,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM hashed
+    GROUP BY chunk_hash
+    HAVING COUNT(*) >= 2
+    ORDER BY n_occurrences DESC, chunk_hash
+    """,
+)
+def text_cdc_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate chunks under content-defined chunking: the
+    chunk-store dedup table (hash → occurrence and document counts) for
+    every chunk appearing at least twice. See the section comment for why
+    CDC beats fixed-size chunking; boundary sentinels at 1 and len+1 close
+    the first and last chunks identically in both engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.length("text") - F.lit(CDC_WINDOW - 1), F.lit(1)
+                ),
+            )
+        ).alias("i"),
+    )
+    from polars_ad_etl_spark.functions.hashing import portable_hash32
+
+    interior = pos.filter(
+        (F.col("i") > 1)
+        & (
+            portable_hash32(
+                F.expr(f"substr(text, i, {CDC_WINDOW})")
+            )
+            % CDC_MODULUS
+            == 0
+        )
+    ).select("doc_id", "text", F.col("i").cast("long").alias("b"))
+    sentinels = docs.select(
+        "doc_id", "text", F.lit(1).cast("long").alias("b")
+    ).unionByName(
+        docs.select(
+            "doc_id", "text", (F.length("text") + 1).cast("long").alias("b")
+        )
+    )
+    bounds = interior.unionByName(sentinels)
+    chunks = bounds.select(
+        "doc_id",
+        F.expr(
+            "substr(text, CAST(b AS INT),"
+            " CAST(lead(b) OVER (PARTITION BY doc_id ORDER BY b) - b AS INT))"
+        ).alias("chunk"),
+    )
+    hashed = chunks.filter(
+        F.col("chunk").isNotNull() & (F.length("chunk") > 0)
+    ).select("doc_id", F.md5("chunk").alias("chunk_hash"),
+             F.length("chunk").cast("long").alias("chunk_len"))
+    return (
+        hashed.groupBy("chunk_hash")
+        .agg(
+            F.min("chunk_len").alias("chunk_len"),
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy(F.desc("n_occurrences"), "chunk_hash")
+    )
