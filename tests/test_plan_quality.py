@@ -565,3 +565,12 @@ def test_pareto_8020_distributed_rank(spark):
     plan = formatted_plan(df)
     assert not _empty_partition_window_specs(plan)
     assert "rangepartitioning(neg_cents" in plan
+
+
+def test_skyline_threshold_join_broadcasts(spark):
+    """skyline_parts' base-data pass must be a broadcast join against the
+    tiny per-size threshold table — never a cartesian or sort-merge."""
+    plan = formatted_plan(QUERIES["skyline_parts"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -692,3 +692,103 @@ def test_table_diff_classifies_all_cases(spark):
         4: "changed",   # value -> NULL
         5: "added",
     }
+
+
+def test_business_day_closed_form_matches_naive_loop(spark):
+    """The 5·weeks + remainder-scan closed form must equal a plain python
+    day loop for every (start dow, length) combination."""
+    import datetime as dt
+
+    rows = []
+    base = dt.date(2024, 1, 1)  # a Monday
+    for start_off in range(7):
+        for n in range(0, 25):
+            a = base + dt.timedelta(days=start_off)
+            b = a + dt.timedelta(days=n)
+            naive = sum(
+                1
+                for i in range(1, n + 1)
+                if (a + dt.timedelta(days=i)).isoweekday() <= 5
+            )
+            rows.append((a, b, n, naive))
+    df = spark.createDataFrame(
+        rows, "a date, b date, n int, expected int"
+    )
+    got = df.selectExpr(
+        "expected",
+        "5 * (n div 7) + aggregate(sequence(0, n % 7),"
+        " 0, (acc, i) -> acc + IF(i >= 1 AND"
+        " (extract(dayofweek_iso FROM a) - 1 + i) % 7 < 5, 1, 0))"
+        " AS closed_form",
+    ).collect()
+    assert all(r.expected == r.closed_form for r in got)
+
+
+def test_cdc_chunks_reassemble_to_original(spark):
+    """Content-defined chunks must partition the document exactly: in
+    order, their concatenation is the original text for EVERY document."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from polars_ad_etl_spark.functions.hashing import portable_hash32
+    from polars_ad_etl_spark.operators.dedup import CDC_MODULUS, CDC_WINDOW
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length("text") - F.lit(CDC_WINDOW - 1), F.lit(1)),
+            )
+        ).alias("i"),
+    )
+    interior = pos.filter(
+        (F.col("i") > 1)
+        & (
+            portable_hash32(F.expr(f"substr(text, i, {CDC_WINDOW})"))
+            % CDC_MODULUS
+            == 0
+        )
+    ).select("doc_id", "text", F.col("i").cast("long").alias("b"))
+    sentinels = docs.select(
+        "doc_id", "text", F.lit(1).cast("long").alias("b")
+    ).unionByName(
+        docs.select(
+            "doc_id", "text", (F.length("text") + 1).cast("long").alias("b")
+        )
+    )
+    chunks = interior.unionByName(sentinels).select(
+        "doc_id",
+        "b",
+        F.expr(
+            "substr(text, CAST(b AS INT),"
+            " CAST(lead(b) OVER (PARTITION BY doc_id ORDER BY b) - b AS INT))"
+        ).alias("chunk"),
+    )
+    rebuilt = (
+        chunks.filter(F.col("chunk").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("b", "chunk"))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                "",
+            ).alias("rebuilt")
+        )
+    )
+    diff = (
+        docs.join(rebuilt, "doc_id")
+        .filter(F.col("text") != F.col("rebuilt"))
+        .count()
+    )
+    assert diff == 0
