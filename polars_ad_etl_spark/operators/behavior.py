@@ -1842,3 +1842,108 @@ def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_mix_effect_cents"
         ),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------- forecast backtest (snaive)
+@register(
+    "events_snaive_backtest",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), joined AS (
+        SELECT a.day, a.hr, a.y,
+               b.y AS yhat
+        FROM hourly a
+        JOIN hourly b ON b.day = a.day - 1 AND b.hr = a.hr
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(abs(y - yhat)) AS BIGINT) AS abs_err_sum,
+           CAST(SUM(abs(y - yhat)) // COUNT(*) AS BIGINT) AS mae,
+           CAST(SUM(CASE WHEN y = yhat THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact
+    FROM joined
+    """,
+)
+def events_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (ŷ[day,hour] = y[day−1,
+    hour] — the baseline every real forecast must beat): exact integer MAE
+    over all hour cells with a same-hour previous day. Two map-side
+    aggregations and a self-join of the tiny day×hour grid; the metric a
+    capacity-planning pipeline tracks before trusting anything fancier."""
+    e = load_events(spark, sf_dir)
+    hourly = e.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(F.count("*").alias("y"))
+    a = hourly
+    b = hourly.select(
+        F.col("day").alias("pday"),
+        F.col("hr").alias("phr"),
+        F.col("y").alias("yhat"),
+    )
+    joined = a.join(
+        b,
+        (F.col("pday") == F.date_sub(F.col("day"), 1))
+        & (F.col("phr") == F.col("hr")),
+    )
+    return joined.agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.abs(F.col("y") - F.col("yhat"))).alias("abs_err_sum"),
+        F.expr("sum(abs(y - yhat)) div count(*)").alias("mae"),
+        F.sum((F.col("y") == F.col("yhat")).cast("long")).alias("n_exact"),
+    )
+
+
+@register(
+    "events_max_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ), with_peak AS (
+        SELECT a.day, a.v, CAST(MAX(b.v) AS BIGINT) AS peak
+        FROM daily a JOIN daily b ON b.day <= a.day
+        GROUP BY a.day, a.v
+    ), dd AS (
+        SELECT day, v, peak,
+               CAST((1000 * (peak - v)) // peak AS BIGINT) AS dd_permille
+        FROM with_peak
+    )
+    SELECT CAST(MAX(dd_permille) AS BIGINT) AS max_drawdown_permille,
+           CAST(MIN(day) FILTER (WHERE dd_permille =
+               (SELECT MAX(dd_permille) FROM dd)) AS DATE) AS trough_day
+    FROM dd
+    """,
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of daily event volume (largest permille drop from
+    any prior peak — the engagement-collapse severity metric, borrowed
+    from finance). The running peak is a triangular self-join ON THE
+    BOUNDED DAILY AGGREGATE (|days|² pairs), not a global window; the
+    trough day ties to the earliest date in both engines."""
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("v")
+    )
+    b = daily.select(F.col("day").alias("d2"), F.col("v").alias("v2"))
+    with_peak = (
+        daily.join(F.broadcast(b), F.col("d2") <= F.col("day"))
+        .groupBy("day", "v")
+        .agg(F.max("v2").alias("peak"))
+    )
+    dd = with_peak.select(
+        "day",
+        F.expr("(1000 * (peak - v)) div peak").alias("dd_permille"),
+    )
+    mx = dd.agg(F.max("dd_permille").alias("m"))
+    return (
+        dd.crossJoin(F.broadcast(mx))
+        .filter(F.col("dd_permille") == F.col("m"))
+        .agg(
+            F.max("dd_permille").alias("max_drawdown_permille"),
+            F.min("day").alias("trough_day"),
+        )
+    )
