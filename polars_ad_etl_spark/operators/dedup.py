@@ -1198,3 +1198,59 @@ def text_cdc_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occurrences") >= 2)
         .orderBy(F.desc("n_occurrences"), "chunk_hash")
     )
+
+
+@register(
+    "dedup_blocking_reduction",
+    oracle=f"""
+    WITH pairs AS ({{LSH}}),
+    cand AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM (SELECT DISTINCT LEAST(doc_a, doc_b) AS a,
+                     GREATEST(doc_a, doc_b) AS b
+              FROM pairs WHERE doc_a <> doc_b)
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT n_docs, n_candidates,
+           CAST(n_docs * (n_docs - 1) / 2 AS BIGINT) AS n_full_pairs,
+           CAST(1000 - (1000 * n_candidates * 2)
+                // (n_docs * (n_docs - 1)) AS BIGINT)
+               AS reduction_permille
+    FROM n, cand
+    """.replace("{LSH}", _lsh_pairs_oracle()),
+)
+def dedup_blocking_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme metrology: the reduction ratio of MinHash-LSH
+    banding — what fraction of the O(n²) comparison space the blocking
+    eliminates (its recall side is [[dedup_lsh_recall_eval]]; together
+    they are the standard entity-resolution quality pair). Exact permille
+    on the deduplicated candidate count; both inputs are 1-row broadcast
+    aggregates."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    cand = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+        .agg(F.count("*").alias("n_candidates"))
+    )
+    n = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        n.crossJoin(F.broadcast(cand))
+        .select(
+            "n_docs",
+            "n_candidates",
+            F.expr("CAST(n_docs * (n_docs - 1) / 2 AS BIGINT)").alias(
+                "n_full_pairs"
+            ),
+            F.expr(
+                "1000 - (1000 * n_candidates * 2)"
+                " div (n_docs * (n_docs - 1))"
+            ).alias("reduction_permille"),
+        )
+    )

@@ -110,3 +110,45 @@ def dq_orders_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     rules = {name: F.expr(sql) for name, sql in _ORDERS_RULES_SQL.items()}
     return evaluate_rules(orders, rules)
+
+
+@register(
+    "dq_duplicate_payment_suspects",
+    oracle="""
+    WITH keyed AS (
+        SELECT o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(o_orderdate AS DATE) AS day,
+               o_orderkey
+        FROM orders
+    )
+    SELECT o_custkey, cents, day,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_orderkey
+    FROM keyed
+    GROUP BY o_custkey, cents, day
+    HAVING COUNT(*) > 1
+    ORDER BY o_custkey, cents, day
+    """,
+)
+def dq_duplicate_payment_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen (the classic AP audit): orders by the same
+    customer for the identical cent amount on the same day — double-click
+    submits, retry bugs, or fraud. One aggregation on the composite
+    natural key; exact cents so float jitter can't hide a duplicate."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keyed = orders.select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("day"),
+        "o_orderkey",
+    )
+    return (
+        keyed.groupBy("o_custkey", "cents", "day")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderkey").alias("first_orderkey"),
+        )
+        .filter(F.col("n_orders") > 1)
+        .orderBy("o_custkey", "cents", "day")
+    )
