@@ -995,3 +995,79 @@ def multimodal_shot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_frames long, n_boundaries long,"
         " first_boundary_frame long",
     )
+
+
+@register(
+    "multimodal_edge_energy",
+    oracle="""
+    WITH geom AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h, UNNEST(range(0, w * h)) AS i
+        FROM geom
+    ), luma AS (
+        SELECT doc_id, w, h,
+               CAST(i % w AS BIGINT) AS x, CAST(i // w AS BIGINT) AS y,
+               (  (doc_id * 7 + i * 11) % 256
+                + (doc_id * 3 + i * 19) % 256
+                + (doc_id * 5 + i * 2 ) % 256) // 3 AS l
+        FROM px
+    ), gx AS (
+        SELECT a.doc_id, CAST(SUM(abs(b.l - a.l)) AS BIGINT) AS e
+        FROM luma a JOIN luma b
+          ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        GROUP BY a.doc_id
+    ), gy AS (
+        SELECT a.doc_id, CAST(SUM(abs(b.l - a.l)) AS BIGINT) AS e
+        FROM luma a JOIN luma b
+          ON b.doc_id = a.doc_id AND b.x = a.x AND b.y = a.y + 1
+        GROUP BY a.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(gx.e + gy.e AS BIGINT) AS edge_energy,
+           CAST(gx.e + gy.e AS BIGINT)
+               // ((g.w - 1) * g.h + g.w * (g.h - 1)) AS mean_gradient
+    FROM geom g JOIN gx ON gx.doc_id = g.doc_id
+    JOIN gy ON gy.doc_id = g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def multimodal_edge_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-energy (first-difference gradient) on genuinely decoded BMP
+    pixels: total |∂luma/∂x| + |∂luma/∂y| per image and the truncated mean
+    gradient per adjacent-pixel pair — the sharpness/blur QC stage of an
+    image-curation pipeline, computed in Python on real codec output and
+    verified symbolically by the oracle's recomputed neighbor arithmetic.
+    Same position-varying synthesis as [[multimodal_image_histogram]]."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "edge_energy": [], "mean_gradient": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 3 + d % 4
+                pixels_in = [
+                    ((d * 7 + i * 11) % 256, (d * 3 + i * 19) % 256,
+                     (d * 5 + i * 2) % 256)
+                    for i in range(w * h)
+                ]
+                _meta, pixels = mc.decode_bmp(mc.encode_bmp(w, h, pixels_in))
+                luma = [(r + g + b) // 3 for r, g, b in pixels]
+                e = 0
+                for y in range(h):
+                    for x in range(w - 1):
+                        e += abs(luma[y * w + x + 1] - luma[y * w + x])
+                for y in range(h - 1):
+                    for x in range(w):
+                        e += abs(luma[(y + 1) * w + x] - luma[y * w + x])
+                n_pairs = (w - 1) * h + w * (h - 1)
+                out["doc_id"].append(d)
+                out["edge_energy"].append(e)
+                out["mean_gradient"].append(e // n_pairs)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        op, schema="doc_id long, edge_energy long, mean_gradient long"
+    )
