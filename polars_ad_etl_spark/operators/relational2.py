@@ -708,3 +708,69 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_num")
     )
+
+
+@register(
+    "orders_open_aging_buckets",
+    oracle="""
+    WITH horizon AS (
+        SELECT MAX(CAST(o_orderdate AS DATE)) AS h FROM orders
+    ), aged AS (
+        SELECT o_orderpriority,
+               DATEDIFF('day', CAST(o_orderdate AS DATE), h) AS age,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders, horizon WHERE o_orderstatus = 'O'
+    ), bucketed AS (
+        SELECT o_orderpriority,
+               CASE WHEN age <= 90 THEN '000-090'
+                    WHEN age <= 365 THEN '091-365'
+                    WHEN age <= 730 THEN '366-730'
+                    ELSE '731+' END AS age_bucket,
+               cents
+        FROM aged
+    )
+    SELECT o_orderpriority, age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS open_cents
+    FROM bucketed
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def orders_open_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report (the receivables-aging shape): orders still
+    in status 'O' bucketed by days outstanding at the data horizon, with
+    exact open cents per (priority, bucket) — the working-capital view.
+    The horizon is a broadcast scalar aggregate; day arithmetic is tz-free
+    date math; bucket labels sort lexicographically by construction."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    horizon = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("h")
+    )
+    aged = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("h"), F.col("o_orderdate").cast("date")).alias(
+                "age"
+            ),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    bucket = (
+        F.when(F.col("age") <= 90, "000-090")
+        .when(F.col("age") <= 365, "091-365")
+        .when(F.col("age") <= 730, "366-730")
+        .otherwise("731+")
+    )
+    return (
+        aged.groupBy("o_orderpriority", bucket.alias("age_bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("open_cents"),
+        )
+        .orderBy("o_orderpriority", "age_bucket")
+    )
