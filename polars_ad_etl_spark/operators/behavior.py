@@ -1947,3 +1947,60 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("day").alias("trough_day"),
         )
     )
+
+
+@register(
+    "events_autocorr_24h",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), pairs AS (
+        SELECT a.y AS y0, b.y AS y1
+        FROM hourly a
+        JOIN hourly b ON b.hr = a.hr + INTERVAL 24 HOUR
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) * SUM(y0 * y1) - SUM(y0) * SUM(y1) AS BIGINT)
+               AS autocov_num,
+           CAST(COUNT(*) * SUM(y0 * y0) - SUM(y0) * SUM(y0) AS BIGINT)
+               AS var0_num,
+           CAST(COUNT(*) * SUM(y1 * y1) - SUM(y1) * SUM(y1) AS BIGINT)
+               AS var1_num
+    FROM pairs
+    """,
+)
+def events_autocorr_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal periodicity check: the lag-24-hour autocovariance of hourly
+    volume with the two variance numerators — all exact integers (the
+    correlation itself needs a square root, so the engine emits the three
+    exact numerators and the consumer forms r = cov/√(v0·v1); a strongly
+    positive cov against same-scale variances confirms the daily cycle
+    that [[events_seasonal_anomalies]] assumes). Self-join of the bounded
+    hourly aggregate on a pure NTZ interval shift."""
+    e = load_events(spark, sf_dir)
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count("*").alias("y")
+    )
+    b = hourly.select(
+        F.expr("hr - INTERVAL 24 HOUR").alias("hr0"),
+        F.col("y").alias("y1"),
+    )
+    pairs = hourly.join(b, F.col("hr0") == F.col("hr")).select(
+        F.col("y").alias("y0"), "y1"
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        (
+            F.count("*") * F.sum(F.col("y0") * F.col("y1"))
+            - F.sum("y0") * F.sum("y1")
+        ).alias("autocov_num"),
+        (
+            F.count("*") * F.sum(F.col("y0") * F.col("y0"))
+            - F.sum("y0") * F.sum("y0")
+        ).alias("var0_num"),
+        (
+            F.count("*") * F.sum(F.col("y1") * F.col("y1"))
+            - F.sum("y1") * F.sum("y1")
+        ).alias("var1_num"),
+    )

@@ -774,3 +774,48 @@ def orders_open_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "age_bucket")
     )
+
+
+@register(
+    "lineitem_discount_response",
+    oracle="""
+    WITH banded AS (
+        SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+               CAST(round(l_quantity) AS BIGINT) AS qty
+        FROM lineitem
+    )
+    SELECT discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(qty) AS BIGINT) AS total_qty,
+           CAST((1000 * SUM(qty)) // COUNT(*) AS BIGINT) AS qty_per_line_milli
+    FROM banded GROUP BY discount_pct ORDER BY discount_pct
+    """,
+)
+def lineitem_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand response curve: ordered quantity per line at each discount
+    percentage — the promo-effectiveness readout (a flat curve means
+    discounts buy no volume). Exact integer milli-units per band; one
+    map-side-combinable aggregation over the fact."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    banded = lineitem.select(
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias(
+            "discount_pct"
+        ),
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("qty"),
+    )
+    return (
+        banded.groupBy("discount_pct")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("qty").alias("total_qty"),
+        )
+        .select(
+            "discount_pct",
+            "n_lines",
+            "total_qty",
+            F.expr("(1000 * total_qty) div n_lines").alias(
+                "qty_per_line_milli"
+            ),
+        )
+        .orderBy("discount_pct")
+    )
