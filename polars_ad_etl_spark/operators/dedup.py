@@ -1254,3 +1254,56 @@ def dedup_blocking_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reduction_permille"),
         )
     )
+
+
+@register(
+    "dedup_simhash_hamming_hist",
+    oracle=f"""
+    WITH sh AS ({{SIMHASH}}),
+    pairs AS ({{LSH}}),
+    cand AS (
+        SELECT DISTINCT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+        FROM pairs WHERE doc_a <> doc_b
+    )
+    SELECT CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT)
+               AS hamming_distance,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.a
+    JOIN sh sb ON sb.doc_id = cand.b
+    GROUP BY 1 ORDER BY 1
+    """.replace("{SIMHASH}", SIMHASH_SQL).replace("{LSH}", _lsh_pairs_oracle()),
+)
+def dedup_simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance histogram over the MinHash-LSH candidate
+    pairs — the view that tunes the SimHash cut-off: candidate pairs pile
+    up at low distances, so the histogram's knee is where "duplicate" ends
+    and "merely similar" begins, measured on the very pairs the blocking
+    scheme would pass downstream. Two fingerprint joins keyed by doc id;
+    bit_count(xor) is JVM-side in Spark and native in DuckDB, over the
+    SAME verified 32-bit fingerprints."""
+    sh = dedup_simhash_documents(spark, sf_dir).select(
+        "doc_id", "simhash"
+    ).localCheckpoint(eager=True)
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    cand = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .groupBy(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("long")
+            .alias("hamming_distance")
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("hamming_distance")
+    )

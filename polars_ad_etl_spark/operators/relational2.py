@@ -819,3 +819,123 @@ def lineitem_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("discount_pct")
     )
+
+
+@register(
+    "nation_rank_stability",
+    oracle="""
+    WITH yearly AS (
+        SELECT n_name,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT n_name, yr,
+               ROW_NUMBER() OVER (PARTITION BY yr
+                                  ORDER BY cents DESC, n_name) AS rk
+        FROM yearly
+    ), joined AS (
+        SELECT a.yr AS yr_from, a.n_name, a.rk AS rk_a, b.rk AS rk_b
+        FROM ranked a JOIN ranked b
+          ON b.n_name = a.n_name AND b.yr = a.yr + 1
+    ), pairs AS (
+        SELECT x.yr_from,
+               CASE WHEN (x.rk_a - y.rk_a) * (x.rk_b - y.rk_b) < 0
+                    THEN 1 ELSE 0 END AS discordant
+        FROM joined x JOIN joined y
+          ON y.yr_from = x.yr_from AND x.n_name < y.n_name
+    )
+    SELECT yr_from, yr_from + 1 AS yr_to,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(discordant) AS BIGINT) AS n_discordant,
+           CAST(1000 - (1000 * SUM(discordant)) // COUNT(*) AS BIGINT)
+               AS stability_permille
+    FROM pairs GROUP BY yr_from ORDER BY yr_from
+    """,
+)
+def nation_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year stability of the nation revenue LEAGUE TABLE:
+    Kendall-style discordant-pair share between consecutive years'
+    rankings (1000 = identical order, 0 = fully reversed) — the metric
+    that says whether market-share movements are churn or noise. Ranks are
+    per-year windows over the |nations| aggregate; the pair expansion is
+    |nations|² per year pair, all on aggregates."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    yearly = (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            ).alias("cents")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    ranked = yearly.select(
+        "n_name",
+        "yr",
+        F.row_number()
+        .over(W.partitionBy("yr").orderBy(F.desc("cents"), "n_name"))
+        .alias("rk"),
+    )
+    nxt = ranked.select(
+        F.col("n_name").alias("nm2"),
+        F.col("yr").alias("yr2"),
+        F.col("rk").alias("rk_b"),
+    )
+    joined = ranked.join(
+        nxt,
+        (F.col("nm2") == F.col("n_name")) & (F.col("yr2") == F.col("yr") + 1),
+    ).select(
+        F.col("yr").alias("yr_from"), "n_name",
+        F.col("rk").alias("rk_a"), "rk_b",
+    )
+    y = joined.select(
+        F.col("yr_from").alias("yf2"),
+        F.col("n_name").alias("nm_y"),
+        F.col("rk_a").alias("ya"),
+        F.col("rk_b").alias("yb"),
+    )
+    pairs = joined.join(
+        y,
+        (F.col("yf2") == F.col("yr_from"))
+        & (F.col("n_name") < F.col("nm_y")),
+    ).select(
+        "yr_from",
+        F.when(
+            (F.col("rk_a") - F.col("ya")) * (F.col("rk_b") - F.col("yb"))
+            < 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("discordant"),
+    )
+    return (
+        pairs.groupBy("yr_from")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("discordant").alias("n_discordant"),
+        )
+        .select(
+            "yr_from",
+            (F.col("yr_from") + 1).alias("yr_to"),
+            "n_pairs",
+            "n_discordant",
+            F.expr(
+                "1000 - (1000 * n_discordant) div n_pairs"
+            ).alias("stability_permille"),
+        )
+        .orderBy("yr_from")
+    )
