@@ -1307,3 +1307,108 @@ def dedup_simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("hamming_distance")
     )
+
+
+@register(
+    "text_cdc_dedup_gain",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, text,
+               UNNEST(range(1, GREATEST(len(text) - {CDC_WINDOW} + 2, 1)))
+                   AS i
+        FROM documents
+    ), bounds AS (
+        SELECT doc_id, text, CAST(i AS BIGINT) AS b
+        FROM pos
+        WHERE {portable_hash32_sql(f"substr(text, CAST(i AS INTEGER), {CDC_WINDOW})")}
+              % {CDC_MODULUS} = 0 AND i > 1
+        UNION ALL SELECT doc_id, text, 1 FROM documents
+        UNION ALL SELECT doc_id, text, CAST(len(text) + 1 AS BIGINT)
+                  FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               substr(text, CAST(b AS INTEGER),
+                      CAST(LEAD(b) OVER (PARTITION BY doc_id ORDER BY b) - b
+                           AS INTEGER)) AS chunk
+        FROM bounds
+    ), hashed AS (
+        SELECT md5(chunk) AS h, len(chunk) AS l
+        FROM chunks WHERE chunk IS NOT NULL AND len(chunk) > 0
+    ), uniq AS (
+        SELECT h, CAST(MIN(l) AS BIGINT) AS l FROM hashed GROUP BY h
+    )
+    SELECT (SELECT CAST(SUM(l) AS BIGINT) FROM hashed) AS total_chars,
+           CAST(SUM(l) AS BIGINT) AS unique_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+           CAST(1000 - (1000 * SUM(l))
+                // (SELECT SUM(l) FROM hashed) AS BIGINT)
+               AS saving_permille
+    FROM uniq
+    """,
+)
+def text_cdc_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline number for [[text_cdc_duplicate_chunks]]: how much of
+    the corpus a chunk store would NOT have to keep — total chunk chars vs
+    unique-chunk chars, saving in exact permille. The chunk pipeline is
+    shared with the duplicate-chunks query; dedup is one hash aggregate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    from polars_ad_etl_spark.functions.hashing import portable_hash32
+
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.length("text") - F.lit(CDC_WINDOW - 1), F.lit(1)
+                ),
+            )
+        ).alias("i"),
+    )
+    interior = pos.filter(
+        (F.col("i") > 1)
+        & (
+            portable_hash32(F.expr(f"substr(text, i, {CDC_WINDOW})"))
+            % CDC_MODULUS
+            == 0
+        )
+    ).select("doc_id", "text", F.col("i").cast("long").alias("b"))
+    sentinels = docs.select(
+        "doc_id", "text", F.lit(1).cast("long").alias("b")
+    ).unionByName(
+        docs.select(
+            "doc_id", "text", (F.length("text") + 1).cast("long").alias("b")
+        )
+    )
+    chunks = interior.unionByName(sentinels).select(
+        "doc_id",
+        F.expr(
+            "substr(text, CAST(b AS INT),"
+            " CAST(lead(b) OVER (PARTITION BY doc_id ORDER BY b) - b AS INT))"
+        ).alias("chunk"),
+    )
+    hashed = chunks.filter(
+        F.col("chunk").isNotNull() & (F.length("chunk") > 0)
+    ).select(
+        F.md5("chunk").alias("h"), F.length("chunk").cast("long").alias("l")
+    )
+    total = hashed.agg(F.sum("l").alias("total_chars"))
+    uniq = hashed.groupBy("h").agg(F.min("l").alias("l"))
+    return (
+        uniq.agg(
+            F.sum("l").alias("unique_chars"),
+            F.count("*").alias("n_unique_chunks"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "total_chars",
+            "unique_chars",
+            "n_unique_chunks",
+            F.expr(
+                "1000 - (1000 * unique_chars) div total_chars"
+            ).alias("saving_permille"),
+        )
+    )
