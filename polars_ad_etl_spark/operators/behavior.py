@@ -2004,3 +2004,73 @@ def events_autocorr_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum("y1") * F.sum("y1")
         ).alias("var1_num"),
     )
+
+
+# ------------------------------------------------- SRE error budget
+@register(
+    "events_error_budget",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+                   AS n_errors
+        FROM events GROUP BY 1
+    ), t7 AS (
+        SELECT a.day, a.n_events, a.n_errors,
+               CAST(SUM(b.n_events) AS BIGINT) AS t7_events,
+               CAST(SUM(b.n_errors) AS BIGINT) AS t7_errors
+        FROM daily a JOIN daily b
+          ON b.day BETWEEN a.day - 6 AND a.day
+        GROUP BY 1, 2, 3
+    )
+    SELECT day, n_events, n_errors,
+           CAST((1000 * n_errors) // n_events AS BIGINT) AS err_permille,
+           CAST((1000 * t7_errors) // t7_events AS BIGINT)
+               AS trailing7_err_permille,
+           (1000 * t7_errors) // t7_events > 210 AS slo_breach
+    FROM t7 ORDER BY day
+    """,
+)
+def events_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget tracking over the ``error`` event stream: daily and
+    trailing-7-day error rates in exact permille, with the SLO-breach flag
+    at the 21% objective — the burn-rate view an on-call rotation pages
+    on. The trailing window is a 7-day-bounded self-join ON THE DAILY
+    AGGREGATE (never a window over raw events); integer division keeps the
+    breach boundary engine-exact."""
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias(
+            "n_errors"
+        ),
+    )
+    b = daily.select(
+        F.col("day").alias("d2"),
+        F.col("n_events").alias("e2"),
+        F.col("n_errors").alias("r2"),
+    )
+    trailing = (
+        daily.join(
+            F.broadcast(b),
+            (F.col("d2") >= F.date_sub(F.col("day"), 6))
+            & (F.col("d2") <= F.col("day")),
+        )
+        .groupBy("day", "n_events", "n_errors")
+        .agg(
+            F.sum("e2").alias("t7_events"), F.sum("r2").alias("t7_errors")
+        )
+    )
+    return trailing.select(
+        "day",
+        "n_events",
+        "n_errors",
+        F.expr("(1000 * n_errors) div n_events").alias("err_permille"),
+        F.expr("(1000 * t7_errors) div t7_events").alias(
+            "trailing7_err_permille"
+        ),
+        (F.expr("(1000 * t7_errors) div t7_events") > 210).alias(
+            "slo_breach"
+        ),
+    ).orderBy("day")

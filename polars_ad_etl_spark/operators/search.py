@@ -458,3 +458,54 @@ def text_bigram_lm_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "c", "p_permille")
         .orderBy("w1", F.desc("p_permille"), "w2")
     )
+
+
+@register(
+    "text_token_fertility",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    per_doc AS (
+        SELECT t.doc_id, d.lang, d.n_chars, COUNT(*) AS n_tokens
+        FROM tokens t JOIN documents d ON d.doc_id = t.doc_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST((1000 * SUM(n_tokens)) // SUM(n_chars) AS BIGINT)
+               AS tokens_per_kchar
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: tokens produced per thousand
+    characters — the compression-cost metric that decides whether a
+    tokenizer (or its vocab allocation) penalizes a language (high
+    fertility = more tokens per content unit = more compute per document).
+    Exact integer ratio over per-language totals; two stacked
+    aggregations."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_doc = docs.select(
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            F.expr("(1000 * total_tokens) div total_chars").alias(
+                "tokens_per_kchar"
+            ),
+        )
+        .orderBy("lang")
+    )
