@@ -152,3 +152,71 @@ def dq_duplicate_payment_suspects(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("n_orders") > 1)
         .orderBy("o_custkey", "cents", "day")
     )
+
+
+@register(
+    "dq_referential_orphans",
+    oracle="""
+    SELECT 'lineitem_without_order' AS relationship,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'order_without_customer',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_without_part',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem_without_supplier',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey)
+    ORDER BY relationship
+    """,
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign-key
+    relationship in the star schema (parquet enforces none of them — this
+    query IS the constraint). Each check is a LEFT ANTI join; small parents
+    broadcast, the two lineitem checks share one scan under AQE. Zero
+    everywhere means the star is closed; any non-zero is a quarantine
+    trigger for the DQ engine."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+
+    def orphans(child, parent, ck, pk, name):
+        return (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(name).alias("relationship"), "n_orphans")
+        )
+
+    return (
+        orphans(lineitem, orders, "l_orderkey", "o_orderkey",
+                "lineitem_without_order")
+        .unionByName(
+            orphans(orders, customer, "o_custkey", "c_custkey",
+                    "order_without_customer")
+        )
+        .unionByName(
+            orphans(lineitem, part, "l_partkey", "p_partkey",
+                    "lineitem_without_part")
+        )
+        .unionByName(
+            orphans(lineitem, supplier, "l_suppkey", "s_suppkey",
+                    "lineitem_without_supplier")
+        )
+        .orderBy("relationship")
+    )
