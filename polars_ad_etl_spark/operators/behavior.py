@@ -2074,3 +2074,122 @@ def events_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slo_breach"
         ),
     ).orderBy("day")
+
+
+# ------------------------------------------- difference-in-differences
+@register(
+    "events_diff_in_diff",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN {portable_hash32_sql("'exp1' || CAST(user_id AS VARCHAR)")} % 2 = 0
+                    THEN 'A' ELSE 'B' END AS variant
+        FROM events
+    ), outcomes AS (
+        SELECT a.variant,
+               CASE WHEN e.ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 'before' ELSE 'after' END AS period,
+               CAST(round(e.value * 100) AS BIGINT) AS cents
+        FROM events e JOIN assigned a ON a.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+    ), cells AS (
+        SELECT variant, period,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean_cents
+        FROM outcomes GROUP BY 1, 2
+    ), wide AS (
+        SELECT
+            MAX(CASE WHEN variant='A' AND period='before' THEN mean_cents END) AS a0,
+            MAX(CASE WHEN variant='A' AND period='after'  THEN mean_cents END) AS a1,
+            MAX(CASE WHEN variant='B' AND period='before' THEN mean_cents END) AS b0,
+            MAX(CASE WHEN variant='B' AND period='after'  THEN mean_cents END) AS b1,
+            CAST(SUM(n) AS BIGINT) AS n_purchases
+        FROM cells
+    )
+    SELECT a0 AS control_before, a1 AS control_after,
+           b0 AS treated_before, b1 AS treated_after,
+           (b1 - b0) - (a1 - a0) AS did_cents,
+           n_purchases
+    FROM wide
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate for the hash-assigned experiment
+    around a mid-month cutover: the treated group's purchase-value change
+    minus the control group's — the causal-inference workhorse when a
+    pre-period exists. Cell means are truncated integer cents (identical
+    truncation both engines), the cutover timestamp is NTZ wall-clock, and
+    the whole estimate is two aggregations over one user-keyed join; the
+    SRM gate ([[events_ab_srm_check]]) validates the assignment first."""
+    from polars_ad_etl_spark.functions.hashing import portable_hash32
+
+    e = load_events(spark, sf_dir)
+    assigned = e.select(
+        "user_id",
+        F.when(
+            portable_hash32(
+                F.concat(F.lit("exp1"), F.col("user_id").cast("string"))
+            )
+            % 2
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+    ).distinct()
+    outcomes = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(assigned, "user_id")
+        .select(
+            "variant",
+            F.when(
+                F.col("ts")
+                < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"),
+                "before",
+            )
+            .otherwise("after")
+            .alias("period"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    cells = outcomes.groupBy("variant", "period").agg(
+        F.count("*").alias("n"),
+        F.expr("sum(cents) div count(*)").alias("mean_cents"),
+    )
+    wide = cells.agg(
+        F.max(
+            F.when(
+                (F.col("variant") == "A") & (F.col("period") == "before"),
+                F.col("mean_cents"),
+            )
+        ).alias("a0"),
+        F.max(
+            F.when(
+                (F.col("variant") == "A") & (F.col("period") == "after"),
+                F.col("mean_cents"),
+            )
+        ).alias("a1"),
+        F.max(
+            F.when(
+                (F.col("variant") == "B") & (F.col("period") == "before"),
+                F.col("mean_cents"),
+            )
+        ).alias("b0"),
+        F.max(
+            F.when(
+                (F.col("variant") == "B") & (F.col("period") == "after"),
+                F.col("mean_cents"),
+            )
+        ).alias("b1"),
+        F.sum("n").alias("n_purchases"),
+    )
+    return wide.select(
+        F.col("a0").alias("control_before"),
+        F.col("a1").alias("control_after"),
+        F.col("b0").alias("treated_before"),
+        F.col("b1").alias("treated_after"),
+        ((F.col("b1") - F.col("b0")) - (F.col("a1") - F.col("a0"))).alias(
+            "did_cents"
+        ),
+        "n_purchases",
+    )
