@@ -939,3 +939,31 @@ def nation_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr_from")
     )
+
+
+@register(
+    "part_supplier_redundancy",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_suppliers
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM ps GROUP BY n_suppliers ORDER BY n_suppliers
+    """,
+)
+def part_supplier_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain redundancy histogram: how many parts have 1, 2, 3…
+    distinct observed suppliers — single-sourced parts (bucket 1) are the
+    procurement risk register. Distinct-count per part then a tiny
+    histogram aggregate; both shuffles on high-cardinality keys."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ps = lineitem.groupBy("l_partkey").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers")
+    )
+    return (
+        ps.groupBy("n_suppliers")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("n_suppliers")
+    )

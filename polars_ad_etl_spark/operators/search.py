@@ -509,3 +509,57 @@ def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_char_simpson",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, UNNEST(string_split(text, '')) AS ch
+        FROM documents
+    ), per_char AS (
+        SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_chars_tok,
+               CAST(SUM(c * c) AS BIGINT) AS sum_sq
+        FROM per_char GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_tok,
+           CAST((1000 * (n_chars_tok * n_chars_tok - sum_sq))
+                // (n_chars_tok * n_chars_tok) AS BIGINT)
+               AS char_diversity_permille
+    FROM per_doc
+    ORDER BY char_diversity_permille, doc_id
+    LIMIT 50
+    """,
+)
+def text_char_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Gini-Simpson diversity per document, lowest-50
+    shortlist: near-zero means the document is dominated by a few
+    characters (padding spam, ASCII art, corrupted decode) — the
+    byte-level sibling of the token-level repetition scores, in exact
+    integer permille. Spark's split-on-empty and DuckDB's
+    string_split('') both yield per-character arrays, so the explode is
+    engine-identical."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    per_char = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    per_doc = per_char.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars_tok"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_chars_tok",
+            F.expr(
+                "(1000 * (n_chars_tok * n_chars_tok - sum_sq))"
+                " div (n_chars_tok * n_chars_tok)"
+            ).alias("char_diversity_permille"),
+        )
+        .orderBy("char_diversity_permille", "doc_id")
+        .limit(50)
+    )
