@@ -909,7 +909,7 @@ def nation_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk_b").alias("yb"),
     )
     pairs = joined.join(
-        y,
+        F.broadcast(y),
         (F.col("yf2") == F.col("yr_from"))
         & (F.col("n_name") < F.col("nm_y")),
     ).select(
@@ -966,4 +966,46 @@ def part_supplier_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.groupBy("n_suppliers")
         .agg(F.count("*").alias("n_parts"))
         .orderBy("n_suppliers")
+    )
+
+
+@register(
+    "lineitem_return_rate_by_brand",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+               AS n_returned,
+           CAST((1000 * COUNT(*) FILTER (WHERE l_returnflag = 'R'))
+                // COUNT(*) AS BIGINT) AS return_permille
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def lineitem_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quality angle on returns: exact permille return rate per
+    brand (the customer-grain view is q10) — the table a merchandising
+    review sorts by. Part dimension broadcasts; one fact aggregation."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias(
+                "n_returned"
+            ),
+        )
+        .select(
+            "p_brand",
+            "n_lines",
+            "n_returned",
+            F.expr("(1000 * n_returned) div n_lines").alias(
+                "return_permille"
+            ),
+        )
+        .orderBy("p_brand")
     )
