@@ -497,3 +497,86 @@ def embedding_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ------------------------------------------- k-center greedy coreset
+#
+# Diverse-subset selection (the coreset every data-selection paper
+# benchmarks against): greedily pick the point FARTHEST from everything
+# chosen so far. The selection is inherently sequential in k, but each
+# step is one distributed max over a running min-distance column — k
+# bounded driver rounds, each collecting exactly one (id, qv) row (the
+# kmeans K×D-collect precedent). Distances are exact integers on the
+# shared fixed-point quantization, ties break to the smaller vec_id, so
+# the DuckDB oracle replays the identical unrolled selection.
+CORESET_K = 5
+
+
+def _coreset_oracle() -> str:
+    dist = (
+        "list_sum(list_transform(list_zip(v.qv, c{i}.qv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    sql = f"""
+    WITH q AS (SELECT vec_id, {_QUANT_DUCK} AS qv FROM embeddings),
+    c0 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+    d0 AS (
+        SELECT v.vec_id, v.qv,
+               CAST({dist.format(i=0)} AS BIGINT) AS mind
+        FROM q v, c0
+    )"""
+    prev_d = "d0"
+    for k in range(1, CORESET_K):
+        sql += f""",
+    c{k} AS (
+        SELECT vec_id, qv, mind FROM {prev_d}
+        ORDER BY mind DESC, vec_id LIMIT 1
+    ),
+    d{k} AS (
+        SELECT v.vec_id, v.qv,
+               LEAST(v.mind, CAST({dist.format(i=k)} AS BIGINT)) AS mind
+        FROM {prev_d} v, c{k}
+    )"""
+        prev_d = f"d{k}"
+    picks = ["SELECT 0 AS pick_idx, vec_id, CAST(0 AS BIGINT) AS radius FROM c0"]
+    for k in range(1, CORESET_K):
+        picks.append(
+            f"SELECT {k}, vec_id, CAST(mind AS BIGINT) FROM c{k}"
+        )
+    sql += "\n" + " UNION ALL ".join(picks) + " ORDER BY pick_idx"
+    return sql
+
+
+@register("sim_kcenter_coreset", oracle=_coreset_oracle())
+def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset of the embedding corpus: the {K} maximally
+    spread vectors, each with the max-min distance ("radius") at the
+    moment it was chosen — a monotone non-increasing sequence whose last
+    value bounds how well {K} exemplars cover the space. See the section
+    comment for the sequential-step/driver-round structure; the oracle
+    unrolls the same selection.""".replace("{K}", str(CORESET_K))
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.select("vec_id", F.expr(_QUANT).alias("qv"))
+
+    def dist_to(qv_literal: list) -> F.Column:
+        c = F.array(*[F.lit(int(x)) for x in qv_literal])
+        return F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    seed = q.orderBy("vec_id").limit(1).collect()[0]
+    picks = [(0, seed.vec_id, 0)]
+    cur = q.withColumn("mind", dist_to(seed.qv))
+    for k in range(1, CORESET_K):
+        far = (
+            cur.orderBy(F.desc("mind"), "vec_id").limit(1).collect()[0]
+        )
+        picks.append((k, far.vec_id, far.mind))
+        cur = cur.withColumn(
+            "mind", F.least(F.col("mind"), dist_to(far.qv))
+        )
+    return spark.createDataFrame(
+        picks, "pick_idx int, vec_id long, radius long"
+    ).orderBy("pick_idx")
