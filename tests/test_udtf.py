@@ -110,3 +110,24 @@ def test_sql_scalar_udf_create_function(spark):
         "SELECT CAST(SUM(net_revenue(p, d)) AS DOUBLE) AS s FROM _udf_rows"
     ).collect()[0].s
     assert got == (0 + 10 + 20 + 30) * 0.9
+
+
+def test_map_in_arrow_batch_processing(spark):
+    """mapInArrow: the zero-copy Arrow-native sibling of mapInPandas —
+    batches arrive as pyarrow.RecordBatch, letting numpy/pyarrow kernels
+    run without pandas conversion overhead."""
+    import pyarrow as pa
+
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k")
+
+    def double_k(batches):
+        for batch in batches:
+            t = batch.to_pydict()
+            yield pa.RecordBatch.from_pydict(
+                {"id": t["id"], "k2": [v * 2 for v in t["k"]]}
+            )
+
+    out = df.mapInArrow(double_k, schema="id long, k2 long")
+    rows = {r.id: r.k2 for r in out.collect()}
+    assert len(rows) == 1000
+    assert all(rows[i] == (i % 7) * 2 for i in range(1000))
