@@ -1412,3 +1412,132 @@ def text_cdc_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("saving_permille"),
         )
     )
+
+
+@register(
+    "dedup_minhash_estimate_error",
+    oracle=f"""
+    WITH sigs AS ({{SIGS}}),
+    pairs0 AS ({{LSH}}),
+    cand AS (
+        SELECT DISTINCT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+        FROM pairs0 WHERE doc_a <> doc_b
+    ),
+    est AS (
+        SELECT c.a, c.b,
+               ({" + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(K))})
+                   AS m
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.a
+        JOIN sigs sb ON sb.doc_id = c.b
+    ),
+    tokarr AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+    shingle AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM tokarr
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id),
+    inter AS (
+        SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_common
+        FROM shingle sa JOIN shingle sb
+          ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT e.a, e.b,
+               (1000 * e.m) // {K} AS est_permille,
+               (1000 * COALESCE(i.n_common, 0))
+                   // (ca.n + cb.n - COALESCE(i.n_common, 0))
+                   AS true_permille
+        FROM est e
+        LEFT JOIN inter i ON i.a = e.a AND i.b = e.b
+        JOIN cnt ca ON ca.doc_id = e.a
+        JOIN cnt cb ON cb.doc_id = e.b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(abs(est_permille - true_permille)) // COUNT(*)
+                AS BIGINT) AS mean_abs_err_permille,
+           CAST(MAX(abs(est_permille - true_permille)) AS BIGINT)
+               AS max_abs_err_permille
+    FROM scored
+    """.replace("{SIGS}", MINHASH_SIG_SQL).replace("{LSH}", _lsh_pairs_oracle()),
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration on the LSH candidate pairs: the
+    signature-match estimate of Jaccard (matching minima / K) against the
+    exact shingle Jaccard, summarized as mean and max absolute error in
+    permille — the measurement that justifies (or resizes) K={K}
+    signatures. The exact side is the documented small-scale verifier
+    join; at corpus scale the error audit runs on a candidate SAMPLE with
+    the same shape.""".replace("{K}", str(K))
+    sigs = minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    cand = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(K)],
+    )
+    match_sum = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(K)
+    )
+    est = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", match_sum.alias("m"))
+        .select("a", "b", F.expr(f"(1000 * m) div {K}").alias("est_permille"))
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from polars_ad_etl_spark.functions.hashing import tokens
+
+    shingle = (
+        d.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cnt = shingle.groupBy("doc_id").agg(F.count("*").alias("n"))
+    i1 = shingle.select(F.col("doc_id").alias("ia"), "sh")
+    i2 = shingle.select(F.col("doc_id").alias("ib"), F.col("sh").alias("sh2"))
+    inter = (
+        i1.join(i2, (F.col("sh") == F.col("sh2")) & (F.col("ia") < F.col("ib")))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    scored = (
+        est.join(
+            inter,
+            (F.col("ia") == F.col("a")) & (F.col("ib") == F.col("b")),
+            "left_outer",
+        )
+        .join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .select(
+            "est_permille",
+            F.expr(
+                "(1000 * coalesce(n_common, 0))"
+                " div (na + nb - coalesce(n_common, 0))"
+            ).alias("true_permille"),
+        )
+    )
+    return scored.agg(
+        F.count("*").alias("n_pairs"),
+        F.expr(
+            "sum(abs(est_permille - true_permille)) div count(*)"
+        ).alias("mean_abs_err_permille"),
+        F.max(F.abs(F.col("est_permille") - F.col("true_permille"))).alias(
+            "max_abs_err_permille"
+        ),
+    )
