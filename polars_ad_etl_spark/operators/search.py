@@ -563,3 +563,48 @@ def text_char_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("char_diversity_permille", "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "search_autocomplete_table",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    freq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM tokens GROUP BY term
+    ), ranked AS (
+        SELECT substr(term, 1, 2) AS prefix, term, freq,
+               ROW_NUMBER() OVER (PARTITION BY substr(term, 1, 2)
+                                  ORDER BY freq DESC, term) AS rn
+        FROM freq
+    )
+    SELECT prefix, term, freq, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 3
+    ORDER BY prefix, rank
+    """,
+)
+def search_autocomplete_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete/search-suggest table: for every 2-character prefix, the
+    top-3 corpus terms by frequency — the precomputed structure a
+    type-ahead service serves from (per-prefix ranking, deterministic
+    ties). One vocabulary aggregate; the ranking window partitions on the
+    prefix key, which is high-cardinality at real vocabulary sizes."""
+    toks = _tokens(spark, sf_dir)
+    freq = toks.groupBy("term").agg(F.count("*").alias("freq"))
+    ranked = freq.select(
+        F.substring("term", 1, 2).alias("prefix"),
+        "term",
+        "freq",
+        F.row_number()
+        .over(
+            W.partitionBy(F.substring("term", 1, 2)).orderBy(
+                F.desc("freq"), "term"
+            )
+        )
+        .alias("rank"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= 3)
+        .select("prefix", "term", "freq", F.col("rank").cast("long"))
+        .orderBy("prefix", "rank")
+    )
