@@ -1071,3 +1071,95 @@ def multimodal_edge_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         op, schema="doc_id long, edge_energy long, mean_gradient long"
     )
+
+
+@register(
+    "multimodal_silence_runs",
+    oracle="""
+    WITH sm AS (
+        SELECT doc_id,
+               unnest(generate_series(0,
+                   CAST(63 + doc_id % 64 AS BIGINT))) AS i
+        FROM documents
+    ), s AS (
+        SELECT doc_id, i,
+               CASE WHEN abs(((doc_id * 7 + i * 13) % 2048) - 1024) < 200
+                    THEN 1 ELSE 0 END AS silent
+        FROM sm
+    ), flagged AS (
+        SELECT doc_id, i, silent,
+               CASE WHEN silent = 1 AND COALESCE(
+                        LAG(silent) OVER (PARTITION BY doc_id ORDER BY i),
+                        0) = 0
+                    THEN 1 ELSE 0 END AS run_start
+        FROM s
+    ), runs AS (
+        SELECT doc_id,
+               SUM(run_start) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS UNBOUNDED PRECEDING) AS run_id,
+               silent
+        FROM flagged
+    ), run_lens AS (
+        SELECT doc_id, run_id, COUNT(*) AS len
+        FROM runs WHERE silent = 1 GROUP BY doc_id, run_id
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_runs,
+               CAST(MAX(len) AS BIGINT) AS longest_run,
+               CAST(SUM(len) AS BIGINT) AS n_silent
+        FROM run_lens GROUP BY doc_id
+    ), base AS (
+        SELECT doc_id, CAST(63 + doc_id % 64 + 1 AS BIGINT) AS n_samples
+        FROM documents
+    )
+    SELECT b.doc_id, b.n_samples,
+           CAST(COALESCE(p.n_runs, 0) AS BIGINT) AS n_runs,
+           CAST(COALESCE(p.longest_run, 0) AS BIGINT) AS longest_run,
+           CAST((1000 * COALESCE(p.n_silent, 0)) // b.n_samples AS BIGINT)
+               AS silent_permille
+    FROM base b LEFT JOIN per_doc p ON p.doc_id = b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def multimodal_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence detection on genuinely decoded PCM: run-length statistics of
+    |amplitude| < 200 segments per clip (run count, longest run, silent
+    share permille) — the trim/VAD preprocessing stage, computed
+    imperatively in Python over real WAV round-trip samples while the
+    oracle replays the identical runs with the SQL gaps-and-islands
+    program; the hash match proves the two formulations equal, including
+    clips with no silence at all."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "n_samples", "n_runs", "longest_run",
+                "silent_permille")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 64 + d % 64
+                samples = [((d * 7 + i * 13) % 2048) - 1024 for i in range(n)]
+                _m, pcm = mc.decode_wav(mc.encode_wav(samples, 16000))
+                runs = []
+                cur = 0
+                for s in pcm:
+                    if abs(s) < 200:
+                        cur += 1
+                    elif cur:
+                        runs.append(cur)
+                        cur = 0
+                if cur:
+                    runs.append(cur)
+                out["doc_id"].append(d)
+                out["n_samples"].append(len(pcm))
+                out["n_runs"].append(len(runs))
+                out["longest_run"].append(max(runs) if runs else 0)
+                out["silent_permille"].append(1000 * sum(runs) // len(pcm))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        op,
+        schema="doc_id long, n_samples long, n_runs long,"
+        " longest_run long, silent_permille long",
+    )

@@ -608,3 +608,52 @@ def search_autocomplete_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("prefix", "term", "freq", F.col("rank").cast("long"))
         .orderBy("prefix", "rank")
     )
+
+
+@register(
+    "text_term_position_bias",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    lens AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len
+        FROM tokens GROUP BY doc_id
+    ), rel AS (
+        SELECT t.term,
+               (1000 * t.pos) // GREATEST(l.len - 1, 1) AS rel_permille
+        FROM tokens t JOIN lens l ON l.doc_id = t.doc_id
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(SUM(rel_permille) // COUNT(*) AS BIGINT)
+               AS mean_position_permille
+    FROM rel GROUP BY term
+    HAVING COUNT(*) >= 20
+    ORDER BY mean_position_permille, term
+    """,
+)
+def text_term_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional bias per term: the mean relative in-document position
+    (0 = always opens documents, 1000 = always closes them) — terms pinned
+    near 0 are header/boilerplate candidates the [[text_boilerplate_ngrams]]
+    dictionary should absorb, terms near 1000 are signature/footer
+    candidates. Exact integer: per-occurrence permille offset, truncated
+    mean per term; one join against the per-doc length aggregate."""
+    toks = _tokens(spark, sf_dir)
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    rel = toks.join(lens, "doc_id").select(
+        "term",
+        F.expr("(1000 * pos) div greatest(len - 1, 1)").alias(
+            "rel_permille"
+        ),
+    )
+    return (
+        rel.groupBy("term")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.expr("sum(rel_permille) div count(*)").alias(
+                "mean_position_permille"
+            ),
+        )
+        .filter(F.col("n_occurrences") >= 20)
+        .orderBy("mean_position_permille", "term")
+    )
