@@ -2193,3 +2193,71 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_purchases",
     )
+
+
+@register(
+    "events_conversion_cdf",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+        GROUP BY e.user_id
+    ), lat AS (
+        SELECT DATEDIFF('microsecond', v.v_ts, p.p_ts) AS us
+        FROM v JOIN p ON p.user_id = v.user_id
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)
+    SELECT (SELECT n FROM tot) AS n_viewers,
+           CAST(COUNT(*) AS BIGINT) AS n_converters,
+           CAST((1000 * COUNT(*) FILTER (WHERE us <= 60000000))
+                // (SELECT n FROM tot) AS BIGINT) AS within_1m_permille,
+           CAST((1000 * COUNT(*) FILTER (WHERE us <= 3600000000))
+                // (SELECT n FROM tot) AS BIGINT) AS within_1h_permille,
+           CAST((1000 * COUNT(*) FILTER (WHERE us <= 86400000000))
+                // (SELECT n FROM tot) AS BIGINT) AS within_1d_permille,
+           CAST((1000 * COUNT(*)) // (SELECT n FROM tot) AS BIGINT)
+               AS ever_permille
+    FROM lat
+    """,
+)
+def events_conversion_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert CDF at the thresholds a growth review quotes:
+    share of viewers converting within one minute, one hour, one day, or
+    ever — exact integer permille over the viewer base (the distribution
+    companion to [[events_funnel_latency]]'s percentiles). The viewer
+    total rides as a broadcast scalar; the latency table is the same
+    two-aggregate join."""
+    e = load_events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = v.join(p, "user_id").select(
+        F.expr("timestampdiff(MICROSECOND, v_ts, p_ts)").alias("us")
+    )
+    tot = v.agg(F.count("*").alias("n"))
+    agg = lat.agg(
+        F.count("*").alias("n_converters"),
+        F.sum((F.col("us") <= 60_000_000).cast("long")).alias("c1m"),
+        F.sum((F.col("us") <= 3_600_000_000).cast("long")).alias("c1h"),
+        F.sum((F.col("us") <= 86_400_000_000).cast("long")).alias("c1d"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_viewers"),
+        "n_converters",
+        F.expr("(1000 * c1m) div n").alias("within_1m_permille"),
+        F.expr("(1000 * c1h) div n").alias("within_1h_permille"),
+        F.expr("(1000 * c1d) div n").alias("within_1d_permille"),
+        F.expr("(1000 * n_converters) div n").alias("ever_permille"),
+    )
