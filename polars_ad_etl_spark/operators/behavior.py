@@ -2261,3 +2261,96 @@ def events_conversion_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000 * c1d) div n").alias("within_1d_permille"),
         F.expr("(1000 * n_converters) div n").alias("ever_permille"),
     )
+
+
+@register(
+    "events_error_streaks",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               (1000 * COUNT(*) FILTER (WHERE event_type = 'error'))
+                   // COUNT(*) > 205 AS breach
+        FROM events GROUP BY 1
+    ), flagged AS (
+        SELECT day, breach,
+               CASE WHEN breach AND NOT COALESCE(
+                        LAG(breach) OVER (ORDER BY day), FALSE)
+                    THEN 1 ELSE 0 END AS streak_start
+        FROM daily
+    ), streaks AS (
+        SELECT day, breach,
+               SUM(streak_start) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS streak_id
+        FROM flagged
+    ), lens AS (
+        SELECT streak_id,
+               CAST(COUNT(*) AS BIGINT) AS len,
+               CAST(MIN(day) AS DATE) AS streak_start_day
+        FROM streaks WHERE breach GROUP BY streak_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(COALESCE(MAX(len), 0) AS BIGINT) AS longest_streak_days,
+           CAST(MIN(streak_start_day) FILTER (
+               WHERE len = (SELECT MAX(len) FROM lens)) AS DATE)
+               AS longest_streak_start
+    FROM lens
+    """,
+)
+def events_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breach-streak analytics over the daily error rate: how many
+    consecutive-day breach runs occurred and the longest one — sustained
+    degradation reads differently from scattered bad days in a
+    postmortem. Classic gaps-and-islands over the BOUNDED daily aggregate
+    (the |days| global window is the allowlisted class; here it rides the
+    tiny aggregate, mirrored exactly by the oracle); earliest start wins
+    ties in both engines."""
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        (
+            F.expr(
+                "(1000 * sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0"
+                " END)) div count(*)"
+            )
+            > 205
+        ).alias("breach")
+    )
+    # |days| rows: collapse to one partition explicitly (bounded by
+    # construction) so no empty-partitionBy window appears in the plan
+    seq = daily.coalesce(1).select(
+        "day",
+        "breach",
+        F.expr(
+            "CASE WHEN breach AND NOT coalesce("
+            " lag(breach) OVER (ORDER BY day), false)"
+            " THEN 1 ELSE 0 END"
+        ).alias("streak_start"),
+    )
+    streaks = seq.select(
+        "day",
+        "breach",
+        F.expr(
+            "sum(streak_start) OVER (ORDER BY day"
+            " ROWS UNBOUNDED PRECEDING)"
+        ).alias("streak_id"),
+    )
+    lens = (
+        streaks.filter("breach")
+        .groupBy("streak_id")
+        .agg(
+            F.count("*").alias("len"),
+            F.min("day").alias("streak_start_day"),
+        )
+    )
+    mx = lens.agg(F.max("len").alias("mx"))
+    return (
+        lens.crossJoin(F.broadcast(mx))
+        .agg(
+            F.count("*").alias("n_streaks"),
+            F.coalesce(F.max("len"), F.lit(0)).alias(
+                "longest_streak_days"
+            ),
+            F.min(
+                F.when(F.col("len") == F.col("mx"), F.col("streak_start_day"))
+            ).alias("longest_streak_start"),
+        )
+    )

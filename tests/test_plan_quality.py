@@ -308,6 +308,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "orders_yoy_growth": "month_start#",           # |months| aggregate
     "events_max_concurrent_intervals": "hour_start#",  # |hours| aggregate
     "search_zipf_rank": "freq#",               # 100-row LIMIT input
+    "events_error_streaks": "day#",            # |days| daily aggregate
 }
 
 
