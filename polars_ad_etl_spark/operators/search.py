@@ -657,3 +657,61 @@ def text_term_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occurrences") >= 20)
         .orderBy("mean_position_permille", "term")
     )
+
+
+@register(
+    "text_term_burstiness",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    per_doc AS (
+        SELECT t.term, t.doc_id, COUNT(*) AS c
+        FROM tokens t GROUP BY 1, 2
+    ), n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    stats AS (
+        SELECT term,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS ss,
+               CAST(COUNT(*) AS BIGINT) AS docs_present
+        FROM per_doc GROUP BY term
+    )
+    SELECT term, s AS total_occurrences, docs_present,
+           CAST((1000 * (nd * ss - s * s)) // (nd * s) AS BIGINT)
+               AS fano_permille
+    FROM stats, n_docs
+    WHERE s >= 100
+    ORDER BY fano_permille DESC, term
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Fano factor over per-document counts, absent docs
+    counted as zero): variance-to-mean in exact integer permille —
+    1000 means Poisson-like scattering (function words), higher means the
+    term clusters in few documents (content/topic words), the signal
+    behind burstiness-weighted retrieval. The absent-document mass folds
+    in algebraically (zeros contribute nothing to Σc or Σc², only to N),
+    so no term×document grid materializes — one (term, doc) aggregate and
+    a broadcast corpus size."""
+    toks = _tokens(spark, sf_dir)
+    per_doc = toks.groupBy("term", "doc_id").agg(F.count("*").alias("c"))
+    nd = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.count("*").alias("nd"))
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.count("*").alias("docs_present"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .filter(F.col("s") >= 100)
+        .select(
+            "term",
+            F.col("s").alias("total_occurrences"),
+            "docs_present",
+            F.expr("(1000 * (nd * ss - s * s)) div (nd * s)").alias(
+                "fano_permille"
+            ),
+        )
+        .orderBy(F.desc("fano_permille"), "term")
+    )
