@@ -2354,3 +2354,72 @@ def events_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("longest_streak_start"),
         )
     )
+
+
+@register(
+    "events_changepoint_day",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), splits AS (
+        SELECT s.day AS split_day,
+               CAST(SUM(CASE WHEN d.day <= s.day THEN d.y ELSE 0 END)
+                    AS BIGINT) AS s0,
+               CAST(SUM(CASE WHEN d.day <= s.day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN d.day > s.day THEN d.y ELSE 0 END)
+                    AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN d.day > s.day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1
+        FROM daily s JOIN daily d ON TRUE
+        GROUP BY s.day
+    ), scored AS (
+        SELECT split_day, n0, n1,
+               abs(s0 * n1 - s1 * n0) AS score
+        FROM splits WHERE n1 > 0
+    )
+    SELECT split_day AS changepoint_day,
+           CAST(score AS BIGINT) AS score,
+           n0 AS days_before, n1 AS days_after
+    FROM scored
+    ORDER BY score DESC, split_day
+    LIMIT 1
+    """,
+)
+def events_changepoint_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection on daily volume: the split day
+    maximizing the cross-multiplied mean difference |S₀·n₁ − S₁·n₀|
+    between the before and after segments — the launch/incident locator,
+    entirely in exact integers (the score is the mean gap scaled by
+    n₀·n₁, so no division enters the argmax; ties to the earlier day).
+    The split enumeration is a |days|² pair expansion on the bounded
+    daily aggregate."""
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("y")
+    )
+    d = daily.select(F.col("day").alias("d2"), F.col("y").alias("y2"))
+    splits = (
+        daily.crossJoin(F.broadcast(d))
+        .groupBy(F.col("day").alias("split_day"))
+        .agg(
+            F.sum(F.when(F.col("d2") <= F.col("day"), F.col("y2")).otherwise(0)).alias("s0"),
+            F.sum(F.when(F.col("d2") <= F.col("day"), 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("d2") > F.col("day"), F.col("y2")).otherwise(0)).alias("s1"),
+            F.sum(F.when(F.col("d2") > F.col("day"), 1).otherwise(0)).alias("n1"),
+        )
+    )
+    return (
+        splits.filter(F.col("n1") > 0)
+        .select(
+            F.col("split_day").alias("changepoint_day"),
+            F.abs(
+                F.col("s0") * F.col("n1") - F.col("s1") * F.col("n0")
+            ).alias("score"),
+            F.col("n0").alias("days_before"),
+            F.col("n1").alias("days_after"),
+        )
+        .orderBy(F.desc("score"), "changepoint_day")
+        .limit(1)
+    )
