@@ -580,3 +580,91 @@ def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "pick_idx int, vec_id long, radius long"
     ).orderBy("pick_idx")
+
+
+@register(
+    "embedding_triplet_accuracy",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label, {_QUANT_DUCK} AS qv FROM embeddings
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+    anchors AS (
+        SELECT vec_id, label, qv,
+               LEAD(vec_id) OVER (PARTITION BY label ORDER BY vec_id)
+                   AS pos_id
+        FROM q
+    ), trip AS (
+        SELECT a.vec_id, a.label, a.qv,
+               p.qv AS pos_qv,
+               g.label AS neg_label, g.qv AS neg_qv
+        FROM anchors a
+        JOIN q p ON p.vec_id = a.pos_id
+        JOIN n ON TRUE
+        JOIN q g ON g.vec_id = (a.vec_id * 7 + 3) % n.n
+        WHERE g.label <> a.label
+    ), scored AS (
+        SELECT CASE WHEN
+            list_sum(list_transform(list_zip(qv, pos_qv),
+                x -> (x[1] - x[2]) * (x[1] - x[2])))
+            <
+            list_sum(list_transform(list_zip(qv, neg_qv),
+                x -> (x[1] - x[2]) * (x[1] - x[2])))
+            THEN 1 ELSE 0 END AS ok
+        FROM trip
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triplets,
+           CAST(SUM(ok) AS BIGINT) AS n_satisfied,
+           CAST((1000 * SUM(ok)) // COUNT(*) AS BIGINT)
+               AS accuracy_permille
+    FROM scored
+    """,
+)
+def embedding_triplet_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-learning sanity check: over deterministic triplets (anchor;
+    positive = next same-label vector by id; negative = the modular
+    derangement partner when its label differs), the share where the
+    anchor sits closer to its positive than its negative — exact
+    fixed-point distances, integer permille accuracy. Near 1000 means the
+    space respects the labels; near 500 means it's no better than chance.
+    One label-partitioned window + two id joins, negatives deterministic
+    with no RNG."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.select("vec_id", "label", F.expr(_QUANT).alias("qv"))
+    from pyspark.sql import Window as W
+
+    anchors = q.withColumn(
+        "pos_id",
+        F.lead("vec_id").over(W.partitionBy("label").orderBy("vec_id")),
+    )
+    n_row = q.agg(F.count("*").alias("n"))
+    p = q.select(
+        F.col("vec_id").alias("pid"), F.col("qv").alias("pos_qv")
+    )
+    g = q.select(
+        F.col("vec_id").alias("gid"),
+        F.col("label").alias("neg_label"),
+        F.col("qv").alias("neg_qv"),
+    )
+    trip = (
+        anchors.join(p, anchors.pos_id == F.col("pid"))
+        .crossJoin(F.broadcast(n_row))
+        .join(g, F.expr("gid = (vec_id * 7 + 3) % n"))
+        .filter(F.col("neg_label") != F.col("label"))
+    )
+    dist = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    scored = trip.select(
+        F.expr(
+            f"CASE WHEN {dist.format(a='qv', b='pos_qv')}"
+            f" < {dist.format(a='qv', b='neg_qv')} THEN 1 ELSE 0 END"
+        ).alias("ok")
+    )
+    return scored.agg(
+        F.count("*").alias("n_triplets"),
+        F.sum("ok").alias("n_satisfied"),
+        F.expr("(1000 * sum(ok)) div count(*)").alias(
+            "accuracy_permille"
+        ),
+    )
