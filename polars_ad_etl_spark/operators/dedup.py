@@ -1541,3 +1541,54 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_abs_err_permille"
         ),
     )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH pairs AS ({{LSH}}),
+    cand AS (
+        SELECT DISTINCT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+        FROM pairs WHERE doc_a <> doc_b
+    ),
+    labeled AS (
+        SELECT LEAST(da.source, db.source) AS source_x,
+               GREATEST(da.source, db.source) AS source_y
+        FROM cand
+        JOIN documents da ON da.doc_id = cand.a
+        JOIN documents db ON db.doc_id = cand.b
+    )
+    SELECT source_x, source_y, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM labeled GROUP BY 1, 2 ORDER BY 1, 2
+    """.replace("{LSH}", _lsh_pairs_oracle()),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Who copies whom: near-dup candidate pairs bucketed by unordered
+    source pair — the |sources|² matrix a curation review reads before
+    deciding which feed to demote (heavy off-diagonal mass = mirrored
+    content between feeds; diagonal = within-source boilerplate). Two
+    broadcast doc→source joins over the verified candidate set."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    cand = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("a"), F.col("source").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("b"), F.col("source").alias("sb"))
+    return (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .agg(F.count("*").alias("n_dup_pairs"))
+        .orderBy("source_x", "source_y")
+    )
