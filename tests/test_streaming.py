@@ -460,3 +460,60 @@ def test_cep_funnel_stream_matches_batch(spark):
     want = _sorted_rows(QUERIES["events_cep_funnel_instances"](spark, SF_DIR))
     assert got == want
     assert got, "no match instances emitted"
+
+
+def test_checkpoint_restart_recovers_exactly_once(spark, tmp_path):
+    """Stop a streaming aggregation mid-stream, add more data, restart from
+    the SAME checkpoint: the maintained view must equal the full batch
+    answer — no lost batches, no double counting (the delta-log sink is
+    idempotent under replay)."""
+    from pyspark.sql import functions as F
+
+    from polars_ad_etl_spark.sinks.incremental import (
+        read_incremental_agg,
+        stream_incremental_agg,
+    )
+    from polars_ad_etl_spark.sources.star import load_events
+
+    events = load_events(spark, SF_DIR).select("event_id", "user_id", "value")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+
+    src = tmp_path / "src"
+    store = tmp_path / "store"
+    ckpt = tmp_path / "ckpt"
+    first.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream_schema = "event_id long, user_id long, value double"
+
+    def start():
+        s = spark.readStream.schema(stream_schema).parquet(str(src))
+        return stream_incremental_agg(
+            s, store, ["user_id"], "value", ckpt
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    second.coalesce(1).write.mode("append").parquet(str(src))
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {
+        r.user_id: (r.cnt, round(r.sum_value, 6))
+        for r in read_incremental_agg(spark, store, ["user_id"]).collect()
+    }
+    want = {
+        r.user_id: (r.cnt, round(r.sum_value, 6))
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
