@@ -220,3 +220,50 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("relationship")
     )
+
+
+@register(
+    "dq_linenumber_density",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               COUNT(*) AS n_lines,
+               MAX(l_linenumber) AS max_ln,
+               MIN(l_linenumber) AS min_ln,
+               COUNT(DISTINCT l_linenumber) AS n_distinct
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE min_ln <> 1) AS BIGINT)
+               AS n_bad_start,
+           CAST(COUNT(*) FILTER (WHERE n_distinct <> n_lines) AS BIGINT)
+               AS n_duplicate_linenums,
+           CAST(COUNT(*) FILTER (WHERE max_ln <> n_lines) AS BIGINT)
+               AS n_gapped
+    FROM per_order
+    """,
+)
+def dq_linenumber_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-integrity audit for order line numbers: every order's
+    lines should number densely 1..n (start at 1, no duplicates, no
+    gaps — max equals count given the other two). The three violation
+    counters localize WHICH invariant broke, the signature that
+    distinguishes dropped lines from double-loads. One aggregation per
+    order key, then a 1-row census."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.max("l_linenumber").alias("max_ln"),
+        F.min("l_linenumber").alias("min_ln"),
+        F.count_distinct("l_linenumber").alias("n_distinct"),
+    )
+    return per_order.agg(
+        F.count("*").alias("n_orders"),
+        F.sum((F.col("min_ln") != 1).cast("long")).alias("n_bad_start"),
+        F.sum((F.col("n_distinct") != F.col("n_lines")).cast("long")).alias(
+            "n_duplicate_linenums"
+        ),
+        F.sum((F.col("max_ln") != F.col("n_lines")).cast("long")).alias(
+            "n_gapped"
+        ),
+    )
