@@ -2423,3 +2423,60 @@ def events_changepoint_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "changepoint_day")
         .limit(1)
     )
+
+
+@register(
+    "events_wow_by_type",
+    oracle="""
+    WITH weekly AS (
+        SELECT event_type,
+               CAST(date_trunc('week', ts) AS DATE) AS week_start,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.week_start, a.n,
+           b.n AS prev_n,
+           CAST(a.n - b.n AS BIGINT) AS delta,
+           CAST((1000 * (a.n - b.n)) // b.n AS BIGINT)
+               AS growth_permille
+    FROM weekly a
+    JOIN weekly b ON b.event_type = a.event_type
+                 AND b.week_start = a.week_start - 7
+    ORDER BY a.event_type, a.week_start
+    """,
+)
+def events_wow_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week movement per event type — the reporting staple
+    behind every "top movers" slide: each week's volume against the
+    previous week with exact integer delta and growth permille
+    (truncation toward zero identical in both engines, negative growth
+    included). Adjacent weeks pair by a self-join on the bounded weekly
+    aggregate, no window at all."""
+    e = load_events(spark, sf_dir)
+    weekly = e.groupBy(
+        "event_type",
+        F.date_trunc("week", "ts").cast("date").alias("week_start"),
+    ).agg(F.count("*").alias("n"))
+    prev = weekly.select(
+        F.col("event_type").alias("et2"),
+        F.date_add(F.col("week_start"), 7).alias("ws2"),
+        F.col("n").alias("prev_n"),
+    )
+    return (
+        weekly.join(
+            F.broadcast(prev),
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("ws2") == F.col("week_start")),
+        )
+        .select(
+            "event_type",
+            "week_start",
+            "n",
+            "prev_n",
+            (F.col("n") - F.col("prev_n")).alias("delta"),
+            F.expr("(1000 * (n - prev_n)) div prev_n").alias(
+                "growth_permille"
+            ),
+        )
+        .orderBy("event_type", "week_start")
+    )
