@@ -715,3 +715,77 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("fano_permille"), "term")
     )
+
+
+@register(
+    "corpus_health_scorecard",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars
+        FROM documents
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS vocab_size,
+               CAST(COUNT(*) AS BIGINT) AS total_tokens
+        FROM tokens
+    ),
+    uniq AS (
+        SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+        FROM documents
+    ),
+    langs AS (
+        SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents
+    )
+    SELECT b.n_docs, b.total_chars, b.mean_chars,
+           v.vocab_size, v.total_tokens,
+           u.n_unique_texts,
+           CAST((1000 * u.n_unique_texts) // b.n_docs AS BIGINT)
+               AS unique_permille,
+           l.n_langs
+    FROM base b, vocab v, uniq u, langs l
+    """,
+)
+def corpus_health_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row executive scorecard a corpus release attaches: volume
+    (docs, chars, mean length), vocabulary size and token count,
+    exact-duplicate uniqueness share, and language coverage — each number
+    the headline of a family verified in depth elsewhere in this registry
+    ([[dedup_exact_documents]], [[text_vocab_growth_by_source]],
+    [[corpus_datasheet]] is its per-source sibling). Four independent
+    1-row aggregates crossed together — every side broadcast."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(spark, sf_dir)
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("sum(n_chars) div count(*)").alias("mean_chars"),
+    )
+    vocab = toks.agg(
+        F.count_distinct("term").alias("vocab_size"),
+        F.count("*").alias("total_tokens"),
+    )
+    uniq = docs.agg(
+        F.count_distinct(F.md5("text")).alias("n_unique_texts")
+    )
+    langs = docs.agg(F.count_distinct("lang").alias("n_langs"))
+    return (
+        base.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(uniq))
+        .crossJoin(F.broadcast(langs))
+        .select(
+            "n_docs",
+            "total_chars",
+            "mean_chars",
+            "vocab_size",
+            "total_tokens",
+            "n_unique_texts",
+            F.expr("(1000 * n_unique_texts) div n_docs").alias(
+                "unique_permille"
+            ),
+            "n_langs",
+        )
+    )
