@@ -2480,3 +2480,59 @@ def events_wow_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "week_start")
     )
+
+
+@register(
+    "events_dormancy_winback",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               DATEDIFF('day',
+                        CAST(LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS DATE),
+                        CAST(ts AS DATE)) AS gap_days
+        FROM events
+    ), users AS (
+        SELECT user_id,
+               CAST(MAX(CASE WHEN gap_days >= 7 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS had_winback,
+               CAST(COALESCE(MAX(gap_days), 0) AS BIGINT) AS max_gap_days
+        FROM gaps GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(had_winback) AS BIGINT) AS n_winback_users,
+           CAST((1000 * SUM(had_winback)) // COUNT(*) AS BIGINT)
+               AS winback_permille,
+           CAST(MAX(max_gap_days) AS BIGINT) AS longest_dormancy_days
+    FROM users
+    """,
+)
+def events_dormancy_winback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winback census: users who went dormant (≥7 calendar days between
+    consecutive events) and then RETURNED — by construction every
+    qualifying gap has an event on both sides, so these are reactivations,
+    the audience a winback campaign studies. One user-partitioned lag plus
+    two aggregations; day gaps are tz-free date arithmetic."""
+    e = load_events(spark, sf_dir)
+    gaps = e.select(
+        "user_id",
+        F.expr(
+            "datediff(CAST(ts AS DATE),"
+            " CAST(lag(ts) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS DATE))"
+        ).alias("gap_days"),
+    )
+    users = gaps.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("gap_days") >= 7, 1).otherwise(0)
+        ).alias("had_winback"),
+        F.coalesce(F.max("gap_days"), F.lit(0)).alias("max_gap_days"),
+    )
+    return users.agg(
+        F.count("*").alias("n_users"),
+        F.sum("had_winback").alias("n_winback_users"),
+        F.expr("(1000 * sum(had_winback)) div count(*)").alias(
+            "winback_permille"
+        ),
+        F.max("max_gap_days").alias("longest_dormancy_days"),
+    )

@@ -1009,3 +1009,55 @@ def lineitem_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "orders_quarter_end_loading",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(date_trunc('quarter', o_orderdate)
+                    + INTERVAL 3 MONTH AS DATE) AS next_qtr
+        FROM orders
+    )
+    SELECT qtr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (
+               WHERE day >= next_qtr - 7) AS BIGINT) AS n_final_week,
+           CAST((1000 * COUNT(*) FILTER (WHERE day >= next_qtr - 7))
+                // COUNT(*) AS BIGINT) AS final_week_permille
+    FROM q GROUP BY qtr ORDER BY qtr
+    """,
+)
+def orders_quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-end loading ("hockey stick") detector: the share of each
+    quarter's orders landing in its final seven days — sustained values
+    far above the uniform ~77‰ flag quota-driven pull-ins that distort
+    demand signals. Pure tz-free date arithmetic (quarter start + 3
+    months − 7 days), one aggregation, exact permille."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    q = orders.select(
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("qtr"),
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.add_months(
+            F.date_trunc("quarter", "o_orderdate").cast("date"), 3
+        ).alias("next_qtr"),
+    )
+    in_final = F.col("day") >= F.date_sub(F.col("next_qtr"), 7)
+    return (
+        q.groupBy("qtr")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(in_final.cast("long")).alias("n_final_week"),
+        )
+        .select(
+            "qtr",
+            "n_orders",
+            "n_final_week",
+            F.expr("(1000 * n_final_week) div n_orders").alias(
+                "final_week_permille"
+            ),
+        )
+        .orderBy("qtr")
+    )

@@ -605,3 +605,23 @@ def test_decode_media_real_png_and_gif():
     gif = mc.encode_gif(4, 3, [[(60, 60, 60)] * 12] * 2)
     feats = decode_media(gif, "video", fake=False)
     assert all(abs(f - 60 / 255.0) < 1e-9 for f in feats)
+
+
+def test_bmp_png_codec_cross_parity():
+    """The BMP and PNG codecs must agree pixel-for-pixel on the same
+    image: encode identical truecolor pixels through both containers,
+    decode both, compare — cross-validating two independent codec
+    implementations against each other."""
+    from polars_ad_etl_spark.operators import media_codecs as mc
+
+    w, h = 7, 5
+    pixels = [
+        ((x * 37 + y * 91) % 256, (x * 13 + y * 7) % 256, (x * 3 + y * 101) % 256)
+        for y in range(h)
+        for x in range(w)
+    ]
+    bmp_meta, bmp_px = mc.decode_bmp(mc.encode_bmp(w, h, pixels))
+    png_meta, png_px = mc.decode_png(mc.encode_png(w, h, pixels))
+    assert (bmp_meta.width, bmp_meta.height) == (w, h)
+    assert (png_meta.width, png_meta.height) == (w, h)
+    assert bmp_px == png_px == pixels
