@@ -179,15 +179,53 @@ register("dedup_minhash_signatures", oracle=MINHASH_SIG_SQL)(minhash_signatures)
        AND a.doc_id < b.doc_id
     """,
 )
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """Banded LSH: docs agreeing on all rows of any band become candidate
     pairs. One groupBy on the (band, h0..h3) bucket key collects each bucket's
     doc ids, and pairs are expanded *inside* the bucket with higher-order
     array functions — the signature subplan executes once (a self-join would
     run it twice) and the only shuffles are the bucket groupBy and the final
     cross-band DISTINCT. Hot buckets (a bucket of b docs emits b*(b-1)/2
-    pairs) are the LSH-parameter regression signal the shingle choice keeps
-    small; at 100 TB add a bucket-size cap upstream of the expansion."""
+    pairs) are the quadratic risk at 100 TB: ``bucket_cap`` drops any bucket
+    with more than that many docs *before* the pair expansion, so the worst
+    bucket costs O(cap^2) instead of O(b^2). Dropped buckets are never
+    silent — ``lsh_bucket_overflow`` reports each one with its forgone pair
+    count from the same bucket subplan. Default ``None`` expands everything
+    (the oracle-exact registry behavior)."""
+    buckets = _lsh_buckets(spark, sf_dir)
+    if bucket_cap is not None:
+        buckets = buckets.filter(F.size("ids") <= int(bucket_cap))
+    return _expand_bucket_pairs(buckets)
+
+
+def lsh_bucket_overflow(
+    spark: SparkSession, sf_dir: str, bucket_cap: int
+) -> DataFrame:
+    """Side-channel for the capped LSH path: one row per dropped hot bucket
+    with its size and the number of candidate pairs (b*(b-1)/2) it would have
+    emitted. Tiny by construction (only buckets above the cap survive the
+    filter), so it is safe to collect/report at any scale."""
+    return (
+        _lsh_buckets(spark, sf_dir)
+        .withColumn("bucket_size", F.size("ids"))
+        .filter(F.col("bucket_size") > int(bucket_cap))
+        .select(
+            "band",
+            *[f"h{r}" for r in range(ROWS_PER_BAND)],
+            "bucket_size",
+            (
+                F.col("bucket_size").cast("long")
+                * (F.col("bucket_size") - 1).cast("long")
+                / F.lit(2)
+            ).cast("long").alias("dropped_pairs"),
+        )
+    )
+
+
+def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(band, h0..h3) -> sorted doc_id list for buckets holding >1 doc."""
     sigs = minhash_signatures(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
@@ -206,11 +244,15 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.*")
-    buckets = (
+    return (
         bands.groupBy("band", *[f"h{r}" for r in range(ROWS_PER_BAND)])
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+
+
+def _expand_bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """Intra-bucket pair expansion + cross-band DISTINCT."""
     return (
         buckets.select(
             F.explode(
@@ -334,6 +376,80 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
         .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.1)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_on_candidates",
+    oracle=f"""
+    WITH sigs AS ({MINHASH_SIG_SQL}),
+    pairs0 AS ({{LSH}}),
+    cand AS (SELECT DISTINCT doc_a, doc_b FROM pairs0),
+    tokarr AS (
+        SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    shingle AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM tokarr
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN shingle sa ON sa.doc_id = c.doc_a
+        JOIN shingle sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN cnt ca ON i.doc_a = ca.doc_id
+    JOIN cnt cb ON i.doc_b = cb.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= 0.1
+    """.replace("{LSH}", ORACLES["dedup_minhash_lsh_pairs"]),
+)
+def dedup_ngram_jaccard_on_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe exact-Jaccard verifier: exact word-3-gram Jaccard computed
+    ONLY on the MinHash-LSH candidate pairs, with the intersection taken via
+    ``array_intersect`` over per-document shingle-set arrays — there is NO
+    shingle-shingle join anywhere in the plan. Cost is O(candidates x
+    doc-shingles), i.e. linear in the LSH output, versus the raw verifier's
+    O(sum-over-shingles fan-out^2) self-join (``dedup_ngram_jaccard_pairs``,
+    kept as the small-scale ground-truth). This is the shape to run at
+    100 TB: candidates from banded LSH (optionally ``bucket_cap``-ped), then
+    two doc_id equi-joins to pull each side's shingle array."""
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shsets = (
+        d.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("shs"))
+        .filter(F.size("shs") > 0)
+    )
+    sa = shsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("sa"),
+        F.size("shs").alias("na"),
+    )
+    sb = shsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("sb"),
+        F.size("shs").alias("nb"),
+    )
+    n_common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_common.alias("n_common"), "na", "nb")
+        .filter(F.col("n_common") >= 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= 0.1)
     )
 

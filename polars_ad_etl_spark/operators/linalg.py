@@ -557,6 +557,22 @@ def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the same selection.""".replace("{K}", str(CORESET_K))
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.select("vec_id", F.expr(_QUANT).alias("qv"))
+    picks, _ = kcenter_greedy(q, CORESET_K)
+    return spark.createDataFrame(
+        picks, "pick_idx int, vec_id long, radius long"
+    ).orderBy("pick_idx")
+
+
+def kcenter_greedy(
+    q: DataFrame, k: int, checkpoint_every: int | None = 8
+) -> tuple[list[tuple[int, int, int]], DataFrame]:
+    """Greedy k-center over a (vec_id, qv:array<bigint>) frame. Each round
+    chains one ``withColumn`` (running min-distance) onto the frame, so the
+    logical plan grows linearly in k; ``checkpoint_every`` truncates the
+    lineage with an eager ``localCheckpoint`` every R rounds (the
+    connected-components pattern, dedup.py) — without it, large k makes
+    analysis/optimization time itself the bottleneck long before the data
+    does. Returns (picks, final frame with the converged min-distances)."""
 
     def dist_to(qv_literal: list) -> F.Column:
         c = F.array(*[F.lit(int(x)) for x in qv_literal])
@@ -569,17 +585,13 @@ def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = q.orderBy("vec_id").limit(1).collect()[0]
     picks = [(0, seed.vec_id, 0)]
     cur = q.withColumn("mind", dist_to(seed.qv))
-    for k in range(1, CORESET_K):
-        far = (
-            cur.orderBy(F.desc("mind"), "vec_id").limit(1).collect()[0]
-        )
-        picks.append((k, far.vec_id, far.mind))
-        cur = cur.withColumn(
-            "mind", F.least(F.col("mind"), dist_to(far.qv))
-        )
-    return spark.createDataFrame(
-        picks, "pick_idx int, vec_id long, radius long"
-    ).orderBy("pick_idx")
+    for i in range(1, k):
+        far = cur.orderBy(F.desc("mind"), "vec_id").limit(1).collect()[0]
+        picks.append((i, far.vec_id, far.mind))
+        cur = cur.withColumn("mind", F.least(F.col("mind"), dist_to(far.qv)))
+        if checkpoint_every and i % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return picks, cur
 
 
 @register(

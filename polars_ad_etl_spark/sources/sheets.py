@@ -51,14 +51,27 @@ def dataframe_to_values(df: DataFrame) -> list[list[Any]]:
     return [header] + rows
 
 
+# Reference default OAuth scopes (``google_cloud_client.py:24-27``).
+DEFAULT_SCOPES = (
+    "https://www.googleapis.com/auth/spreadsheets",
+    "https://www.googleapis.com/auth/drive",
+)
+
+
 class GoogleSheetService:
     """Same public surface as the reference connector: ``get_dataframe``,
     ``clear_range``, ``upload_dataframe`` (``google_cloud_client.py:44-197``)."""
 
-    def __init__(self, spark: SparkSession, credentials_path: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        credentials_path: str | None = None,
+        scopes: list[str] | None = None,
+    ):
         self.spark = spark
         self._client = None
         self._credentials_path = credentials_path
+        self.scopes = list(scopes) if scopes is not None else list(DEFAULT_SCOPES)
 
     def _authorize(self):
         if self._client is None:
@@ -69,7 +82,9 @@ class GoogleSheetService:
                     "Google Sheets connector requires gspread + google-auth "
                     "and network access"
                 ) from exc
-            self._client = gspread.service_account(filename=self._credentials_path)
+            self._client = gspread.service_account(
+                filename=self._credentials_path, scopes=self.scopes
+            )
         return self._client
 
     def get_dataframe(self, sheet_key: str, sheet_name: str, a1_range: str) -> DataFrame:
@@ -105,3 +120,25 @@ class GoogleSheetService:
         a1 = shape_to_a1(len(values) - 1, len(values[0]), "full_range")
         ws.update(values, a1)
         return a1
+
+
+class GoogleCloudClient:
+    """API-parity wrapper matching the reference's ``GoogleCloudClient``
+    (``src/google_cloud_client/google_cloud_client.py:10-37``): accepts a
+    service-account JSON path plus an optional OAuth ``scopes`` list
+    (defaulting to the reference's spreadsheets+drive pair) and exposes the
+    authorized Sheets surface as ``.googlesheet``. Authorization stays lazy
+    and credential-gated — constructing the client needs neither gspread nor
+    network, so the wrapper is usable (and testable) in air-gapped runs."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        service_account_json: str | None = None,
+        scopes: list[str] | None = None,
+    ):
+        self.service_account_json = service_account_json
+        self.scopes = list(scopes) if scopes is not None else list(DEFAULT_SCOPES)
+        self.googlesheet = GoogleSheetService(
+            spark, credentials_path=service_account_json, scopes=self.scopes
+        )

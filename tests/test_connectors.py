@@ -510,3 +510,31 @@ def test_jsonl_tail_replay_is_deterministic(spark, tmp_path):
     assert off == {"row": 4}
     replay = list(r.readBetweenOffsets({"row": 0}, {"row": 4}))
     assert list(first) == replay == [(i, str(i)) for i in range(4)]
+
+
+def test_google_cloud_client_scope_passthrough(spark):
+    """Reference-parity wrapper: custom OAuth scopes flow through to the
+    delegated GoogleSheetService; default is the reference's
+    spreadsheets+drive pair; network methods stay credential-gated."""
+    from polars_ad_etl_spark.sources.sheets import (
+        DEFAULT_SCOPES,
+        GoogleCloudClient,
+    )
+
+    default = GoogleCloudClient(spark, "creds.json")
+    assert default.scopes == list(DEFAULT_SCOPES)
+    assert default.googlesheet.scopes == list(DEFAULT_SCOPES)
+
+    custom = ["https://www.googleapis.com/auth/spreadsheets.readonly"]
+    client = GoogleCloudClient(spark, "creds.json", scopes=custom)
+    assert client.scopes == custom
+    assert client.googlesheet.scopes == custom
+    assert client.service_account_json == "creds.json"
+    # reference method surface present on the delegated service
+    for meth in ("get_dataframe", "clear_range", "upload_dataframe"):
+        assert callable(getattr(client.googlesheet, meth))
+    # still gated: no gspread in this container
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        client.googlesheet._authorize()

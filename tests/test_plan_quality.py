@@ -575,3 +575,22 @@ def test_skyline_threshold_join_broadcasts(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_jaccard_candidates_no_shingle_join(spark):
+    """The candidate-restricted exact-Jaccard verifier must compute the
+    intersection via array_intersect over per-doc shingle arrays — its plan
+    may join only on doc ids / LSH bucket keys, NEVER shingle = shingle
+    (the raw verifier's quadratic fan-out shape)."""
+    import re
+
+    plan = formatted_plan(
+        QUERIES["dedup_ngram_jaccard_on_candidates"](spark, SF_DIR)
+    )
+    assert "array_intersect" in plan
+    shingle_key = re.compile(r"keys \[\d+\]: \[sh#")  # SMJ/BHJ join key on sh
+    assert not shingle_key.search(plan), "shingle join keys in candidate path"
+    # positive control: the raw small-scale verifier DOES join on shingles,
+    # so the pattern above has teeth
+    raw = formatted_plan(QUERIES["dedup_ngram_jaccard_pairs"](spark, SF_DIR))
+    assert shingle_key.search(raw)

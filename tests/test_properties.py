@@ -792,3 +792,77 @@ def test_cdc_chunks_reassemble_to_original(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_lsh_bucket_cap(spark, tmp_path):
+    """A planted hot bucket (20 identical docs -> every band collides) must
+    be dropped by ``bucket_cap`` BEFORE pair expansion, while small buckets
+    still emit their pairs — and the dropped pairs must be accounted for in
+    the ``lsh_bucket_overflow`` side-channel, never silently lost."""
+    from polars_ad_etl_spark.operators.dedup import (
+        BANDS,
+        dedup_minhash_lsh_pairs,
+        lsh_bucket_overflow,
+    )
+
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    small = "completely different pair of twin documents right here okay"
+    rows = (
+        [(i, hot, "en", "synthetic", len(hot)) for i in range(1, 21)]
+        + [(i, small, "en", "synthetic", len(small)) for i in (100, 101)]
+        + [(200, "one singleton document with no duplicate partner at all",
+            "en", "synthetic", 55)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh_pairs(spark, sf).collect()
+    }
+    hot_pairs = {(a, b) for a in range(1, 21) for b in range(a + 1, 21)}
+    assert hot_pairs <= uncapped  # 190 hot pairs present uncapped
+    assert (100, 101) in uncapped
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh_pairs(spark, sf, bucket_cap=10).collect()
+    }
+    assert capped & hot_pairs == set()  # hot bucket fully suppressed
+    assert (100, 101) in capped  # small buckets untouched
+
+    over = lsh_bucket_overflow(spark, sf, bucket_cap=10).collect()
+    # identical docs collide in every band: BANDS buckets of size 20
+    assert len(over) == BANDS
+    assert all(r.bucket_size == 20 and r.dropped_pairs == 190 for r in over)
+    assert sum(r.dropped_pairs for r in over) == BANDS * len(hot_pairs)
+
+
+def test_kcenter_lineage_stays_flat_at_k25(spark):
+    """kcenter_greedy chains one withColumn per round; the periodic
+    localCheckpoint must keep the optimized-plan size bounded at K=25
+    (vs linear growth without it), and must not change the selection."""
+    from pyspark.sql import functions as F
+
+    from polars_ad_etl_spark.operators.linalg import _QUANT, kcenter_greedy
+
+    q = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.expr(_QUANT).alias("qv"))
+        .limit(200)
+        .localCheckpoint(eager=True)
+    )
+
+    def plan_size(df):
+        return len(df._jdf.queryExecution().optimizedPlan().toString())
+
+    picks_ck, cur_ck = kcenter_greedy(q, 25, checkpoint_every=8)
+    picks_raw, cur_raw = kcenter_greedy(q, 25, checkpoint_every=None)
+    assert picks_ck == picks_raw  # checkpointing is invisible to results
+    assert [p[0] for p in picks_ck] == list(range(25))
+    radii = [p[2] for p in picks_ck[1:]]
+    assert radii == sorted(radii, reverse=True)  # greedy max-min monotone
+    # lineage hygiene: checkpointed plan is a small constant; raw plan grew
+    assert plan_size(cur_ck) < plan_size(cur_raw) / 3
