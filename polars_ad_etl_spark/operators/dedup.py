@@ -206,7 +206,14 @@ def lsh_bucket_overflow(
     """Side-channel for the capped LSH path: one row per dropped hot bucket
     with its size and the number of candidate pairs (b*(b-1)/2) it would have
     emitted. Tiny by construction (only buckets above the cap survive the
-    filter), so it is safe to collect/report at any scale."""
+    filter), so it is safe to collect/report at any scale.
+
+    ``dropped_pairs`` is computed with pure integer arithmetic (``DIV 2`` on
+    the even product b*(b-1)), exact for any bucket size a long can hold.
+    Note the cross-band SUM of ``dropped_pairs`` is an *upper bound* on
+    distinct pairs lost: the same doc pair can collide in several bands (and
+    a pair dropped in one band may still surface via another, uncapped
+    band), so per-band counts over-count at the pair level."""
     return (
         _lsh_buckets(spark, sf_dir)
         .withColumn("bucket_size", F.size("ids"))
@@ -215,11 +222,9 @@ def lsh_bucket_overflow(
             "band",
             *[f"h{r}" for r in range(ROWS_PER_BAND)],
             "bucket_size",
-            (
-                F.col("bucket_size").cast("long")
-                * (F.col("bucket_size") - 1).cast("long")
-                / F.lit(2)
-            ).cast("long").alias("dropped_pairs"),
+            F.expr(
+                "CAST(bucket_size AS BIGINT) * (bucket_size - 1) DIV 2"
+            ).alias("dropped_pairs"),
         )
     )
 
@@ -383,8 +388,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard_on_candidates",
     oracle=f"""
-    WITH sigs AS ({MINHASH_SIG_SQL}),
-    pairs0 AS ({{LSH}}),
+    WITH pairs0 AS ({{LSH}}),
     cand AS (SELECT DISTINCT doc_a, doc_b FROM pairs0),
     tokarr AS (
         SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
@@ -408,7 +412,9 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= 0.1
     """.replace("{LSH}", ORACLES["dedup_minhash_lsh_pairs"]),
 )
-def dedup_ngram_jaccard_on_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard_on_candidates(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """Scale-safe exact-Jaccard verifier: exact word-3-gram Jaccard computed
     ONLY on the MinHash-LSH candidate pairs, with the intersection taken via
     ``array_intersect`` over per-document shingle-set arrays — there is NO
@@ -416,9 +422,11 @@ def dedup_ngram_jaccard_on_candidates(spark: SparkSession, sf_dir: str) -> DataF
     doc-shingles), i.e. linear in the LSH output, versus the raw verifier's
     O(sum-over-shingles fan-out^2) self-join (``dedup_ngram_jaccard_pairs``,
     kept as the small-scale ground-truth). This is the shape to run at
-    100 TB: candidates from banded LSH (optionally ``bucket_cap``-ped), then
-    two doc_id equi-joins to pull each side's shingle array."""
-    cand = dedup_minhash_lsh_pairs(spark, sf_dir)
+    100 TB: candidates from banded LSH (optionally ``bucket_cap``-ped —
+    the cap is forwarded to :func:`dedup_minhash_lsh_pairs`; the default
+    ``None`` stays oracle-exact), then two doc_id equi-joins to pull each
+    side's shingle array."""
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir, bucket_cap=bucket_cap)
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     shsets = (
         d.select("doc_id", tokens(F.col("text")).alias("toks"))
@@ -1148,17 +1156,30 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(COUNT(*) AS BIGINT) AS n_clustered_docs FROM comp)
     SELECT n_docs, n_exact_dup_docs, n_lsh_pairs, n_clusters,
            n_clustered_docs,
-           n_docs - n_clustered_docs + n_clusters AS n_keep
+           n_docs - n_clustered_docs + n_clusters AS n_keep,
+           CAST(0 AS BIGINT) AS n_dropped_buckets,
+           CAST(0 AS BIGINT) AS dropped_pairs_upper_bound
     FROM docs, p, c
     """,
 )
-def dedup_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_summary_report(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """The one-row report a dedup run ships: corpus size, exact-dup count,
     LSH candidate-pair count, near-dup cluster count/membership, and the
     resulting keep-list size (n_docs - members + one exemplar per
     cluster, computed arithmetically so the keep pipeline isn't re-run).
     Every input number is produced by the already-verified primitives;
-    the single-row output is a cross join of broadcast scalar aggregates."""
+    the single-row output is a cross join of broadcast scalar aggregates.
+
+    When ``bucket_cap`` is set, the LSH pair count comes from the capped
+    path and the report additionally carries the hot-bucket suppression
+    side-channel (:func:`lsh_bucket_overflow`) at the report level —
+    ``n_dropped_buckets`` and ``dropped_pairs_upper_bound`` (cross-band
+    upper bound on distinct pairs lost) — so a capped production run is
+    never silent about what it skipped. Default ``None`` (the
+    oracle-checked registry behavior) drops nothing and both columns
+    are 0."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs = d.agg(
         F.count("*").alias("n_docs"),
@@ -1166,16 +1187,29 @@ def dedup_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*") - F.countDistinct(F.md5(F.lower(F.trim("text"))))
         ).alias("n_exact_dup_docs"),
     )
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).agg(
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir, bucket_cap=bucket_cap).agg(
         F.count("*").alias("n_lsh_pairs")
     )
     comp = dedup_connected_components(spark, sf_dir).agg(
         F.countDistinct("component_id").alias("n_clusters"),
         F.count("*").alias("n_clustered_docs"),
     )
+    if bucket_cap is None:
+        overflow = spark.range(1).select(
+            F.lit(0).cast("long").alias("n_dropped_buckets"),
+            F.lit(0).cast("long").alias("dropped_pairs_upper_bound"),
+        )
+    else:
+        overflow = lsh_bucket_overflow(spark, sf_dir, bucket_cap).agg(
+            F.count("*").alias("n_dropped_buckets"),
+            F.coalesce(F.sum("dropped_pairs"), F.lit(0)).alias(
+                "dropped_pairs_upper_bound"
+            ),
+        )
     return (
         docs.crossJoin(F.broadcast(pairs))
         .crossJoin(F.broadcast(comp))
+        .crossJoin(F.broadcast(overflow))
         .select(
             "n_docs",
             "n_exact_dup_docs",
@@ -1187,6 +1221,8 @@ def dedup_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("n_clustered_docs")
                 + F.col("n_clusters")
             ).alias("n_keep"),
+            "n_dropped_buckets",
+            "dropped_pairs_upper_bound",
         )
     )
 

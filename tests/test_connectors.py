@@ -512,7 +512,7 @@ def test_jsonl_tail_replay_is_deterministic(spark, tmp_path):
     assert list(first) == replay == [(i, str(i)) for i in range(4)]
 
 
-def test_google_cloud_client_scope_passthrough(spark):
+def test_google_cloud_client_scope_passthrough(spark, monkeypatch):
     """Reference-parity wrapper: custom OAuth scopes flow through to the
     delegated GoogleSheetService; default is the reference's
     spreadsheets+drive pair; network methods stay credential-gated."""
@@ -533,8 +533,19 @@ def test_google_cloud_client_scope_passthrough(spark):
     # reference method surface present on the delegated service
     for meth in ("get_dataframe", "clear_range", "upload_dataframe"):
         assert callable(getattr(client.googlesheet, meth))
-    # still gated: no gspread in this container
+    # Network methods stay credential-gated. Force the ImportError path so
+    # the assertion holds even in an environment where gspread IS installed
+    # (otherwise _authorize would try to read creds.json).
+    import builtins
     import pytest as _pytest
 
+    real_import = builtins.__import__
+
+    def _no_gspread(name, *args, **kwargs):
+        if name == "gspread":
+            raise ImportError("gspread blocked for test")
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "__import__", _no_gspread)
     with _pytest.raises(NotImplementedError):
         client.googlesheet._authorize()

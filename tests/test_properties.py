@@ -840,6 +840,41 @@ def test_lsh_bucket_cap(spark, tmp_path):
     assert sum(r.dropped_pairs for r in over) == BANDS * len(hot_pairs)
 
 
+def test_summary_report_surfaces_bucket_overflow(spark, tmp_path):
+    """``dedup_summary_report(bucket_cap=...)`` must surface the hot-bucket
+    suppression at the report level: dropped-bucket count and the cross-band
+    dropped-pairs upper bound, with the pair count coming from the capped
+    path. Uncapped, both overflow columns are exactly 0 (the oracle-checked
+    registry shape)."""
+    from polars_ad_etl_spark.operators.dedup import BANDS, dedup_summary_report
+
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    small = "completely different pair of twin documents right here okay"
+    rows = (
+        [(i, hot, "en", "synthetic", len(hot)) for i in range(1, 21)]
+        + [(i, small, "en", "synthetic", len(small)) for i in (100, 101)]
+        + [(200, "one singleton document with no duplicate partner at all",
+            "en", "synthetic", 55)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    plain = dedup_summary_report(spark, sf).collect()[0]
+    assert plain.n_dropped_buckets == 0
+    assert plain.dropped_pairs_upper_bound == 0
+
+    capped = dedup_summary_report(spark, sf, bucket_cap=10).collect()[0]
+    assert capped.n_dropped_buckets == BANDS  # identical docs: every band hot
+    assert capped.dropped_pairs_upper_bound == BANDS * 190
+    # the pair count itself reflects the capped path: hot pairs gone,
+    # small-bucket pair still present
+    assert capped.n_lsh_pairs < plain.n_lsh_pairs
+    assert capped.n_lsh_pairs >= 1
+
+
 def test_kcenter_lineage_stays_flat_at_k25(spark):
     """kcenter_greedy chains one withColumn per round; the periodic
     localCheckpoint must keep the optimized-plan size bounded at K=25
