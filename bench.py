@@ -21,6 +21,70 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from polars_ad_etl_spark.operators import QUERIES  # noqa: E402
 from polars_ad_etl_spark.session import get_spark  # noqa: E402
 
+
+class _StageMetrics:
+    """Per-query executor metrics via Spark's public monitoring REST API.
+
+    Between ``snapshot()`` and ``delta()`` every *newly completed* stage
+    (stage id above the snapshot's max) is attributed to the current query,
+    and its shuffle read/write, input, spill, and peak execution memory are
+    summed. Fail-soft: any REST hiccup turns metrics off for the run rather
+    than failing the bench (the wall-clock contract is unaffected)."""
+
+    def __init__(self, spark) -> None:
+        self.ok = True
+        self._url = None
+        try:
+            ui = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            if ui:
+                self._url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
+        except Exception:
+            pass
+        if not self._url:
+            self.ok = False
+        self._max_seen = -1
+
+    def _stages(self):
+        import urllib.request
+
+        with urllib.request.urlopen(self._url, timeout=10) as r:
+            return json.loads(r.read())
+
+    def snapshot(self) -> None:
+        if not self.ok:
+            return
+        try:
+            ids = [s["stageId"] for s in self._stages()]
+            self._max_seen = max(ids) if ids else self._max_seen
+        except Exception:
+            self.ok = False
+
+    def delta(self) -> dict | None:
+        if not self.ok:
+            return None
+        try:
+            new = [s for s in self._stages() if s["stageId"] > self._max_seen]
+            out = {
+                "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in new),
+                "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in new),
+                "input_bytes": sum(s.get("inputBytes", 0) for s in new),
+                "spill_bytes": sum(
+                    s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0)
+                    for s in new
+                ),
+                "peak_execution_memory": max(
+                    (s.get("peakExecutionMemory", 0) for s in new), default=0
+                ),
+                "n_stages": len(new),
+            }
+            if new:
+                self._max_seen = max(s["stageId"] for s in new)
+            return out
+        except Exception:
+            self.ok = False
+            return None
+
 # Headline set: one per operator family (agg, joins, window, topk, setop,
 # dedup, similarity, text) — the queries a user would actually run repeatedly.
 HEADLINE = [
@@ -67,7 +131,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warmup_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
-    spark = get_spark("polars-ad-etl-spark-bench")
+    # UI on so the public monitoring REST API can attribute per-stage shuffle
+    # bytes to queries; port 0 avoids clashing with any other local app.
+    spark = get_spark(
+        "polars-ad-etl-spark-bench",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "0"},
+    )
 
     # Warm up the JVM/session so the first measured query doesn't pay init.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -91,28 +160,43 @@ def main() -> None:
     # and OS scheduling noise, not engine work; min-of-N is the standard
     # way to report the throughput the engine actually sustains.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    metrics_src = _StageMetrics(spark)
     times: dict[str, float] = {}
+    metrics: dict[str, dict] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
+        metrics_src.snapshot()
         for _ in range(max(runs, 1)):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        m = metrics_src.delta()  # totals across the N timed runs
+        if m is not None:
+            m = {k: (v // max(runs, 1) if k != "peak_execution_memory" else v)
+                 for k, v in m.items()}
+            metrics[name] = m
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    if metrics:
+        # per-run averages (shuffle/input/spill are deterministic per run;
+        # peak_execution_memory is the max across runs, n_stages the total)
+        out["query_metrics"] = metrics
+        out["shuffle_read_bytes_total"] = sum(
+            m["shuffle_read_bytes"] for m in metrics.values()
         )
-    )
+        out["shuffle_write_bytes_total"] = sum(
+            m["shuffle_write_bytes"] for m in metrics.values()
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
