@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Structured Streaming throughput/latency/state bench.
+
+Drives four streaming pipelines (tumbling rollup, session windows,
+stateful dedup, stream-stream interval join) over the events table split
+into K parquet files, `maxFilesPerTrigger` per micro-batch, with
+`Trigger.AvailableNow` so the run terminates when caught up. Per
+micro-batch numbers come from the engine's own `StreamingQueryProgress`
+(`durationMs.triggerExecution`, `processedRowsPerSecond`,
+`stateOperators[].numRowsTotal/memoryUsedBytes`) — the same metrics a
+production monitor would scrape — and roll up into
+`{rows_per_sec, p50/p95 batch ms, max_state_rows, max_state_bytes}`.
+
+The state numbers are the scale evidence: a watermarked pipeline's state
+must plateau (bounded by watermark horizon × key cardinality), not grow
+with input size — `state_growth_ratio` compares the last batch's state
+rows to the mid-run maximum to show the plateau.
+
+Usage: python scripts/streaming_bench.py OUT.json [SF_DIR] [N_FILES] [FILES_PER_TRIGGER]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from polars_ad_etl_spark.session import get_spark  # noqa: E402
+from polars_ad_etl_spark.sources.star import load_events  # noqa: E402
+from polars_ad_etl_spark.streaming.events import (  # noqa: E402
+    attribute_purchases_stream,
+    dedup_events_stream,
+    hourly_rollup_stream,
+    read_events_stream,
+    sessionize_stream,
+)
+
+PIPELINES = {
+    "hourly_rollup": hourly_rollup_stream,
+    "session_windows": sessionize_stream,
+    "stateful_dedup": dedup_events_stream,
+    "purchase_click_join": attribute_purchases_stream,
+}
+
+
+def prepare_source(spark, sf_dir: str, n_files: int) -> str:
+    """Split the events table into n_files parquet files ordered by ts so
+    micro-batches arrive in rough event-time order (how a log would)."""
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    (
+        load_events(spark, sf_dir)
+        .repartitionByRange(n_files, "ts")
+        .write.mode("overwrite")
+        .parquet(f"{work}/events.parquet")
+    )
+    return work
+
+
+def run_pipeline(spark, src_dir: str, name: str, files_per_trigger: int) -> dict:
+    events = read_events_stream(spark, src_dir, max_files_per_trigger=files_per_trigger)
+    df = PIPELINES[name](events)
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    t0 = time.perf_counter()
+    q = (
+        df.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    batches = []
+    for p in q.recentProgress:
+        if p["numInputRows"] == 0:
+            continue
+        state = p.get("stateOperators") or []
+        batches.append(
+            {
+                "rows": p["numInputRows"],
+                "ms": p["durationMs"].get("triggerExecution", 0),
+                "state_rows": sum(s.get("numRowsTotal", 0) for s in state),
+                "state_bytes": sum(s.get("memoryUsedBytes", 0) for s in state),
+            }
+        )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    total_rows = sum(b["rows"] for b in batches)
+    ms = sorted(b["ms"] for b in batches) or [0]
+    max_state = max((b["state_rows"] for b in batches), default=0)
+    return {
+        "wall_sec": round(wall, 2),
+        "total_rows": total_rows,
+        "n_batches": len(batches),
+        "rows_per_sec": round(total_rows / wall, 1) if wall else None,
+        "batch_ms_p50": statistics.median(ms),
+        "batch_ms_p95": ms[max(0, int(len(ms) * 0.95) - 1)],
+        "max_state_rows": max_state,
+        "max_state_bytes": max((b["state_bytes"] for b in batches), default=0),
+        "final_state_rows": batches[-1]["state_rows"] if batches else 0,
+        "state_growth_ratio": round(
+            batches[-1]["state_rows"] / max_state, 3
+        ) if max_state else None,
+        "batches": batches,
+    }
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_r5_streaming.json"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    n_files = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    fpt = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    spark = get_spark("streaming-bench")
+    src = prepare_source(spark, sf_dir, n_files)
+    # JIT warmup on a tiny slice: one throwaway run per pipeline shape
+    warm = prepare_source(spark, "/root/testdata/sf0.001", 2)
+    for name in PIPELINES:
+        run_pipeline(spark, warm, name, 1)
+    result = {"sf_dir": sf_dir, "n_files": n_files, "files_per_trigger": fpt,
+              "pipelines": {}}
+    for name in PIPELINES:
+        r = run_pipeline(spark, src, name, fpt)
+        result["pipelines"][name] = r
+        print(
+            f"{name}: {r['rows_per_sec']} rows/s, p50 {r['batch_ms_p50']}ms, "
+            f"max_state {r['max_state_rows']} rows", flush=True,
+        )
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(warm, ignore_errors=True)
+    Path(out_path).write_text(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()
