@@ -16,6 +16,8 @@ stream.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -55,13 +57,20 @@ def read_events_stream(
     probed = (
         spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
     )
-    raw = (
-        spark.readStream.schema(_events_schema(probed))
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        # the file source wants a directory; glob-filter to the events table
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(str(sf_dir))
+    reader = spark.readStream.schema(_events_schema(probed)).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        # directory layout (real ingest: one file per micro-batch window) —
+        # stream the directory itself so every part file is a batch unit
+        raw = reader.parquet(path)
+    else:
+        # single-file layout (driver testdata): the file source wants a
+        # directory; glob-filter to the events table
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(
+            str(sf_dir)
+        )
     if isinstance(probed, T.LongType):
         return raw.withColumn("ts", F.expr(_TS_EXPR))
     # NTZ wall-clock -> LTZ instant is identity under the UTC session pin

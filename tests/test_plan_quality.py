@@ -594,3 +594,76 @@ def test_ngram_jaccard_candidates_no_shingle_join(spark):
     # so the pattern above has teeth
     raw = formatted_plan(QUERIES["dedup_ngram_jaccard_pairs"](spark, SF_DIR))
     assert shingle_key.search(raw)
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """Scale evidence for the skew story: a planted hot key in a sort-merge
+    join must be SPLIT by AQE's skew-join rule (``skew=true`` in the final
+    adaptive plan) once the skewed partition crosses the size thresholds —
+    with a negative control proving the marker has teeth.
+
+    Division of labor this test documents: AQE skew-join fixes *join*-side
+    skew at runtime with zero code change, so plain equi-joins need no
+    manual salting at any scale; AGGREGATION skew (groupBy on a hot key) is
+    not covered by AQE's skew rule — that is what the explicit two-phase
+    ``skew_salted_revenue_by_suppkey`` operator is for."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+
+    def planted_join():
+        # key 0: 200k rows; keys 1..49: 200 rows each -> one hot partition
+        left = (
+            spark.range(0, 210_000)
+            .select(
+                F.when(F.col("id") < 200_000, 0)
+                .otherwise((F.col("id") % 49) + 1)
+                .alias("k"),
+                F.concat(F.lit("payload-" * 8), F.col("id")).alias("pad"),
+            )
+        )
+        right = spark.range(0, 1000).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("rv")
+        )
+        # aggregate to one row so collect() is cheap; the join is inside
+        return left.join(right, "k").agg(F.sum(F.length("pad")).alias("s"))
+
+    def final_plan(df):
+        # collect() runs THIS Dataset's QueryExecution (count() would build
+        # a different one), after which AQE has finalized the plan
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        plan = final_plan(planted_join())
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the planted hot partition"
+
+        # negative control: same data, rule off -> no skew split
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        plan_off = final_plan(planted_join())
+        assert "skew=true" not in plan_off
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -901,3 +901,47 @@ def test_kcenter_lineage_stays_flat_at_k25(spark):
     assert radii == sorted(radii, reverse=True)  # greedy max-min monotone
     # lineage hygiene: checkpointed plan is a small constant; raw plan grew
     assert plan_size(cur_ck) < plan_size(cur_raw) / 3
+
+
+def test_kcenter_production_k100_stays_flat(spark):
+    """k-center at production K: with lineage truncation every 8 rounds the
+    per-round cost is constant, so (a) the optimized plan at the END of a
+    K=100 run is no bigger than just after a single truncation cycle, and
+    (b) doubling K from 50 to 100 costs ~2x wall, not the superlinear blowup
+    an unbounded lineage chain produces. The wall bound is deliberately
+    loose (4x) to stay robust to machine variance; the plan-size bound is
+    exact evidence."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from polars_ad_etl_spark.operators.linalg import _QUANT, kcenter_greedy
+
+    q = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select("vec_id", F.expr(_QUANT).alias("qv"))
+        .localCheckpoint(eager=True)
+    )
+
+    def plan_size(df):
+        return len(df._jdf.queryExecution().optimizedPlan().toString())
+
+    t0 = time.perf_counter()
+    picks50, _ = kcenter_greedy(q, 50, checkpoint_every=8)
+    t50 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    picks100, cur100 = kcenter_greedy(q, 100, checkpoint_every=8)
+    t100 = time.perf_counter() - t0
+
+    assert len(picks100) == 100
+    assert picks100[:50] == picks50  # greedy is prefix-stable
+    radii = [p[2] for p in picks100[1:]]
+    assert radii == sorted(radii, reverse=True)
+    # (a) lineage stays flat: plan size depends only on rounds-since-last-
+    # checkpoint (K mod 8), not on K — so a K=12 run (same cycle phase, 4
+    # rounds past its checkpoint) must have essentially the SAME plan size
+    # as the K=100 end state.
+    _, cur12 = kcenter_greedy(q, 12, checkpoint_every=8)
+    assert plan_size(cur100) <= plan_size(cur12) * 1.25
+    # (b) per-round cost is constant: 2x the rounds, <=4x the wall
+    assert t100 < 4 * t50, f"K=100 took {t100:.1f}s vs K=50 {t50:.1f}s"
