@@ -74,11 +74,20 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- MinHash
 # Word-3-gram shingles (shared with the Jaccard verifier below). MinHash over
 # *shingle* sets, not unigram sets — see module docstring for why.
+# ``toks`` is LET-BOUND via the single-element-transform trick: the outer
+# transform binds the token array to lambda variable ``t`` exactly once per
+# row, so even if Catalyst's CollapseProject inlines the tokenizer
+# expression into this one (it does: lambdas hide the reference count from
+# the "cheap to duplicate" heuristic), the split/filter chain is evaluated
+# once per ROW — not once per shingle ELEMENT via ``toks[i]``. Measured on
+# sf0.1 documents: the un-bound form cost 12.2s in a broadcast build
+# (regex re-tokenizing the doc ~3x per shingle); this form 1.4s.
 _SHINGLES_SPARK = """
-    CASE WHEN size(toks) >= 3 THEN
-        transform(sequence(0, size(toks) - 3),
-                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-    ELSE array() END
+    transform(array(toks), t ->
+        CASE WHEN size(t) >= 3 THEN
+            transform(sequence(0, size(t) - 3),
+                      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+        ELSE array() END)[0]
 """
 
 _SHINGLES_DUCK = (

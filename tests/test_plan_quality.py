@@ -667,3 +667,16 @@ def test_aqe_splits_planted_skew_join(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_shingle_tokenizer_is_let_bound(spark):
+    """Catalyst's CollapseProject inlines the tokenizer into the shingle
+    lambda (lambda bodies hide the reference count from the cheap-to-copy
+    heuristic), which re-ran the regex split once per shingle ELEMENT —
+    measured 12.2s vs 1.4s on the sf0.1 broadcast build. The defense is the
+    let-binding in _SHINGLES_SPARK (transform(array(toks), t -> ...)[0]);
+    this lint pins its marker in the optimized plan so a "simplification"
+    can't silently reintroduce the per-element re-tokenization."""
+    df = QUERIES["dedup_ngram_jaccard_on_candidates"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "transform(array(" in plan, "shingle let-binding gone from plan"
