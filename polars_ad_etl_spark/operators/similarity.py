@@ -801,17 +801,79 @@ def _pq_train(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, list[list[list[int]]]]:
     """(quantized frame, per-subspace codebooks) — shared by the code
-    emitter and the ADC search."""
+    emitter and the ADC search.
+
+    Trains ALL ``PQ_M`` subspace codebooks in a single Lloyd loop: one
+    shared init collect (the hash-order seed ignores the subspace, so
+    per-subspace ``_kmeans_fixed_on`` inits are slices of the same rows)
+    and ONE aggregation job per iteration covering every subspace — the
+    per-position sums are grouped by (subspace, cluster, position) after
+    a single posexplode of the full vector. Bit-identical to running
+    ``_kmeans_fixed_on`` per subspace (same distances, same lowest-index
+    argmin tie-break, same floor-divided update; pinned by
+    ``test_pq_combined_trainer_matches_per_subspace``), but 3 passes over
+    the data instead of 3*PQ_M — at corpus scale, M fewer full scans per
+    iteration; on the local harness, 4x fewer job round-trips."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
     q_full = _quantized(e)
-    codebooks = []
-    for m in range(PQ_M):
-        q_m = q_full.select(
-            "vec_id", F.slice("qe", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qe")
+    from polars_ad_etl_spark.functions.hashing import portable_hash32
+
+    init = (
+        q_full.select(
+            "vec_id",
+            "qe",
+            portable_hash32(F.col("vec_id").cast("string")).alias("h"),
         )
-        codebooks.append(_kmeans_fixed_on(q_m, PQ_K, iters=2))
+        .orderBy("h", "vec_id")
+        .limit(PQ_K)
+        .collect()
+    )
+    codebooks = [
+        [
+            [int(x) for x in r.qe[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]]
+            for r in init
+        ]
+        for m in range(PQ_M)
+    ]
+    for _ in range(2):
+        cluster_cols = []
+        for m in range(PQ_M):
+            sub = F.slice("qe", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+            def dist_to(c: list[int]) -> F.Column:
+                carr = F.array(*[F.lit(int(v)) for v in c])
+                return F.aggregate(
+                    F.zip_with(sub, carr, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+
+            dists = F.array(*[dist_to(c) for c in codebooks[m]])
+            cluster_cols.append(
+                (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            )
+        assigned = q_full.select(
+            "qe", F.array(*cluster_cols).alias("cl")
+        ).select(F.posexplode("qe").alias("pos", "v"), "cl")
+        rows = (
+            assigned.select(
+                F.expr(f"pos div {PQ_SUBDIM}").alias("m"),
+                F.element_at(
+                    "cl", (F.expr(f"pos div {PQ_SUBDIM}") + 1).cast("int")
+                ).alias("cluster"),
+                (F.col("pos") % PQ_SUBDIM).alias("sub_pos"),
+                "v",
+            )
+            .groupBy("m", "cluster", "sub_pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_books = [[list(c) for c in codebooks[m]] for m in range(PQ_M)]
+        for r in rows:  # empty clusters keep their old centroid
+            new_books[r.m][r.cluster][r.sub_pos] = int(r.s) // int(r.n)
+        codebooks = new_books
     return q_full, codebooks
 
 

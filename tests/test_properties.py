@@ -945,3 +945,40 @@ def test_kcenter_production_k100_stays_flat(spark):
     assert plan_size(cur100) <= plan_size(cur12) * 1.25
     # (b) per-round cost is constant: 2x the rounds, <=4x the wall
     assert t100 < 4 * t50, f"K=100 took {t100:.1f}s vs K=50 {t50:.1f}s"
+
+
+def test_pq_combined_trainer_matches_per_subspace(spark):
+    """The single-pass multi-subspace PQ trainer must produce codebooks
+    bit-identical to running the reference per-subspace Lloyd loop
+    (_kmeans_fixed_on on each slice) — same init rows, same distances,
+    same lowest-index argmin tie-break, same floor-divided update."""
+    from pyspark.sql import functions as F
+
+    from polars_ad_etl_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        _kmeans_fixed_on,
+        _pq_train,
+        _quantized,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    _, combined = _pq_train(spark, sf)
+    q_full = _quantized(
+        spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+    )
+    per_subspace = [
+        _kmeans_fixed_on(
+            q_full.select(
+                "vec_id",
+                F.slice("qe", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qe"),
+            ),
+            PQ_K,
+            iters=2,
+        )
+        for m in range(PQ_M)
+    ]
+    assert combined == per_subspace
