@@ -43,6 +43,14 @@ def main() -> None:
             (".localdata/sf1.0", 1.0),
         ]
     names = list(dict.fromkeys(HEADLINE + FAMILY))
+    # SPARK_GRAFT_EXCLUDE: comma list to drop (e.g. the documented
+    # quadratic small-scale ground-truth controls on a big-SF stretch run)
+    exclude = set(
+        x for x in os.environ.get("SPARK_GRAFT_EXCLUDE", "").split(",") if x
+    )
+    if exclude:
+        print(f"excluding {sorted(exclude & set(names))}", flush=True)
+        names = [n for n in names if n not in exclude]
     spark = get_spark(
         "scale-sweep",
         extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "0"},
