@@ -500,16 +500,35 @@ COSINE_DUP_THRESHOLD = 0.35
                 4) >= {COSINE_DUP_THRESHOLD}
     """,
 )
-def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates are
     same-sign-bucket pairs only (the all-pairs O(n^2) never happens), then
     exact cosine filters at the threshold. The miss probability for a true
     near-dup pair falls with its cosine (sign-LSH collision probability is
-    1 - theta/pi per plane); multi-table LSH would push recall higher."""
+    1 - theta/pi per plane); multi-table LSH would push recall higher.
+
+    A hot bucket of b vectors still emits b*(b-1)/2 candidates from the
+    self-join — quadratic in the duplication factor of the corpus (the 30x
+    stretch sweep measured a 7,880x pair blow-up on a duplication-heavy
+    corpus). ``bucket_cap`` drops all vectors in buckets larger than the
+    cap BEFORE the self-join (the sign-bucket universe is small, so the
+    size table broadcasts); dropped buckets are never silent —
+    :func:`embedding_bucket_overflow` reports each with its forgone
+    candidate count. Default ``None`` keeps the oracle-exact behavior."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     b = e.select(
         "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
     )
+    if bucket_cap is not None:
+        keep = (
+            b.groupBy("bucket")
+            .agg(F.count("*").alias("bucket_size"))
+            .filter(F.col("bucket_size") <= int(bucket_cap))
+            .select("bucket")
+        )
+        b = b.join(F.broadcast(keep), "bucket")
     a_side, b_side = b.alias("a"), b.alias("b")
     cos = F.round(
         cosine(F.col("a.embedding"), F.col("b.embedding")), 4
@@ -526,6 +545,31 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+def embedding_bucket_overflow(
+    spark: SparkSession, sf_dir: str, bucket_cap: int
+) -> DataFrame:
+    """Side-channel for the capped cosine-pair path: one row per dropped
+    sign-LSH bucket with its size and the b*(b-1)/2 candidate pairs it
+    would have fed to the exact-cosine filter (an upper bound on lost
+    DUPLICATE pairs — candidates below the cosine threshold were never
+    duplicates). Tiny by construction: the sign-bucket universe is at most
+    2^planes rows before the cap filter."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        e.select(_bucket_expr(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > int(bucket_cap))
+        .select(
+            "bucket",
+            "bucket_size",
+            F.expr(
+                "CAST(bucket_size AS BIGINT) * (bucket_size - 1) DIV 2"
+            ).alias("dropped_candidates"),
+        )
     )
 
 

@@ -982,3 +982,50 @@ def test_pq_combined_trainer_matches_per_subspace(spark):
         for m in range(PQ_M)
     ]
     assert combined == per_subspace
+
+
+def test_embedding_cosine_bucket_cap(spark, tmp_path):
+    """A planted cluster of near-identical vectors (one hot sign-LSH
+    bucket) must be suppressed by ``bucket_cap`` BEFORE the self-join
+    while distinct-direction buckets keep their pairs, and every dropped
+    candidate must be accounted by ``embedding_bucket_overflow``."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from polars_ad_etl_spark.operators.dedup import (
+        dedup_embedding_cosine_pairs,
+        embedding_bucket_overflow,
+    )
+
+    dim = 64
+    hot = [1.0] * dim  # 20 near-identical vectors -> one hot bucket
+    rows = [(i, [v + 1e-4 * i for v in hot], 0) for i in range(1, 21)]
+    # a duplicate pair in a very different direction (alternating signs)
+    other = [(1.0 if j % 2 == 0 else -1.0) for j in range(dim)]
+    rows += [(100, other, 1), (101, [v * 1.001 for v in other], 1)]
+    docs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    sf = str(tmp_path)
+
+    uncapped = {
+        (r.vec_a, r.vec_b)
+        for r in dedup_embedding_cosine_pairs(spark, sf).collect()
+    }
+    hot_pairs = {(a, b) for a in range(1, 21) for b in range(a + 1, 21)}
+    assert hot_pairs <= uncapped
+    assert (100, 101) in uncapped
+
+    capped = {
+        (r.vec_a, r.vec_b)
+        for r in dedup_embedding_cosine_pairs(spark, sf, bucket_cap=10).collect()
+    }
+    assert capped & hot_pairs == set()
+    assert (100, 101) in capped  # small bucket untouched
+
+    over = embedding_bucket_overflow(spark, sf, bucket_cap=10).collect()
+    assert len(over) == 1
+    assert over[0].bucket_size == 20
+    assert over[0].dropped_candidates == 190
