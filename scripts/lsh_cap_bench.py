@@ -100,6 +100,54 @@ def main() -> None:
         result["planted_sizes"].append(rec)
         print(rec, flush=True)
         shutil.rmtree(work, ignore_errors=True)
+
+    # same A/B for the embedding-cosine candidate generator: plant a
+    # cluster of C near-identical vectors (one hot sign-LSH bucket) into
+    # the sf0.1 embeddings table
+    from polars_ad_etl_spark.operators.dedup import (
+        dedup_embedding_cosine_pairs,
+        embedding_bucket_overflow,
+    )
+
+    result["embedding_planted_sizes"] = []
+    base_e = spark.read.parquet(f"{base}/embeddings.parquet")
+    dim = len(base_e.select("embedding").first()[0])
+    max_vid = base_e.agg(F.max("vec_id")).collect()[0][0]
+    for c in (500, 1000, 2000):
+        work = tempfile.mkdtemp(prefix=f"cos_cap_{c}_")
+        hot = spark.range(c).select(
+            (F.col("id") + max_vid + 1).alias("vec_id"),
+            F.expr(
+                f"transform(sequence(1, {dim}),"
+                " j -> CAST(1.0 + 1e-4 * id * sin(j) AS FLOAT))"
+            ).alias("embedding"),
+            F.lit(999).alias("label"),
+        )
+        base_e.unionByName(hot).write.mode("overwrite").parquet(
+            f"{work}/embeddings.parquet"
+        )
+        rec = {"cluster_size": c}
+        t0 = time.perf_counter()
+        rec["uncapped_pairs"] = dedup_embedding_cosine_pairs(spark, work).count()
+        rec["uncapped_wall"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        rec["capped_pairs"] = dedup_embedding_cosine_pairs(
+            spark, work, bucket_cap=CAP
+        ).count()
+        rec["capped_wall"] = round(time.perf_counter() - t0, 2)
+        over = (
+            embedding_bucket_overflow(spark, work, CAP)
+            .agg(
+                F.count("*").alias("buckets"),
+                F.sum("dropped_candidates").alias("dropped"),
+            )
+            .collect()[0]
+        )
+        rec["dropped_buckets"] = over.buckets
+        rec["dropped_candidates"] = over.dropped
+        result["embedding_planted_sizes"].append(rec)
+        print(rec, flush=True)
+        shutil.rmtree(work, ignore_errors=True)
     Path(out_path).write_text(json.dumps(result, indent=1))
 
 
