@@ -1029,3 +1029,59 @@ def test_embedding_cosine_bucket_cap(spark, tmp_path):
     assert len(over) == 1
     assert over[0].bucket_size == 20
     assert over[0].dropped_candidates == 190
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_lsh_cap_accounting_invariant(spark_session_holder, tmp_path_factory, data):
+    """The never-silent guarantee, as a property over random corpora: for
+    ANY documents table and ANY cap, every pair emitted uncapped is either
+    still emitted capped or lives in a bucket reported by
+    lsh_bucket_overflow — no pair vanishes unaccounted."""
+    from pyspark.sql import functions as F
+
+    from polars_ad_etl_spark.operators.dedup import (
+        _lsh_buckets,
+        dedup_minhash_lsh_pairs,
+        lsh_bucket_overflow,
+    )
+
+    spark = spark_session_holder
+    words = ["alpha", "beta", "gamma", "delta", "red", "blue", "fox", "dog"]
+    n_docs = data.draw(st.integers(4, 14))
+    cap = data.draw(st.integers(1, 6))
+    rows = []
+    for i in range(n_docs):
+        toks = data.draw(
+            st.lists(st.sampled_from(words), min_size=3, max_size=10)
+        )
+        text = " ".join(toks)
+        rows.append((i, text, "en", "prop", len(text)))
+    tmp = tmp_path_factory.mktemp("lshprop")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    sf = str(tmp)
+
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh_pairs(spark, sf).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh_pairs(spark, sf, bucket_cap=cap).collect()
+    }
+    assert capped <= uncapped  # the cap only ever removes pairs
+    # reconstruct the pairs coverable by reported dropped buckets
+    over_keys = {
+        (r.band, r.h0, r.h1, r.h2, r.h3)
+        for r in lsh_bucket_overflow(spark, sf, cap).collect()
+    }
+    dropped_pairs = set()
+    for b in _lsh_buckets(spark, sf).collect():
+        if (b.band, b.h0, b.h1, b.h2, b.h3) in over_keys:
+            ids = sorted(b.ids)
+            dropped_pairs |= {
+                (a, c) for i, a in enumerate(ids) for c in ids[i + 1 :]
+            }
+    assert uncapped <= capped | dropped_pairs  # nothing vanishes silently
