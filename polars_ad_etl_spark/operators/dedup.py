@@ -282,6 +282,74 @@ def _expand_bucket_pairs(buckets: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------- capped LSH, oracle-checked
+# The PRODUCTION shape (hot buckets suppressed + accounted) as registry
+# queries with full DuckDB oracles — so the driver's differential gate
+# covers the 100-TB path itself, not only the uncapped small-scale
+# default. LSH_CAP_DEMO is sized to BITE on the driver's sf0.01 corpus
+# (max natural bucket = 3 docs): the capped pair set genuinely differs
+# from the uncapped one and the overflow report is non-empty.
+LSH_CAP_DEMO = 2
+COSINE_CAP_DEMO = 5
+
+_BANDED_SQL = " UNION ALL ".join(
+    "SELECT doc_id, " + str(j) + " AS band, "
+    + ", ".join(f"mh{j * ROWS_PER_BAND + r} AS h{r}" for r in range(ROWS_PER_BAND))
+    + " FROM sigs"
+    for j in range(BANDS)
+)
+_BUCKET_KEY = "band, " + ", ".join(f"h{r}" for r in range(ROWS_PER_BAND))
+_BUCKET_EQ = " AND ".join(f"a.h{r} = b.h{r}" for r in range(ROWS_PER_BAND))
+
+
+@register(
+    "dedup_lsh_pairs_capped",
+    oracle=f"""
+    WITH sigs AS ({MINHASH_SIG_SQL}),
+    banded AS ({_BANDED_SQL}),
+    bsize AS (
+        SELECT {_BUCKET_KEY}, COUNT(*) AS n FROM banded GROUP BY {_BUCKET_KEY}
+    ),
+    keep AS (
+        SELECT banded.* FROM banded
+        JOIN bsize USING ({_BUCKET_KEY})
+        WHERE n <= {LSH_CAP_DEMO}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM keep a JOIN keep b
+      ON a.band = b.band AND {_BUCKET_EQ} AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_minhash_lsh_pairs` with the hot-bucket cap ENGAGED
+    (cap={LSH_CAP_DEMO}) — the corpus-scale production shape, verified
+    against an oracle that applies the identical bucket-size filter
+    before pair expansion."""
+    return dedup_minhash_lsh_pairs(spark, sf_dir, bucket_cap=LSH_CAP_DEMO)
+
+
+@register(
+    "dedup_lsh_overflow_report",
+    oracle=f"""
+    WITH sigs AS ({MINHASH_SIG_SQL}),
+    banded AS ({_BANDED_SQL})
+    SELECT {_BUCKET_KEY},
+           CAST(COUNT(*) AS BIGINT) AS bucket_size,
+           CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS dropped_pairs
+    FROM banded
+    GROUP BY {_BUCKET_KEY}
+    HAVING COUNT(*) > {LSH_CAP_DEMO}
+    """,
+)
+def dedup_lsh_overflow_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped run's never-silent side-channel as a registry query:
+    every bucket :func:`dedup_lsh_pairs_capped` suppressed, with its size
+    and forgone pair count — oracle-checked bucket for bucket (the bucket
+    keys are the engine's own portable-hash MinHash values, so a match
+    proves the full signature pipeline AND the accounting)."""
+    return lsh_bucket_overflow(spark, sf_dir, LSH_CAP_DEMO)
+
+
 # --------------------------------------------------------------- SimHash
 _SIMHASH_BITS = 32
 
@@ -571,6 +639,62 @@ def embedding_bucket_overflow(
             ).alias("dropped_candidates"),
         )
     )
+
+
+@register(
+    "dedup_cosine_pairs_capped",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    bsize AS (SELECT bucket, COUNT(*) AS n FROM bucketed GROUP BY bucket),
+    keep AS (
+        SELECT bucketed.* FROM bucketed
+        JOIN bsize USING (bucket) WHERE n <= {COSINE_CAP_DEMO}
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 4) AS cosine
+    FROM keep a JOIN keep b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e) /
+                (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                4) >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_cosine_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_embedding_cosine_pairs` with the sign-bucket cap
+    ENGAGED (cap={COSINE_CAP_DEMO}, sized to bite on the driver corpus) —
+    the duplication-heavy-corpus production shape, oracle-verified with
+    the identical pre-join bucket-size filter."""
+    return dedup_embedding_cosine_pairs(
+        spark, sf_dir, bucket_cap=COSINE_CAP_DEMO
+    )
+
+
+@register(
+    "dedup_cosine_overflow_report",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT {_bucket_sql('embedding')} AS bucket FROM embeddings
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS bucket_size,
+           CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT)
+               AS dropped_candidates
+    FROM bucketed
+    GROUP BY bucket
+    HAVING COUNT(*) > {COSINE_CAP_DEMO}
+    """,
+)
+def dedup_cosine_overflow_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-silent side-channel for the capped cosine path as a registry
+    query: every sign-LSH bucket :func:`dedup_cosine_pairs_capped`
+    suppressed, with size and forgone candidate count, oracle-checked."""
+    return embedding_bucket_overflow(spark, sf_dir, COSINE_CAP_DEMO)
 
 
 # ------------------------------------------------------ curation pipeline
