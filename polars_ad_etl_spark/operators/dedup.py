@@ -896,7 +896,9 @@ def connected_components_star(edges: DataFrame, max_iter: int = 64) -> DataFrame
     )
 
 
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_connected_components(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """Connected components over the LSH candidate graph: every document in
     a near-dup cluster gets the cluster's minimum doc_id as component_id.
 
@@ -923,7 +925,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization additionally runs without AQE, losing the runtime
     broadcast conversion inside the LSH self-join. On a cluster, swap
     `localCheckpoint` for a reliable `checkpoint` directory — same loop."""
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = dedup_minhash_lsh_pairs(
+        spark, sf_dir, bucket_cap=bucket_cap
+    ).localCheckpoint(eager=True)
     return connected_components_propagate(
         pairs.selectExpr("doc_a AS a", "doc_b AS b")
     ).select(F.col("node").alias("doc_id"), "component_id")
@@ -1367,7 +1371,9 @@ def dedup_summary_report(
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir, bucket_cap=bucket_cap).agg(
         F.count("*").alias("n_lsh_pairs")
     )
-    comp = dedup_connected_components(spark, sf_dir).agg(
+    # the cap flows into the component graph too: a capped report's
+    # cluster counts describe the same (capped) pair set as its pair count
+    comp = dedup_connected_components(spark, sf_dir, bucket_cap=bucket_cap).agg(
         F.countDistinct("component_id").alias("n_clusters"),
         F.count("*").alias("n_clustered_docs"),
     )
@@ -1408,6 +1414,64 @@ def dedup_summary_report(
 # placeholders after both exist (register() stored the template above)
 ORACLES["dedup_summary_report"] = ORACLES["dedup_summary_report"].format(
     pairs=_lsh_pairs_oracle(), comp=_components_oracle()
+)
+
+
+@register(
+    "dedup_summary_report_capped",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({{CAPPED}}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+    ),
+    docs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) - COUNT(DISTINCT md5(lower(trim(text))))
+                    AS BIGINT) AS n_exact_dup_docs
+        FROM documents
+    ),
+    p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh_pairs FROM pairs),
+    c AS (SELECT CAST(COUNT(DISTINCT component_id) AS BIGINT) AS n_clusters,
+                 CAST(COUNT(*) AS BIGINT) AS n_clustered_docs FROM comp),
+    o AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped_buckets,
+               CAST(COALESCE(SUM(dropped_pairs), 0) AS BIGINT)
+                   AS dropped_pairs_upper_bound
+        FROM ({{OVERFLOW}})
+    )
+    SELECT n_docs, n_exact_dup_docs, n_lsh_pairs, n_clusters,
+           n_clustered_docs,
+           n_docs - n_clustered_docs + n_clusters AS n_keep,
+           n_dropped_buckets, dropped_pairs_upper_bound
+    FROM docs, p, c, o
+    """.replace("{CAPPED}", "{capped}").replace("{OVERFLOW}", "{overflow}"),
+)
+def dedup_summary_report_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_summary_report` with the hot-bucket cap engaged
+    (cap={LSH_CAP_DEMO}): pair count, cluster counts, keep-list size, AND
+    the overflow columns all describe the same capped pair set, verified
+    against an oracle composing the capped-pairs CTE, a recursive-CTE
+    component derivation over it, and the overflow aggregation — the full
+    production report path is driver-oracle-checked end to end."""
+    return dedup_summary_report(spark, sf_dir, bucket_cap=LSH_CAP_DEMO)
+
+
+ORACLES["dedup_summary_report_capped"] = ORACLES[
+    "dedup_summary_report_capped"
+].format(
+    capped=ORACLES["dedup_lsh_pairs_capped"],
+    overflow=ORACLES["dedup_lsh_overflow_report"],
 )
 
 
