@@ -1,11 +1,27 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+compact JSON line AS THE FINAL LINE of stdout:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ...}.
 
 Each query is executed to completion (count() action) after a warm-up of the
 session; per-query time is wall-clock for plan + execution.
+
+Emission contract (round-6 fix): the driver captures only a bounded tail of
+stdout, so the final line MUST stay compact — per-query executor metrics
+(shuffle/input/spill/peak-mem via the monitoring REST API) and the run
+protocol go to a sidecar JSON file ($SPARK_GRAFT_BENCH_SIDECAR, default
+bench_query_metrics.json next to this script), never the stdout line.
+
+Measurement protocol (committed here so round-over-round comparisons are
+like-for-like without footnotes):
+  1. idle check — 1-minute loadavg must be < 0.5 * cpu count before the
+     timed section starts (warn + record in sidecar if not; set
+     SPARK_GRAFT_BENCH_ALLOW_BUSY=1 to silence);
+  2. JVM warm-up + two compile-warmup passes (sf0.001 then sf0.01) so
+     whole-stage-codegen compilation and C2 JIT are off the clock;
+  3. best-of-N wall per query (N = $SPARK_GRAFT_BENCH_RUNS, default 2).
 """
 
 from __future__ import annotations
@@ -128,9 +144,36 @@ HEADLINE = [
 ]
 
 
+def _idle_check() -> dict:
+    """Record machine business before the timed section.
+
+    Bench numbers are only comparable run-over-run when the machine is
+    otherwise idle (concurrent pytest measurably distorts sub-second
+    timings).  We don't fail the bench — the driver may schedule us next
+    to other work — but we warn on stderr and record the fact in the
+    sidecar so a surprising number can be audited later."""
+    try:
+        load1 = os.getloadavg()[0]
+        ncpu = os.cpu_count() or 1
+    except OSError:
+        return {"idle_checked": False}
+    idle = load1 < 0.5 * ncpu
+    rec = {"idle_checked": True, "load1": round(load1, 2), "ncpu": ncpu,
+           "idle": idle}
+    if not idle and not os.environ.get("SPARK_GRAFT_BENCH_ALLOW_BUSY"):
+        print(
+            f"WARNING: machine not idle (load1={load1:.1f}, ncpu={ncpu}); "
+            "timings may be inflated — rerun on an idle machine or set "
+            "SPARK_GRAFT_BENCH_ALLOW_BUSY=1 to acknowledge.",
+            file=sys.stderr,
+        )
+    return rec
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warmup_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    idle_rec = _idle_check()
     # UI on so the public monitoring REST API can attribute per-stage shuffle
     # bytes to queries; port 0 avoids clashing with any other local app.
     spark = get_spark(
@@ -174,6 +217,9 @@ def main() -> None:
         times[name] = round(best, 3)
         m = metrics_src.delta()  # totals across the N timed runs
         if m is not None:
+            # per-run averages (shuffle/input/spill are deterministic per
+            # run; peak_execution_memory is the max across runs); n_stages
+            # is likewise reported as the per-run average.
             m = {k: (v // max(runs, 1) if k != "peak_execution_memory" else v)
                  for k, v in m.items()}
             metrics[name] = m
@@ -186,17 +232,48 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
+    # Sidecar: everything that would bloat the stdout line beyond the
+    # driver's bounded tail capture (round-5 post-mortem: query_metrics on
+    # the stdout line pushed the JSON start outside a 2000-char tail and
+    # the headline number was never recorded).
+    sidecar = {
+        "protocol": {
+            "warmup": "jvm + per-query compile passes at sf0.001 and sf0.01",
+            "runs_per_query": max(runs, 1),
+            "timing": "best-of-N wall per query",
+            **idle_rec,
+        },
+        "headline": out,
+    }
     if metrics:
-        # per-run averages (shuffle/input/spill are deterministic per run;
-        # peak_execution_memory is the max across runs, n_stages the total)
-        out["query_metrics"] = metrics
-        out["shuffle_read_bytes_total"] = sum(
+        sidecar["query_metrics"] = metrics
+        sidecar["shuffle_read_bytes_total"] = sum(
             m["shuffle_read_bytes"] for m in metrics.values()
         )
-        out["shuffle_write_bytes_total"] = sum(
+        sidecar["shuffle_write_bytes_total"] = sum(
             m["shuffle_write_bytes"] for m in metrics.values()
         )
-    print(json.dumps(out))
+    sidecar_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        str(Path(__file__).resolve().parent / "bench_query_metrics.json"),
+    )
+    try:
+        Path(sidecar_path).write_text(json.dumps(sidecar, indent=1) + "\n")
+    except OSError as e:
+        print(f"WARNING: could not write sidecar {sidecar_path}: {e}",
+              file=sys.stderr)
+    # The compact headline JSON is the FINAL stdout line — keep it that way.
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1800:
+        # Bounded-tail safety: per-query times live in the sidecar anyway,
+        # so degrade to the headline scalar rather than risk an unparseable
+        # truncated line if HEADLINE ever grows past the capture window.
+        print(f"WARNING: headline line {len(line)} chars > 1800; dropping "
+              "per-query map from stdout (full copy is in the sidecar).",
+              file=sys.stderr)
+        line = json.dumps({k: v for k, v in out.items() if k != "queries"},
+                          separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
