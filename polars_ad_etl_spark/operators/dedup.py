@@ -292,6 +292,117 @@ def _expand_bucket_pairs(buckets: DataFrame) -> DataFrame:
 LSH_CAP_DEMO = 2
 COSINE_CAP_DEMO = 5
 
+# Production default for the hot-bucket cap on the LSH candidate generator.
+# Measured basis (ROUND5_lsh_cap.json + BENCH_r5_sf3.json): uncapped pair
+# expansion grows quadratically on duplication-heavy corpora (2.1s -> 7.2s
+# as a planted cluster grows 500 -> 2000 docs; the embedding-cosine analog
+# hit 33.2s at sf3.0 vs 2.1s capped), while a capped run stays flat and
+# accounts every dropped bucket in the overflow side-channel. A cap of 1000
+# bounds the worst bucket at ~500k intra-bucket pairs (milliseconds of
+# expansion work per bucket) and is far above any bucket a genuinely
+# near-duplicate cluster produces at test scale, so small-SF results are
+# bit-identical to uncapped — the capped oracles below verify exactly that
+# semantics. Production entry points (``dedup_near_dup_keep_list``,
+# ``dedup_summary_report``) default to this cap; pass ``bucket_cap=None``
+# explicitly for an exhaustive (potentially quadratic) run.
+PRODUCTION_BUCKET_CAP = 1000
+
+
+def _capped_pairs_oracle(cap: int) -> str:
+    """DuckDB SQL for the capped LSH pair set at an arbitrary ``cap`` —
+    the identical bucket-size filter applied before pair expansion."""
+    return f"""
+    WITH sigs AS ({MINHASH_SIG_SQL}),
+    banded AS ({_BANDED_SQL}),
+    bsize AS (
+        SELECT {_BUCKET_KEY}, COUNT(*) AS n FROM banded GROUP BY {_BUCKET_KEY}
+    ),
+    keep AS (
+        SELECT banded.* FROM banded
+        JOIN bsize USING ({_BUCKET_KEY})
+        WHERE n <= {cap}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM keep a JOIN keep b
+      ON a.band = b.band AND {_BUCKET_EQ} AND a.doc_id < b.doc_id
+    """
+
+
+def _overflow_oracle(cap: int) -> str:
+    """DuckDB SQL for the hot-bucket overflow report at ``cap``."""
+    return f"""
+    WITH sigs AS ({MINHASH_SIG_SQL}),
+    banded AS ({_BANDED_SQL})
+    SELECT {_BUCKET_KEY},
+           CAST(COUNT(*) AS BIGINT) AS bucket_size,
+           CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS dropped_pairs
+    FROM banded
+    GROUP BY {_BUCKET_KEY}
+    HAVING COUNT(*) > {cap}
+    """
+
+
+def _capped_components_oracle(cap: int) -> str:
+    """Recursive-CTE component derivation over the ``cap``-ped pair set."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_capped_pairs_oracle(cap)}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+    )
+    SELECT node AS doc_id, MIN(r) AS component_id
+    FROM reach GROUP BY node
+    """
+
+
+def _capped_summary_oracle(cap: int) -> str:
+    """Full one-row dedup summary (pairs + components + overflow) with the
+    hot-bucket cap at ``cap`` applied consistently to every input number."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_capped_pairs_oracle(cap)}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+    ),
+    docs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) - COUNT(DISTINCT md5(lower(trim(text))))
+                    AS BIGINT) AS n_exact_dup_docs
+        FROM documents
+    ),
+    p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh_pairs FROM pairs),
+    c AS (SELECT CAST(COUNT(DISTINCT component_id) AS BIGINT) AS n_clusters,
+                 CAST(COUNT(*) AS BIGINT) AS n_clustered_docs FROM comp),
+    o AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped_buckets,
+               CAST(COALESCE(SUM(dropped_pairs), 0) AS BIGINT)
+                   AS dropped_pairs_upper_bound
+        FROM ({_overflow_oracle(cap)})
+    )
+    SELECT n_docs, n_exact_dup_docs, n_lsh_pairs, n_clusters,
+           n_clustered_docs,
+           n_docs - n_clustered_docs + n_clusters AS n_keep,
+           n_dropped_buckets, dropped_pairs_upper_bound
+    FROM docs, p, c, o
+    """
+
 _BANDED_SQL = " UNION ALL ".join(
     "SELECT doc_id, " + str(j) + " AS band, "
     + ", ".join(f"mh{j * ROWS_PER_BAND + r} AS h{r}" for r in range(ROWS_PER_BAND))
@@ -302,24 +413,7 @@ _BUCKET_KEY = "band, " + ", ".join(f"h{r}" for r in range(ROWS_PER_BAND))
 _BUCKET_EQ = " AND ".join(f"a.h{r} = b.h{r}" for r in range(ROWS_PER_BAND))
 
 
-@register(
-    "dedup_lsh_pairs_capped",
-    oracle=f"""
-    WITH sigs AS ({MINHASH_SIG_SQL}),
-    banded AS ({_BANDED_SQL}),
-    bsize AS (
-        SELECT {_BUCKET_KEY}, COUNT(*) AS n FROM banded GROUP BY {_BUCKET_KEY}
-    ),
-    keep AS (
-        SELECT banded.* FROM banded
-        JOIN bsize USING ({_BUCKET_KEY})
-        WHERE n <= {LSH_CAP_DEMO}
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM keep a JOIN keep b
-      ON a.band = b.band AND {_BUCKET_EQ} AND a.doc_id < b.doc_id
-    """,
-)
+@register("dedup_lsh_pairs_capped", oracle=_capped_pairs_oracle(LSH_CAP_DEMO))
 def dedup_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`dedup_minhash_lsh_pairs` with the hot-bucket cap ENGAGED
     (cap={LSH_CAP_DEMO}) — the corpus-scale production shape, verified
@@ -328,19 +422,7 @@ def dedup_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_minhash_lsh_pairs(spark, sf_dir, bucket_cap=LSH_CAP_DEMO)
 
 
-@register(
-    "dedup_lsh_overflow_report",
-    oracle=f"""
-    WITH sigs AS ({MINHASH_SIG_SQL}),
-    banded AS ({_BANDED_SQL})
-    SELECT {_BUCKET_KEY},
-           CAST(COUNT(*) AS BIGINT) AS bucket_size,
-           CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS dropped_pairs
-    FROM banded
-    GROUP BY {_BUCKET_KEY}
-    HAVING COUNT(*) > {LSH_CAP_DEMO}
-    """,
-)
+@register("dedup_lsh_overflow_report", oracle=_overflow_oracle(LSH_CAP_DEMO))
 def dedup_lsh_overflow_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capped run's never-silent side-channel as a registry query:
     every bucket :func:`dedup_lsh_pairs_capped` suppressed, with its size
@@ -953,21 +1035,35 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_near_dup_keep_list",
     oracle=f"""
-    WITH comp AS ({_components_oracle()})
+    WITH comp AS ({_capped_components_oracle(PRODUCTION_BUCKET_CAP)})
     SELECT d.doc_id,
            COALESCE(c.component_id, d.doc_id) AS component_id,
            (c.doc_id IS NULL OR c.component_id = d.doc_id) AS keep
     FROM documents d LEFT JOIN comp c USING (doc_id)
     """,
 )
-def dedup_near_dup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_near_dup_keep_list(
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_cap: int | None = PRODUCTION_BUCKET_CAP,
+) -> DataFrame:
     """The deliverable of near-dedup: one keep/drop decision per document —
     keep the minimum doc_id of every near-dup cluster plus all unclustered
     documents. Composes the full pipeline (shingle MinHash -> banded LSH ->
     connected components -> selection) into the shape a training-data
-    curation job consumes."""
+    curation job consumes.
+
+    Defaults to the production hot-bucket cap
+    (``bucket_cap=PRODUCTION_BUCKET_CAP``, see the constant's rationale):
+    degenerate LSH buckets are suppressed before pair expansion so the run
+    stays near-linear on duplication-heavy corpora, and every suppressed
+    bucket is reportable via :func:`dedup_lsh_overflow_report` /
+    ``lsh_bucket_overflow(spark, sf_dir, bucket_cap)`` — run that
+    side-channel alongside any capped production job. The registry oracle
+    applies the SAME cap in SQL, so the default shape itself is
+    differential-checked. Pass ``bucket_cap=None`` for an exhaustive run."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    comp = dedup_connected_components(spark, sf_dir)
+    comp = dedup_connected_components(spark, sf_dir, bucket_cap=bucket_cap)
     return d.join(comp, "doc_id", "left_outer").select(
         "doc_id",
         F.coalesce("component_id", "doc_id").alias("component_id"),
@@ -1323,28 +1419,12 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------ dedup run report
 @register(
     "dedup_summary_report",
-    oracle=f"""
-    WITH pairs AS ({{pairs}}),
-    comp AS ({{comp}}),
-    docs AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(COUNT(*) - COUNT(DISTINCT md5(lower(trim(text))))
-                    AS BIGINT) AS n_exact_dup_docs
-        FROM documents
-    ),
-    p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh_pairs FROM pairs),
-    c AS (SELECT CAST(COUNT(DISTINCT component_id) AS BIGINT) AS n_clusters,
-                 CAST(COUNT(*) AS BIGINT) AS n_clustered_docs FROM comp)
-    SELECT n_docs, n_exact_dup_docs, n_lsh_pairs, n_clusters,
-           n_clustered_docs,
-           n_docs - n_clustered_docs + n_clusters AS n_keep,
-           CAST(0 AS BIGINT) AS n_dropped_buckets,
-           CAST(0 AS BIGINT) AS dropped_pairs_upper_bound
-    FROM docs, p, c
-    """,
+    oracle=_capped_summary_oracle(PRODUCTION_BUCKET_CAP),
 )
 def dedup_summary_report(
-    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_cap: int | None = PRODUCTION_BUCKET_CAP,
 ) -> DataFrame:
     """The one-row report a dedup run ships: corpus size, exact-dup count,
     LSH candidate-pair count, near-dup cluster count/membership, and the
@@ -1358,9 +1438,12 @@ def dedup_summary_report(
     side-channel (:func:`lsh_bucket_overflow`) at the report level —
     ``n_dropped_buckets`` and ``dropped_pairs_upper_bound`` (cross-band
     upper bound on distinct pairs lost) — so a capped production run is
-    never silent about what it skipped. Default ``None`` (the
-    oracle-checked registry behavior) drops nothing and both columns
-    are 0."""
+    never silent about what it skipped. The default is the production cap
+    (``PRODUCTION_BUCKET_CAP``, rationale at the constant), and the
+    registry oracle applies the same cap in SQL, so the default shape is
+    differential-checked as-is. The overflow columns are present in every
+    mode; pass ``bucket_cap=None`` for an exhaustive uncapped run (both
+    overflow columns are then 0 by construction)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs = d.agg(
         F.count("*").alias("n_docs"),
@@ -1410,52 +1493,9 @@ def dedup_summary_report(
     )
 
 
-# the oracle composes the already-registered pair/component CTEs; fill the
-# placeholders after both exist (register() stored the template above)
-ORACLES["dedup_summary_report"] = ORACLES["dedup_summary_report"].format(
-    pairs=_lsh_pairs_oracle(), comp=_components_oracle()
-)
-
-
 @register(
     "dedup_summary_report_capped",
-    oracle=f"""
-    WITH RECURSIVE pairs AS ({{CAPPED}}),
-    edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION ALL
-        SELECT doc_b, doc_a FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT a AS node FROM edges),
-    reach(node, r) AS (
-        SELECT node, node FROM nodes
-        UNION
-        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
-    ),
-    comp AS (
-        SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
-    ),
-    docs AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(COUNT(*) - COUNT(DISTINCT md5(lower(trim(text))))
-                    AS BIGINT) AS n_exact_dup_docs
-        FROM documents
-    ),
-    p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh_pairs FROM pairs),
-    c AS (SELECT CAST(COUNT(DISTINCT component_id) AS BIGINT) AS n_clusters,
-                 CAST(COUNT(*) AS BIGINT) AS n_clustered_docs FROM comp),
-    o AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped_buckets,
-               CAST(COALESCE(SUM(dropped_pairs), 0) AS BIGINT)
-                   AS dropped_pairs_upper_bound
-        FROM ({{OVERFLOW}})
-    )
-    SELECT n_docs, n_exact_dup_docs, n_lsh_pairs, n_clusters,
-           n_clustered_docs,
-           n_docs - n_clustered_docs + n_clusters AS n_keep,
-           n_dropped_buckets, dropped_pairs_upper_bound
-    FROM docs, p, c, o
-    """.replace("{CAPPED}", "{capped}").replace("{OVERFLOW}", "{overflow}"),
+    oracle=_capped_summary_oracle(LSH_CAP_DEMO),
 )
 def dedup_summary_report_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`dedup_summary_report` with the hot-bucket cap engaged
@@ -1465,14 +1505,6 @@ def dedup_summary_report_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     component derivation over it, and the overflow aggregation — the full
     production report path is driver-oracle-checked end to end."""
     return dedup_summary_report(spark, sf_dir, bucket_cap=LSH_CAP_DEMO)
-
-
-ORACLES["dedup_summary_report_capped"] = ORACLES[
-    "dedup_summary_report_capped"
-].format(
-    capped=ORACLES["dedup_lsh_pairs_capped"],
-    overflow=ORACLES["dedup_lsh_overflow_report"],
-)
 
 
 # -------------------------------------- content-defined chunking (CDC)

@@ -875,6 +875,69 @@ def test_summary_report_surfaces_bucket_overflow(spark, tmp_path):
     assert capped.n_lsh_pairs >= 1
 
 
+def test_production_bucket_cap_defaults(spark, tmp_path):
+    """The production entry points default to the documented hot-bucket cap
+    (PRODUCTION_BUCKET_CAP) rather than the uncapped quadratic shape, the
+    cap genuinely engages on a bucket larger than the cap, and the
+    suppression is never silent (overflow columns / side-channel account
+    for it)."""
+    import inspect
+
+    from polars_ad_etl_spark.operators.dedup import (
+        BANDS,
+        PRODUCTION_BUCKET_CAP,
+        dedup_near_dup_keep_list,
+        dedup_summary_report,
+        lsh_bucket_overflow,
+    )
+
+    # the documented default is pinned on both entry points
+    for fn in (dedup_near_dup_keep_list, dedup_summary_report):
+        sig = inspect.signature(fn)
+        assert sig.parameters["bucket_cap"].default == PRODUCTION_BUCKET_CAP
+    assert PRODUCTION_BUCKET_CAP == 1000
+
+    # a bucket above the production cap: 1001 identical docs + 2 near-dup
+    # docs in a small bucket + 1 singleton
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    small = "completely different pair of twin documents right here okay"
+    rows = (
+        [(i, hot, "en", "synthetic", len(hot)) for i in range(1, 1002)]
+        + [(i, small, "en", "synthetic", len(small)) for i in (2000, 2001)]
+        + [(3000, "one singleton document with no duplicate partner at all",
+            "en", "synthetic", 55)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    # default summary report: hot bucket suppressed AND accounted
+    rep = dedup_summary_report(spark, sf).collect()[0]
+    assert rep.n_dropped_buckets == BANDS
+    assert rep.dropped_pairs_upper_bound == BANDS * (1001 * 1000 // 2)
+    assert rep.n_lsh_pairs >= 1  # the small bucket still pairs up
+
+    # default keep list: the hot cluster is NOT collapsed (its bucket was
+    # suppressed -> each hot doc keeps itself), the small cluster IS
+    keep = {r.doc_id: r.keep for r in dedup_near_dup_keep_list(spark, sf).collect()}
+    assert keep[1] and keep[2] and keep[1001]  # uncollapsed hot docs all kept
+    assert keep[2000] and not keep[2001]  # small cluster deduped to min id
+    assert keep[3000]
+    # and the side-channel documents exactly what the default run skipped
+    over = lsh_bucket_overflow(spark, sf, PRODUCTION_BUCKET_CAP).collect()
+    assert len(over) == BANDS
+    assert all(r.bucket_size == 1001 for r in over)
+
+    # explicit opt-out restores the exhaustive shape: hot cluster collapses
+    unc = {
+        r.doc_id: r.keep
+        for r in dedup_near_dup_keep_list(spark, sf, bucket_cap=None).collect()
+    }
+    assert unc[1] and not unc[2] and not unc[1001]
+
+
 def test_kcenter_lineage_stays_flat_at_k25(spark):
     """kcenter_greedy chains one withColumn per round; the periodic
     localCheckpoint must keep the optimized-plan size bounded at K=25
