@@ -286,24 +286,75 @@ def stats_percentiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- approximate aggregations
-@register("approx_stats_orders")  # no oracle: approximate by construction
-def approx_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch family for 100 TB interactive work: HLL distinct counts and
-    quantile sketches — single pass, mergeable, bounded memory. The sketch
-    VALUES are engine-specific (HLL register layout / KLL compaction differ
-    per engine by design), so no cross-engine oracle can hash-match them and
-    this entry takes the rows-only check — the ONLY such entry in the
-    registry. The accuracy claim is still verified twice over: (a) the
-    driver-checked twin ``approx_stats_error_bounds`` recomputes the exact
-    answers next to the sketches and hash-checks that every sketch lands
-    inside its published error bound, and (b)
-    ``tests/test_oracle_diff.py::test_approx_sketches_within_error_bounds``
-    asserts the relative errors numerically."""
+    quantile sketches — single pass, mergeable, bounded memory. This is the
+    raw library surface: it emits the sketch VALUES, which are
+    engine-specific (HLL register layout / KLL compaction differ per engine
+    by design) and therefore can never hash-match a cross-engine oracle.
+    The registry entry ``approx_stats_orders`` is the tolerance-gated form
+    of this query; ``tests/test_oracle_diff.py::
+    test_approx_sketches_within_error_bounds`` additionally asserts the
+    relative errors of these raw values numerically."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
+@register(
+    "approx_stats_orders",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+           TRUE AS parts_rsd5_within_10pct,
+           TRUE AS parts_rsd1_within_3pct,
+           TRUE AS suppliers_rsd5_within_10pct,
+           TRUE AS p50_within_5pct,
+           TRUE AS p90_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def approx_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-gated registry form of the sketch family (raw values:
+    :func:`approx_sketch_stats`). Sketch internals are engine-specific, so
+    the cross-engine gate is the published ERROR BOUND, not the estimate:
+    each sketch and its exact anchor are computed in ONE aggregation pass,
+    and the emitted booleans assert the estimate landed inside its bound —
+    HLL at default rsd (5%, gated at 2σ = 10%) and at high precision
+    (rsd 1%, gated at 3σ = 3%), and the KLL-style quantile sketch at p50
+    and p90 (gated at 5% relative). The DuckDB oracle recomputes the exact
+    anchors and asserts every boolean is TRUE, so the driver's hash compare
+    fails if any sketch drifts out of bound on any group — a real
+    differential gate without hashing sketch internals."""
+    l = _t(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
+        F.approx_count_distinct("l_partkey").alias("_p5"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_p1"),
+        F.approx_count_distinct("l_suppkey").alias("_s5"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("_a50"),
+        F.percentile_approx("l_extendedprice", 0.9).alias("_a90"),
+        F.percentile("l_extendedprice", 0.5).alias("_e50"),
+        F.percentile("l_extendedprice", 0.9).alias("_e90"),
+    )
+    within = lambda approx, exact, tol: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) <= tol * F.col(exact)
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_suppliers",
+        within("_p5", "exact_parts", 0.10).alias("parts_rsd5_within_10pct"),
+        within("_p1", "exact_parts", 0.03).alias("parts_rsd1_within_3pct"),
+        within("_s5", "exact_suppliers", 0.10).alias("suppliers_rsd5_within_10pct"),
+        within("_a50", "_e50", 0.05).alias("p50_within_5pct"),
+        within("_a90", "_e90", 0.05).alias("p90_within_5pct"),
     )
 
 

@@ -26,11 +26,13 @@ def test_every_query_has_callable():
         assert callable(fn), name
 
 
-def test_only_sketches_are_rows_only():
-    """Every query carries a DuckDB oracle except the approximate-sketch one
-    (engine-specific HLL/KLL internals are legitimately not SQL-comparable).
-    k-means regained an oracle in round 2 via fixed-iteration integer Lloyd."""
-    assert set(QUERIES) - set(ORACLES) == {"approx_stats_orders"}
+def test_every_query_has_an_oracle():
+    """Every registry query carries a DuckDB oracle — including the
+    approximate-sketch entry, whose oracle is a tolerance gate (within-bound
+    booleans over exact anchors) since sketch internals are engine-specific.
+    k-means regained an oracle in round 2 via fixed-iteration integer Lloyd;
+    approx_stats_orders regained one in round 6 via the tolerance gate."""
+    assert set(QUERIES) - set(ORACLES) == set()
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -60,23 +62,27 @@ def test_oracle_has_no_hugeint_columns(con, name):
     )
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, name):
-    # queries without an oracle still must execute and return a stable schema
-    df = QUERIES[name](spark, SF_DIR)
-    assert df.columns
-    assert df.count() >= 0
+def test_rows_only_queries_run(spark):
+    # queries without an oracle (none today; the hook stays for genuinely
+    # non-SQL-expressible future ops) still must execute with a stable schema
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        df = QUERIES[name](spark, SF_DIR)
+        assert df.columns
+        assert df.count() >= 0
 
 
 def test_approx_sketches_within_error_bounds(spark, con):
-    """The one rows-only query (engine-specific sketches) still gets a
-    numeric accuracy gate: every HLL distinct estimate within 10% of the
-    exact count (default rsd 5%), every approximate median within 5% of the
-    exact interpolated median. The driver-checked twin is
+    """The raw sketch surface (engine-specific values, not registry-hashable)
+    still gets a numeric accuracy gate: every HLL distinct estimate within
+    10% of the exact count (default rsd 5%), every approximate median within
+    5% of the exact interpolated median. The driver-checked twins are
+    ``approx_stats_orders`` (tolerance-gated) and
     ``approx_stats_error_bounds``; this is the local numeric version."""
+    from polars_ad_etl_spark.operators.relational2 import approx_sketch_stats
+
     approx = {
         r["l_returnflag"]: r
-        for r in QUERIES["approx_stats_orders"](spark, SF_DIR).collect()
+        for r in approx_sketch_stats(spark, SF_DIR).collect()
     }
     exact = {
         r[0]: r
