@@ -322,14 +322,16 @@ KMEANS_MAX_ITER = 8
 KMEANS_TOL = 1e-4
 
 
-def _l2sq_to(emb: F.Column, centroid: list[float]) -> F.Column:
-    c = F.array(*[F.lit(float(v)) for v in centroid])
-    return F.aggregate(
-        F.zip_with(
-            emb, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _l2sq_sql(vec_sql: str, centroid: list[float]) -> str:
+    """Double squared L2 distance to a literal centroid as a SQL string.
+    ``repr(float)`` is the shortest round-trip decimal, and Spark's ``D``
+    double literal parses it back to the identical IEEE value, so the
+    literals match F.lit(float(v)) bit for bit."""
+    carr = "array(" + ",".join(f"{float(v)!r}D" for v in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {carr}, (x, y) -> "
+        "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
 
 
@@ -337,15 +339,21 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """Assign each vector to its nearest centroid. The centroids ride the
     plan as literal arrays (K x D doubles — always driver-sized), so the
     assignment is a scan-local projection: no join, no shuffle, no growing
-    lineage across iterations."""
-    dists = F.array(*[_l2sq_to(F.col("embedding"), c) for c in centroids])
+    lineage across iterations. Built as one parsed SQL string (see the
+    section comment above _sq_dist_sql); the let-bound distance array
+    yields both the argmin cluster and its SSE in a single evaluation."""
+    dists = ", ".join(_l2sq_sql("s", c) for c in centroids)
+    nearest = (
+        "transform(array(embedding), s -> "
+        f"transform(array(array({dists})), d -> struct("
+        "CAST(array_position(d, array_min(d)) - 1 AS INT) AS cluster, "
+        "array_min(d) AS sse))[0])[0]"
+    )
     return df.select(
         "vec_id",
         "embedding",
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(
-            "cluster"
-        ),
-        F.array_min(dists).alias("sse"),
+        F.expr(f"({nearest}).cluster").alias("cluster"),
+        F.expr(f"({nearest}).sse").alias("sse"),
     )
 
 
@@ -428,22 +436,47 @@ def _quantized(df: DataFrame) -> DataFrame:
     return df.select("vec_id", q.alias("qe"))
 
 
-def _assign_quantized(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
-    def dist_to(c: list[int]) -> F.Column:
-        carr = F.array(*[F.lit(int(v)) for v in c])
-        return F.aggregate(
-            F.zip_with(F.col("qe"), carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+# Centroid-literal expression trees are built as ONE SQL string handed to
+# the parser, not composed Column-by-Column: a K x D codebook composed via
+# F.array/F.lit/zip_with lambdas costs thousands of py4j round-trips (each
+# lambda is its own JVM conversion), measured at 4-12s of pure driver time
+# per sim_pq_*/kmeans query at sf0.1 while the cluster executed in ~2s. The
+# parser ingests the same tree from a string in milliseconds. The generated
+# SQL is semantically identical (same literals, same aggregate/zip_with
+# shape, same first-match argmin tie-break), so results stay bit-identical
+# — pinned by test_sql_built_argmin_matches_column_built and by every
+# sim_*/kmeans DuckDB oracle hash.
 
-    dists = F.array(*[dist_to(c) for c in centroids])
+
+def _sq_dist_sql(vec_sql: str, centroid: list[int]) -> str:
+    """Exact integer squared L2 distance of ``vec_sql`` to a literal
+    centroid, as a SQL expression string."""
+    carr = "array(" + ",".join(str(int(v)) for v in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {carr}, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def _nearest_sql(vec_sql: str, centroids: list[list[int]]) -> str:
+    """Nearest-centroid id (lowest-index tie-break) as a SQL string. The
+    vector and the distance array are let-bound via single-element
+    ``transform`` so each evaluates exactly once (the CollapseProject
+    lambda-inlining trap — see dedup._SHINGLES_SPARK — applies to any
+    expression referenced more than once)."""
+    dists = ", ".join(_sq_dist_sql("s", c) for c in centroids)
+    return (
+        f"transform(array({vec_sql}), s -> "
+        f"transform(array(array({dists})), d -> "
+        "CAST(array_position(d, array_min(d)) - 1 AS INT))[0])[0]"
+    )
+
+
+def _assign_quantized(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
     return q.select(
         "vec_id",
         "qe",
-        (F.array_position(dists, F.array_min(dists)) - 1)
-        .cast("int")
-        .alias("cluster"),
+        F.expr(_nearest_sql("qe", centroids)).alias("cluster"),
     )
 
 
@@ -838,22 +871,14 @@ def _pq_train(
         for m in range(PQ_M)
     ]
     for _ in range(2):
-        cluster_cols = []
-        for m in range(PQ_M):
-            sub = F.slice("qe", m * PQ_SUBDIM + 1, PQ_SUBDIM)
-
-            def dist_to(c: list[int]) -> F.Column:
-                carr = F.array(*[F.lit(int(v)) for v in c])
-                return F.aggregate(
-                    F.zip_with(sub, carr, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
+        cluster_cols = [
+            F.expr(
+                _nearest_sql(
+                    f"slice(qe, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})", codebooks[m]
                 )
-
-            dists = F.array(*[dist_to(c) for c in codebooks[m]])
-            cluster_cols.append(
-                (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
             )
+            for m in range(PQ_M)
+        ]
         assigned = q_full.select(
             "qe", F.array(*cluster_cols).alias("cl")
         ).select(F.posexplode("qe").alias("pos", "v"), "cl")
@@ -878,18 +903,11 @@ def _pq_train(
 
 
 def _pq_code_col(codebooks: list[list[list[int]]], m: int) -> F.Column:
-    sub = F.slice("qe", m * PQ_SUBDIM + 1, PQ_SUBDIM)
-
-    def dist_to(c: list[int]) -> F.Column:
-        carr = F.array(*[F.lit(int(v)) for v in c])
-        return F.aggregate(
-            F.zip_with(sub, carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    return F.expr(
+        _nearest_sql(
+            f"slice(qe, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})", codebooks[m]
         )
-
-    dists = F.array(*[dist_to(c) for c in codebooks[m]])
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
 
 
 @register("embedding_pq_codes", oracle=_pq_oracle_sql())
@@ -1096,12 +1114,11 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     by PQ asymmetric distance; see the section comment."""
     coarse, q_full = kmeans_fixed(spark, sf_dir)
     lists = _assign_quantized(q_full, coarse).select("vec_id", "cluster")
-    codebooks = []
-    for m in range(PQ_M):
-        q_m = q_full.select(
-            "vec_id", F.slice("qe", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qe")
-        )
-        codebooks.append(_kmeans_fixed_on(q_m, PQ_K, iters=2))
+    # one combined Lloyd pass trains all PQ_M subspace codebooks
+    # (bit-identical to per-subspace _kmeans_fixed_on; pinned by
+    # test_pq_combined_trainer_matches_per_subspace) — M fewer training
+    # scans per iteration than the per-subspace loop this replaced
+    _, codebooks = _pq_train(spark, sf_dir)
     codes = q_full.select(
         "vec_id",
         *[_pq_code_col(codebooks, m).alias(f"code{m}") for m in range(PQ_M)],

@@ -875,6 +875,83 @@ def test_summary_report_surfaces_bucket_overflow(spark, tmp_path):
     assert capped.n_lsh_pairs >= 1
 
 
+def test_sql_built_argmin_matches_column_built(spark):
+    """The SQL-string expression builders (_nearest_sql / kmeans_assign —
+    adopted because Column-by-Column construction of K x D literal trees
+    cost seconds of py4j round-trips per query) must be bit-identical to
+    the Column-composed originals they replaced, including the
+    lowest-index argmin tie-break and double arithmetic."""
+    from pyspark.sql import functions as F
+
+    from polars_ad_etl_spark.operators.similarity import (
+        _assign_quantized,
+        kmeans_assign,
+    )
+
+    # integer path: includes an exact tie (vec equidistant to c0 and c1)
+    rows = [(1, [0, 0]), (2, [10, 10]), (3, [5, 5]), (4, [3, 7])]
+    q = spark.createDataFrame(rows, "vec_id long, qe array<bigint>")
+    cents = [[0, 0], [10, 10], [20, 0]]
+    got = {r.vec_id: r.cluster for r in _assign_quantized(q, cents).collect()}
+
+    def col_dist(c):
+        carr = F.array(*[F.lit(int(v)) for v in c])
+        return F.aggregate(
+            F.zip_with(F.col("qe"), carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(*[col_dist(c) for c in cents])
+    ref = {
+        r.vec_id: r.cluster
+        for r in q.select(
+            "vec_id",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cluster"),
+        ).collect()
+    }
+    assert got == ref
+    assert got[3] == 0  # (5,5) ties c0/c1 at 50 -> lowest index wins
+
+    # double path: awkward reprs (1/3, 1e-9, negative zero) must round-trip
+    e = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [1 / 3, -0.0]), (3, [1e-9, 2.5])],
+        "vec_id long, embedding array<double>",
+    )
+    dcents = [[1 / 3, -0.0], [0.1, 0.2000000001]]
+    got_d = {
+        r.vec_id: (r.cluster, r.sse)
+        for r in kmeans_assign(e, dcents).collect()
+    }
+
+    def col_l2(c):
+        carr = F.array(*[F.lit(float(v)) for v in c])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                carr,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    ddists = F.array(*[col_l2(c) for c in dcents])
+    ref_d = {
+        r.vec_id: (r.cluster, r.sse)
+        for r in e.select(
+            "vec_id",
+            (F.array_position(ddists, F.array_min(ddists)) - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.array_min(ddists).alias("sse"),
+        ).collect()
+    }
+    assert got_d == ref_d  # exact float equality on sse, by design
+
+
 def test_production_bucket_cap_defaults(spark, tmp_path):
     """The production entry points default to the documented hot-bucket cap
     (PRODUCTION_BUCKET_CAP) rather than the uncapped quadratic shape, the
