@@ -109,6 +109,88 @@ def run_pipeline(spark, src_dir: str, name: str, files_per_trigger: int) -> dict
     }
 
 
+def run_rate_stress(
+    spark,
+    name: str,
+    rows_per_sec: int = 2_000_000,
+    n_users: int = 5_000,
+    duration_s: int = 30,
+) -> dict:
+    """Rows/s ceiling for a stateful pipeline using the in-JVM ``rate``
+    source, which generates rows for free — so unlike the file-source runs
+    (plateaued at ~0.6s batch p50 of source/listing overhead) the measured
+    throughput is the state-store + shuffle cost itself.
+
+    The rate is set far above sustainable so every micro-batch saturates;
+    the engine's own ``processedRowsPerSecond`` across saturated batches IS
+    the ceiling. Event time advances with the generated timestamp, so the
+    watermark moves and state expires exactly as in production; key
+    cardinality is bounded by ``n_users``."""
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_sec)
+        .option("numPartitions", 8)
+        .load()
+    )
+    events = raw.selectExpr(
+        "value AS event_id",
+        # watermarks require TIMESTAMP (same type read_events_stream yields
+        # after its UTC-pinned normalization cast)
+        "timestamp AS ts",
+        f"value % {n_users} AS user_id",
+        "element_at(array('click','view','purchase','cart'), "
+        "CAST(value % 4 AS INT) + 1) AS event_type",
+        "CAST(value % 997 AS DOUBLE) / 10 AS value",
+        "CAST(NULL AS STRING) AS props",
+    )
+    df = PIPELINES[name](events)
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_rate_{name}_")
+    q = (
+        df.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    time.sleep(duration_s)
+    # stop() aborts the in-flight micro-batch; the DataWritingSparkTask
+    # "Aborting commit" ERROR lines at teardown are that abort, not a failure
+    q.stop()
+    q.awaitTermination()
+    batches = []
+    for p in q.recentProgress:
+        if p["numInputRows"] == 0:
+            continue
+        state = p.get("stateOperators") or []
+        batches.append(
+            {
+                "rows": p["numInputRows"],
+                "ms": p["durationMs"].get("triggerExecution", 0),
+                "proc_rows_per_sec": p.get("processedRowsPerSecond", 0.0),
+                "state_rows": sum(s.get("numRowsTotal", 0) for s in state),
+                "state_bytes": sum(s.get("memoryUsedBytes", 0) for s in state),
+            }
+        )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # skip the first two batches (cold state store / codegen) for the ceiling
+    steady = batches[2:] or batches
+    rates = sorted(b["proc_rows_per_sec"] for b in steady) or [0]
+    return {
+        "source": "rate",
+        "offered_rows_per_sec": rows_per_sec,
+        "n_users": n_users,
+        "duration_s": duration_s,
+        "n_batches": len(batches),
+        "ceiling_rows_per_sec_p50": round(statistics.median(rates), 1),
+        "ceiling_rows_per_sec_max": round(max(rates), 1),
+        "batch_ms_p50": statistics.median(
+            sorted(b["ms"] for b in steady) or [0]
+        ),
+        "max_state_rows": max((b["state_rows"] for b in batches), default=0),
+        "max_state_bytes": max((b["state_bytes"] for b in batches), default=0),
+        "batches": batches,
+    }
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_r5_streaming.json"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -128,6 +210,17 @@ def main() -> None:
         print(
             f"{name}: {r['rows_per_sec']} rows/s, p50 {r['batch_ms_p50']}ms, "
             f"max_state {r['max_state_rows']} rows", flush=True,
+        )
+    # rate-source stress: state-store rows/s ceiling with zero source cost
+    for name in ("session_windows", "stateful_dedup"):
+        r = run_rate_stress(spark, name)
+        result[f"rate_stress_{name}"] = r
+        print(
+            f"rate_stress_{name}: ceiling p50 "
+            f"{r['ceiling_rows_per_sec_p50']} rows/s (max "
+            f"{r['ceiling_rows_per_sec_max']}), batch p50 "
+            f"{r['batch_ms_p50']}ms, max_state {r['max_state_rows']} rows",
+            flush=True,
         )
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(warm, ignore_errors=True)
