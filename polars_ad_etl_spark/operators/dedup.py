@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import functools
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polars_ad_etl_spark.functions.hashing import (
@@ -238,10 +238,11 @@ def lsh_bucket_overflow(
     )
 
 
-def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(band, h0..h3) -> sorted doc_id list for buckets holding >1 doc."""
-    sigs = minhash_signatures(spark, sf_dir)
-    bands = sigs.select(
+def _banded_keys(sigs: DataFrame) -> DataFrame:
+    """Signature frame -> one row per (doc_id, band, h0..h3) bucket key —
+    the 16-byte handle everything downstream (bucket grouping, corpus
+    index matching) joins on instead of document content."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -258,11 +259,20 @@ def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.*")
+
+
+def _group_buckets(bands: DataFrame) -> DataFrame:
+    """Banded keys -> (band, h0..h3, sorted doc_id list) for buckets >1."""
     return (
         bands.groupBy("band", *[f"h{r}" for r in range(ROWS_PER_BAND)])
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+
+
+def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(band, h0..h3) -> sorted doc_id list for buckets holding >1 doc."""
+    return _group_buckets(_banded_keys(minhash_signatures(spark, sf_dir)))
 
 
 def _expand_bucket_pairs(buckets: DataFrame) -> DataFrame:
@@ -1071,6 +1081,309 @@ def dedup_near_dup_keep_list(
             F.col("component_id").isNull()
             | (F.col("component_id") == F.col("doc_id"))
         ).alias("keep"),
+    )
+
+
+# --------------------------------------------------- incremental (delta) dedup
+# The shape a 100 TB pipeline actually runs day to day: a NEW BATCH of
+# documents arrives and must be deduplicated against the already-curated
+# CORPUS without re-processing the corpus. Nothing about the corpus moves
+# except two tiny indexes — its distinct content hashes (16 bytes/doc) and
+# its distinct LSH bucket keys (5 ints/doc-band) — which in production are
+# maintained as tables and here are derived on the fly from a deterministic
+# hash split of `documents` (salt-pinned, like curation_hash_split).
+#
+# Four drop layers, checked in precedence order, every decision labeled:
+#   exact_corpus  content hash already in the corpus
+#   exact_batch   a smaller-doc_id batch doc has the same content hash
+#   near_corpus   any LSH bucket key collides with a corpus bucket key
+#                 (a SEMI join on the 16-byte key — no pair expansion, no
+#                 fan-out, whatever the corpus bucket sizes are)
+#   near_batch    connected component among the surviving batch docs
+#                 (bucket-grouped pair expansion under the production
+#                 bucket_cap, min-label CC, keep the minimum doc_id)
+# Batch-batch survivors whose only near-twin was dropped by an earlier
+# layer are KEPT — the sequential-greedy semantics of a rolling ingest.
+INCR_SPLIT_PERMILLE = 800  # 80% corpus / 20% incoming batch
+_INCR_SALT = "incr9"
+
+
+def _incr_is_batch(col: Column) -> Column:
+    from polars_ad_etl_spark.functions.hashing import portable_hash32
+
+    h = portable_hash32(F.concat(F.lit(_INCR_SALT), col.cast("string")))
+    return (h % 1000) >= INCR_SPLIT_PERMILLE
+
+
+def _incr_is_batch_sql() -> str:
+    h = portable_hash32_sql(f"'{_INCR_SALT}' || CAST(doc_id AS VARCHAR)")
+    return f"({h} % 1000) >= {INCR_SPLIT_PERMILLE}"
+
+
+def _incremental_oracle_ctes(cap: int) -> str:
+    """Shared CTE prefix for the incremental-dedup oracles: split, exact
+    keys, corpus indexes, the three pre-layers, survivor-restricted capped
+    pair expansion, and the recursive-CTE components."""
+    return f"""
+    sigs AS ({MINHASH_SIG_SQL}),
+    banded AS ({_BANDED_SQL}),
+    keys AS (
+        SELECT doc_id, md5(lower(trim(text))) AS ck,
+               {_incr_is_batch_sql()} AS is_batch
+        FROM documents
+    ),
+    corpus_ck AS (SELECT DISTINCT ck FROM keys WHERE NOT is_batch),
+    batch_min AS (
+        SELECT ck, MIN(doc_id) AS mn FROM keys WHERE is_batch GROUP BY ck
+    ),
+    corpus_bk AS (
+        SELECT DISTINCT {_BUCKET_KEY}
+        FROM banded JOIN keys USING (doc_id) WHERE NOT keys.is_batch
+    ),
+    near_corpus AS (
+        SELECT DISTINCT b.doc_id
+        FROM banded b
+        JOIN keys k USING (doc_id)
+        JOIN corpus_bk USING ({_BUCKET_KEY})
+        WHERE k.is_batch
+    ),
+    pre_dropped AS (
+        SELECT k.doc_id FROM keys k JOIN corpus_ck USING (ck)
+        WHERE k.is_batch
+        UNION
+        SELECT k.doc_id FROM keys k JOIN batch_min USING (ck)
+        WHERE k.is_batch AND k.doc_id > mn
+        UNION
+        SELECT doc_id FROM near_corpus
+    ),
+    surv AS (
+        SELECT doc_id FROM keys
+        WHERE is_batch
+          AND doc_id NOT IN (SELECT doc_id FROM pre_dropped)
+    ),
+    survb AS (SELECT banded.* FROM banded JOIN surv USING (doc_id)),
+    bsize AS (
+        SELECT {_BUCKET_KEY}, COUNT(*) AS n FROM survb GROUP BY {_BUCKET_KEY}
+    ),
+    keepb AS (
+        SELECT survb.* FROM survb JOIN bsize USING ({_BUCKET_KEY})
+        WHERE n <= {cap}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM keepb a JOIN keepb b
+          ON a.band = b.band AND {_BUCKET_EQ} AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+    ),
+    labeled AS (
+        SELECT k.doc_id,
+               CASE WHEN cc.ck IS NOT NULL THEN 'exact_corpus'
+                    WHEN k.doc_id > bm.mn THEN 'exact_batch'
+                    WHEN nc.doc_id IS NOT NULL THEN 'near_corpus'
+                    WHEN cp.component_id IS NOT NULL
+                         AND cp.component_id < k.doc_id THEN 'near_batch'
+                    ELSE 'kept' END AS reason
+        FROM keys k
+        LEFT JOIN corpus_ck cc ON k.ck = cc.ck
+        LEFT JOIN batch_min bm ON k.ck = bm.ck
+        LEFT JOIN near_corpus nc ON k.doc_id = nc.doc_id
+        LEFT JOIN comp cp ON k.doc_id = cp.doc_id
+        WHERE k.is_batch
+    )
+    """
+
+
+def _incremental_keep_oracle(cap: int) -> str:
+    return f"""
+    WITH RECURSIVE {_incremental_oracle_ctes(cap)}
+    SELECT doc_id, reason, reason = 'kept' AS keep FROM labeled
+    """
+
+
+def _incremental_report_oracle(cap: int) -> str:
+    return f"""
+    WITH RECURSIVE {_incremental_oracle_ctes(cap)}
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM keys WHERE NOT is_batch)
+            AS n_corpus,
+        CAST(COUNT(*) AS BIGINT) AS n_batch,
+        CAST(COUNT(*) FILTER (WHERE reason = 'exact_corpus') AS BIGINT)
+            AS n_exact_corpus,
+        CAST(COUNT(*) FILTER (WHERE reason = 'exact_batch') AS BIGINT)
+            AS n_exact_batch,
+        CAST(COUNT(*) FILTER (WHERE reason = 'near_corpus') AS BIGINT)
+            AS n_near_corpus,
+        CAST(COUNT(*) FILTER (WHERE reason = 'near_batch') AS BIGINT)
+            AS n_near_batch,
+        CAST(COUNT(*) FILTER (WHERE reason = 'kept') AS BIGINT) AS n_kept
+    FROM labeled
+    """
+
+
+@register(
+    "dedup_incremental_keep_list",
+    oracle=_incremental_keep_oracle(PRODUCTION_BUCKET_CAP),
+)
+def dedup_incremental_keep_list(
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_cap: int | None = PRODUCTION_BUCKET_CAP,
+) -> DataFrame:
+    """One keep/drop decision + reason per NEW-BATCH document, deduplicated
+    against the existing corpus without touching corpus content (see the
+    section comment for the four labeled layers and their precedence).
+
+    Scale shape: the corpus side contributes only DISTINCT content hashes
+    and DISTINCT bucket keys (both map-side-combinable aggregates over
+    16-byte keys); the batch joins them with semi-join semantics, so the
+    corpus is never re-scanned per batch doc and nothing fans out on hot
+    corpus buckets. Pair expansion happens only among surviving batch docs
+    under the production ``bucket_cap``. The registry oracle applies the
+    identical cap and layer precedence in SQL (recursive CTE for the
+    batch-batch components)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keys = d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("ck"),
+        _incr_is_batch(F.col("doc_id")).alias("is_batch"),
+    )
+    batch_keys = keys.filter("is_batch")
+    corpus_ck = keys.filter(~F.col("is_batch")).select("ck").distinct()
+    batch_min = batch_keys.groupBy("ck").agg(F.min("doc_id").alias("mn"))
+
+    # The banded-key index feeds three branches (corpus index, batch probe,
+    # survivor buckets). Left declarative on purpose: AQE's exchange reuse
+    # already shares the signature shuffle across the branches (measured
+    # FASTER than an eager localCheckpoint of the index, 3.3s vs 4.0s at
+    # sf0.1). In production the corpus half of this index is a persisted
+    # table maintained across batches, not recomputed per run.
+    banded = _banded_keys(minhash_signatures(spark, sf_dir)).withColumn(
+        "is_batch", _incr_is_batch(F.col("doc_id"))
+    )
+    bucket_cols = ["band", *[f"h{r}" for r in range(ROWS_PER_BAND)]]
+    corpus_bk = (
+        banded.filter(~F.col("is_batch")).select(*bucket_cols).distinct()
+    )
+    near_corpus = (
+        banded.filter("is_batch")
+        .join(corpus_bk, bucket_cols, "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    exact_corpus_ids = batch_keys.join(corpus_ck, "ck", "left_semi").select(
+        "doc_id"
+    )
+    exact_batch_ids = (
+        batch_keys.join(batch_min, "ck")
+        .filter(F.col("doc_id") > F.col("mn"))
+        .select("doc_id")
+    )
+    pre_dropped = (
+        exact_corpus_ids.unionByName(exact_batch_ids)
+        .unionByName(near_corpus)
+        .distinct()
+    )
+
+    surv_banded = banded.filter("is_batch").join(
+        pre_dropped, "doc_id", "left_anti"
+    )
+    buckets = _group_buckets(surv_banded.select("doc_id", *bucket_cols))
+    if bucket_cap is not None:
+        buckets = buckets.filter(F.size("ids") <= int(bucket_cap))
+    pairs = _expand_bucket_pairs(buckets).localCheckpoint(eager=True)
+    comp = connected_components_propagate(
+        pairs.selectExpr("doc_a AS a", "doc_b AS b")
+    ).select(F.col("node").alias("doc_id"), "component_id")
+
+    reason = (
+        F.when(F.col("in_corpus_ck").isNotNull(), F.lit("exact_corpus"))
+        .when(F.col("doc_id") > F.col("mn"), F.lit("exact_batch"))
+        .when(F.col("near_c").isNotNull(), F.lit("near_corpus"))
+        .when(
+            F.col("component_id").isNotNull()
+            & (F.col("component_id") < F.col("doc_id")),
+            F.lit("near_batch"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        batch_keys.join(
+            corpus_ck.select(F.col("ck"), F.lit(1).alias("in_corpus_ck")),
+            "ck",
+            "left_outer",
+        )
+        .join(batch_min, "ck")
+        .join(
+            near_corpus.select("doc_id", F.lit(1).alias("near_c")),
+            "doc_id",
+            "left_outer",
+        )
+        .join(comp, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            reason.alias("reason"),
+            (reason == "kept").alias("keep"),
+        )
+    )
+
+
+@register(
+    "dedup_incremental_report",
+    oracle=_incremental_report_oracle(PRODUCTION_BUCKET_CAP),
+)
+def dedup_incremental_report(
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_cap: int | None = PRODUCTION_BUCKET_CAP,
+) -> DataFrame:
+    """One-row ingest report for :func:`dedup_incremental_keep_list`:
+    corpus/batch sizes and the drop count of each labeled layer — the
+    numbers an ingest job publishes per batch. Single-row output via
+    broadcast scalar aggregates; the oracle recomputes every layer."""
+    kl = dedup_incremental_keep_list(spark, sf_dir, bucket_cap=bucket_cap)
+    counts = kl.agg(
+        F.count("*").alias("n_batch"),
+        F.count(F.when(F.col("reason") == "exact_corpus", 1)).alias(
+            "n_exact_corpus"
+        ),
+        F.count(F.when(F.col("reason") == "exact_batch", 1)).alias(
+            "n_exact_batch"
+        ),
+        F.count(F.when(F.col("reason") == "near_corpus", 1)).alias(
+            "n_near_corpus"
+        ),
+        F.count(F.when(F.col("reason") == "near_batch", 1)).alias(
+            "n_near_batch"
+        ),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+    )
+    n_corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(~_incr_is_batch(F.col("doc_id")))
+        .agg(F.count("*").alias("n_corpus"))
+    )
+    return n_corpus.crossJoin(F.broadcast(counts)).select(
+        "n_corpus",
+        "n_batch",
+        "n_exact_corpus",
+        "n_exact_batch",
+        "n_near_corpus",
+        "n_near_batch",
+        "n_kept",
     )
 
 

@@ -1015,6 +1015,91 @@ def test_production_bucket_cap_defaults(spark, tmp_path):
     assert unc[1] and not unc[2] and not unc[1001]
 
 
+def test_incremental_dedup_all_layers(spark, tmp_path):
+    """dedup_incremental_keep_list must label every drop layer correctly on
+    a planted corpus/batch: exact_corpus, exact_batch, near_corpus (tokens
+    identical to a corpus doc but raw text differs — doubled space — so ALL
+    LSH bands collide while the md5 content key does not), near_batch (CC
+    min-id keep among surviving batch docs), kept, and the documented
+    precedence. bucket_cap=0 disables the batch-batch pair stage, flipping
+    the near_batch drop to kept while leaving corpus-driven layers alone."""
+    import hashlib
+
+    from polars_ad_etl_spark.operators.dedup import (
+        INCR_SPLIT_PERMILLE,
+        _INCR_SALT,
+        dedup_incremental_keep_list,
+        dedup_incremental_report,
+    )
+
+    def is_batch(doc_id: int) -> bool:
+        h = int(
+            hashlib.md5(f"{_INCR_SALT}{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        return h % 1000 >= INCR_SPLIT_PERMILLE
+
+    corpus_ids = [i for i in range(1, 200) if not is_batch(i)]
+    batch_ids = [i for i in range(1, 200) if is_batch(i)]
+    assert len(corpus_ids) >= 2 and len(batch_ids) >= 7
+
+    t_shared = "the quick brown fox jumps over the lazy sleeping dog today"
+    t_twin = "an entirely different batch story about seven silver ships sailing"
+    t_near = "another separate batch tale of nine golden gates standing tall"
+    c1, c2 = corpus_ids[:2]
+    b = batch_ids
+    rows = [
+        (c1, t_shared, "en"),
+        (c2, "a corpus only story never repeated anywhere else at all", "en"),
+        (b[0], t_shared, "en"),                      # exact_corpus
+        (b[1], t_shared.replace(" fox ", "  fox "), "en"),  # near_corpus
+        (b[2], t_twin, "en"),                        # kept (min of exact pair)
+        (b[3], t_twin, "en"),                        # exact_batch
+        (b[4], t_near, "en"),                        # kept (min of near pair)
+        (b[5], t_near.replace(" nine ", "  nine "), "en"),  # near_batch
+        (b[6], "a wholly unique batch document with no twin at all", "en"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, l, "synthetic", len(t)) for i, t, l in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    got = {
+        r.doc_id: (r.reason, r.keep)
+        for r in dedup_incremental_keep_list(spark, sf).collect()
+    }
+    assert got == {
+        b[0]: ("exact_corpus", False),
+        b[1]: ("near_corpus", False),
+        b[2]: ("kept", True),
+        b[3]: ("exact_batch", False),
+        b[4]: ("kept", True),
+        b[5]: ("near_batch", False),
+        b[6]: ("kept", True),
+    }
+
+    rep = dedup_incremental_report(spark, sf).collect()[0]
+    assert rep.n_corpus == 2 and rep.n_batch == 7
+    assert (rep.n_exact_corpus, rep.n_exact_batch) == (1, 1)
+    assert (rep.n_near_corpus, rep.n_near_batch) == (1, 1)
+    assert rep.n_kept == 3
+    assert rep.n_batch == (
+        rep.n_exact_corpus + rep.n_exact_batch + rep.n_near_corpus
+        + rep.n_near_batch + rep.n_kept
+    )
+
+    # cap=0 removes the batch-batch pair stage only
+    capped = {
+        r.doc_id: r.reason
+        for r in dedup_incremental_keep_list(spark, sf, bucket_cap=0).collect()
+    }
+    assert capped[b[5]] == "kept"
+    assert {k: v for k, v in capped.items() if k != b[5]} == {
+        k: v for k, (v, _) in got.items() if k != b[5]
+    }
+
+
 def test_kcenter_lineage_stays_flat_at_k25(spark):
     """kcenter_greedy chains one withColumn per round; the periodic
     localCheckpoint must keep the optimized-plan size bounded at K=25
