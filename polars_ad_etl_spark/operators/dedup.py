@@ -352,31 +352,11 @@ def _overflow_oracle(cap: int) -> str:
     """
 
 
-def _capped_components_oracle(cap: int) -> str:
-    """Recursive-CTE component derivation over the ``cap``-ped pair set."""
-    return f"""
-    WITH RECURSIVE pairs AS ({_capped_pairs_oracle(cap)}),
-    edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION ALL
-        SELECT doc_b, doc_a FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT a AS node FROM edges),
-    reach(node, r) AS (
-        SELECT node, node FROM nodes
-        UNION
-        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
-    )
-    SELECT node AS doc_id, MIN(r) AS component_id
-    FROM reach GROUP BY node
-    """
-
-
-def _capped_summary_oracle(cap: int) -> str:
-    """Full one-row dedup summary (pairs + components + overflow) with the
-    hot-bucket cap at ``cap`` applied consistently to every input number."""
-    return f"""
-    WITH RECURSIVE pairs AS ({_capped_pairs_oracle(cap)}),
+# The min-label connected-components derivation (edges -> nodes -> reach ->
+# comp) over a CTE named `pairs`, shared by every oracle that needs
+# components — defined ONCE so the component semantics can't drift between
+# the plain, capped, summary, and incremental variants.
+_CC_CTES = """
     edges AS (
         SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION ALL
@@ -390,7 +370,25 @@ def _capped_summary_oracle(cap: int) -> str:
     ),
     comp AS (
         SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
-    ),
+    )
+"""
+
+
+def _capped_components_oracle(cap: int) -> str:
+    """Recursive-CTE component derivation over the ``cap``-ped pair set."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_capped_pairs_oracle(cap)}),
+    {_CC_CTES}
+    SELECT doc_id, component_id FROM comp
+    """
+
+
+def _capped_summary_oracle(cap: int) -> str:
+    """Full one-row dedup summary (pairs + components + overflow) with the
+    hot-bucket cap at ``cap`` applied consistently to every input number."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_capped_pairs_oracle(cap)}),
+    {_CC_CTES},
     docs AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(COUNT(*) - COUNT(DISTINCT md5(lower(trim(text))))
@@ -844,19 +842,8 @@ def _lsh_pairs_oracle() -> str:
 def _components_oracle() -> str:
     return f"""
     WITH RECURSIVE pairs AS ({_lsh_pairs_oracle()}),
-    edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION ALL
-        SELECT doc_b, doc_a FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT a AS node FROM edges),
-    reach(node, r) AS (
-        SELECT node, node FROM nodes
-        UNION
-        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
-    )
-    SELECT node AS doc_id, MIN(r) AS component_id
-    FROM reach GROUP BY node
+    {_CC_CTES}
+    SELECT doc_id, component_id FROM comp
     """
 
 
@@ -1174,20 +1161,7 @@ def _incremental_oracle_ctes(cap: int) -> str:
         FROM keepb a JOIN keepb b
           ON a.band = b.band AND {_BUCKET_EQ} AND a.doc_id < b.doc_id
     ),
-    edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION ALL
-        SELECT doc_b, doc_a FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT a AS node FROM edges),
-    reach(node, r) AS (
-        SELECT node, node FROM nodes
-        UNION
-        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
-    ),
-    comp AS (
-        SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
-    ),
+    {_CC_CTES},
     labeled AS (
         SELECT k.doc_id,
                CASE WHEN cc.ck IS NOT NULL THEN 'exact_corpus'
@@ -1326,7 +1300,13 @@ def dedup_incremental_keep_list(
             "ck",
             "left_outer",
         )
-        .join(batch_min, "ck")
+        # left_outer, NOT inner: a NULL-text doc has ck = NULL, which never
+        # equi-joins — an inner join would silently DROP the doc from the
+        # keep list. With the left join its mn is NULL, `doc_id > NULL` is
+        # NULL, and the when-chain falls through to later layers / kept —
+        # matching the oracle's LEFT JOIN semantics (NULL-content docs are
+        # never content-equal to anything, including each other).
+        .join(batch_min, "ck", "left_outer")
         .join(
             near_corpus.select("doc_id", F.lit(1).alias("near_c")),
             "doc_id",

@@ -322,12 +322,27 @@ KMEANS_MAX_ITER = 8
 KMEANS_TOL = 1e-4
 
 
+def _dlit(v: float) -> str:
+    """One double literal: repr round-trips finite IEEE values exactly via
+    the ``D`` suffix; non-finite values (a NaN component poisons a centroid
+    mean) have no literal form and must be CAST from string — repr would
+    render 'nanD', which the parser reads as an identifier and fails on."""
+    v = float(v)
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{v!r}D"
+
+
 def _l2sq_sql(vec_sql: str, centroid: list[float]) -> str:
     """Double squared L2 distance to a literal centroid as a SQL string.
     ``repr(float)`` is the shortest round-trip decimal, and Spark's ``D``
     double literal parses it back to the identical IEEE value, so the
     literals match F.lit(float(v)) bit for bit."""
-    carr = "array(" + ",".join(f"{float(v)!r}D" for v in centroid) + ")"
+    carr = "array(" + ",".join(_dlit(v) for v in centroid) + ")"
     return (
         f"aggregate(zip_with({vec_sql}, {carr}, (x, y) -> "
         "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
@@ -340,8 +355,11 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
     plan as literal arrays (K x D doubles — always driver-sized), so the
     assignment is a scan-local projection: no join, no shuffle, no growing
     lineage across iterations. Built as one parsed SQL string (see the
-    section comment above _sq_dist_sql); the let-bound distance array
-    yields both the argmin cluster and its SSE in a single evaluation."""
+    section comment above _sq_dist_sql). The let-binding guarantees the
+    distance array evaluates once WITHIN each output expression; the
+    cluster and sse outputs are two copies of that expression (same shape
+    as the Column-built original), deduplicated across outputs by codegen
+    subexpression elimination."""
     dists = ", ".join(_l2sq_sql("s", c) for c in centroids)
     nearest = (
         "transform(array(embedding), s -> "

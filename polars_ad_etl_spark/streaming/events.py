@@ -52,11 +52,23 @@ def _is_directory(spark: SparkSession, path: str) -> bool:
     unavailable (e.g. Spark Connect)."""
     try:
         jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.getFileStatus(hpath).isDirectory())
-    except Exception:
+        jsc = spark._jsc
+        if jvm is None or jsc is None:
+            raise AttributeError("no JVM gateway")
+    except AttributeError:
         return os.path.isdir(path)
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    try:
+        return bool(fs.getFileStatus(hpath).isDirectory())
+    except Exception as e:
+        # a missing path is simply "not a directory"; every OTHER remote
+        # error (credentials, 403s, missing connector jars, timeouts) must
+        # propagate — swallowing it here would silently mis-route a remote
+        # directory table into the glob branch and yield an empty stream
+        if "FileNotFoundException" in str(e):
+            return False
+        raise
 
 
 def read_events_stream(

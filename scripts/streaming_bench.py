@@ -192,7 +192,9 @@ def run_rate_stress(
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_r5_streaming.json"
+    # round-neutral default so a no-arg run can't clobber a committed
+    # BENCH_r{N}_streaming.json artifact
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_streaming.json"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     n_files = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     fpt = int(sys.argv[4]) if len(sys.argv) > 4 else 2

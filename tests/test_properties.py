@@ -1040,7 +1040,7 @@ def test_incremental_dedup_all_layers(spark, tmp_path):
 
     corpus_ids = [i for i in range(1, 200) if not is_batch(i)]
     batch_ids = [i for i in range(1, 200) if is_batch(i)]
-    assert len(corpus_ids) >= 2 and len(batch_ids) >= 7
+    assert len(corpus_ids) >= 2 and len(batch_ids) >= 8
 
     t_shared = "the quick brown fox jumps over the lazy sleeping dog today"
     t_twin = "an entirely different batch story about seven silver ships sailing"
@@ -1057,9 +1057,10 @@ def test_incremental_dedup_all_layers(spark, tmp_path):
         (b[4], t_near, "en"),                        # kept (min of near pair)
         (b[5], t_near.replace(" nine ", "  nine "), "en"),  # near_batch
         (b[6], "a wholly unique batch document with no twin at all", "en"),
+        (b[7], None, "en"),  # NULL text: ck NULL joins nothing -> kept
     ]
     docs = spark.createDataFrame(
-        [(i, t, l, "synthetic", len(t)) for i, t, l in rows],
+        [(i, t, l, "synthetic", len(t) if t else 0) for i, t, l in rows],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
@@ -1077,13 +1078,14 @@ def test_incremental_dedup_all_layers(spark, tmp_path):
         b[4]: ("kept", True),
         b[5]: ("near_batch", False),
         b[6]: ("kept", True),
+        b[7]: ("kept", True),  # NULL text survives every layer (no silent drop)
     }
 
     rep = dedup_incremental_report(spark, sf).collect()[0]
-    assert rep.n_corpus == 2 and rep.n_batch == 7
+    assert rep.n_corpus == 2 and rep.n_batch == 8
     assert (rep.n_exact_corpus, rep.n_exact_batch) == (1, 1)
     assert (rep.n_near_corpus, rep.n_near_batch) == (1, 1)
-    assert rep.n_kept == 3
+    assert rep.n_kept == 4
     assert rep.n_batch == (
         rep.n_exact_corpus + rep.n_exact_batch + rep.n_near_corpus
         + rep.n_near_batch + rep.n_kept
