@@ -1,3 +1,8 @@
+from polars_ad_etl_spark.streaming.documents import (
+    corpus_indexes,
+    incremental_ingest_stream,
+    read_documents_stream,
+)
 from polars_ad_etl_spark.streaming.events import (
     read_events_stream,
     hourly_rollup_stream,
@@ -14,6 +19,9 @@ from polars_ad_etl_spark.streaming.events import (
 )
 
 __all__ = [
+    "corpus_indexes",
+    "incremental_ingest_stream",
+    "read_documents_stream",
     "daily_active_users_stream",
     "daily_active_users_approx_stream",
     "read_events_stream",

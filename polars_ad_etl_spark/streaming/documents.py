@@ -1,0 +1,184 @@
+"""Streaming incremental ingest: the stream-static twin of the batch
+``dedup_incremental_keep_list`` (operators/dedup.py).
+
+Production shape: new documents arrive continuously; each must clear the
+same first three drop layers as the batch path — exact-vs-corpus,
+exact-vs-earlier-arrivals, near-vs-corpus — before entering the corpus.
+The corpus contributes the SAME two static indexes as the batch path (its
+distinct content hashes and distinct LSH bucket keys), joined stream-static;
+arrival-order state replaces the batch min-doc_id rule for within-stream
+exact dups. The fourth batch layer (near-dup WITHIN the new data,
+connected components) is deliberately absent: component collapse is a
+global fixpoint and belongs to the periodic batch compaction, not the
+ingest stream — the standard lambda split, noted here so nobody expects
+the stream to do it.
+
+The per-document MinHash signature is computed as a PROJECTION (one
+let-bound SQL expression per row: tokens -> 3-gram shingles -> 32-bit
+portable hashes -> K permutation minima), because streaming cannot run the
+batch path's explode+groupBy signature plan without a watermarked
+aggregate. Semantics match the batch signature exactly for docs with >= 3
+tokens; shorter docs get NULL minima, which join nothing — the same
+"never near-anything" outcome as their absence from the batch bucket
+index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from polars_ad_etl_spark.functions.hashing import MERSENNE_P
+from polars_ad_etl_spark.operators.dedup import (
+    BANDS,
+    PERMS,
+    ROWS_PER_BAND,
+    _incr_is_batch,
+    minhash_signatures,
+)
+from polars_ad_etl_spark.streaming.events import _is_directory
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+# Per-row signature as one parsed SQL expression. Every intermediate
+# (tokens, shingles, shingle hashes) is let-bound via single-element
+# transform so it evaluates exactly once per row (the CollapseProject
+# lambda-inlining trap — see dedup._SHINGLES_SPARK).
+_HASH32_SQL = "CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)"
+
+_SIG_ARRAY_SQL = (
+    "transform(array(filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')), t -> "
+    "transform(array(CASE WHEN size(t) >= 3 THEN "
+    "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) "
+    "ELSE array() END), sh -> "
+    f"transform(array(transform(sh, s -> {_HASH32_SQL})), hs -> "
+    "array("
+    + ", ".join(
+        f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {MERSENNE_P}L))"
+        for a, b in PERMS
+    )
+    + "))[0])[0])[0]"
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the documents parquet (in production: the
+    ingest queue — same downstream plan). Explicit schema, directory vs
+    single-file layout probed the same way as the events stream."""
+    reader = spark.readStream.schema(_DOCS_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    path = f"{sf_dir}/documents.parquet"
+    if _is_directory(spark, path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", "documents.parquet").parquet(
+        str(sf_dir)
+    )
+
+
+def corpus_indexes(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two static corpus-side indexes the ingest stream joins against:
+    distinct content hashes and distinct per-band LSH bucket keys of the
+    CORPUS half of the hash split. In production both are persisted tables
+    maintained by the batch compaction job; here they are derived from the
+    same deterministic split as the batch path, so stream and batch agree
+    doc for doc."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_ck = (
+        d.filter(~_incr_is_batch(F.col("doc_id")))
+        .select(F.md5(F.lower(F.trim("text"))).alias("ck"))
+        .filter(F.col("ck").isNotNull())
+        .distinct()
+    )
+    sigs = minhash_signatures(spark, sf_dir).filter(
+        ~_incr_is_batch(F.col("doc_id"))
+    )
+    corpus_bk = (
+        sigs.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            *[
+                                F.col(f"mh{j * ROWS_PER_BAND + r}").alias(
+                                    f"h{r}"
+                                )
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        )
+                        for j in range(BANDS)
+                    ]
+                )
+            ).alias("b")
+        )
+        .select("b.*")
+        .distinct()
+    )
+    return corpus_ck, corpus_bk
+
+
+def incremental_ingest_stream(
+    docs: DataFrame, corpus_ck: DataFrame, corpus_bk: DataFrame
+) -> DataFrame:
+    """New-batch documents that survive the three streamable drop layers —
+    the rows an ingest job appends to the corpus.
+
+    1. within-stream exact dedup: ``dropDuplicates`` on the content hash
+       (first arrival wins — the streaming analogue of the batch min-id
+       rule). NULL-text docs get a per-doc surrogate key so Spark's
+       null-keys-are-equal grouping cannot collapse them (the batch layer
+       treats NULL content as equal to nothing). State is one 16-byte key
+       per distinct document ever seen — the same index the corpus side
+       keeps anyway.
+    2. exact-vs-corpus: stream-static LEFT ANTI join on the hash index.
+    3. near-vs-corpus: the row's banded signature minima against the
+       static bucket-key index, one stream-static left join per band
+       (key-distinct, so no row multiplication), dropped if ANY band
+       collides. Docs under 3 tokens have NULL minima and join nothing.
+    """
+    s = docs.filter(_incr_is_batch(F.col("doc_id"))).select(
+        "*",
+        F.md5(F.lower(F.trim("text"))).alias("ck"),
+        F.expr(_SIG_ARRAY_SQL).alias("mh"),
+    )
+    s = s.withColumn(
+        "ck2", F.coalesce("ck", F.concat(F.lit("∅"), F.col("doc_id")))
+    )
+    s = s.dropDuplicates(["ck2"])
+    s = s.join(corpus_ck, "ck", "left_anti")
+    for j in range(BANDS):
+        bk_j = corpus_bk.filter(F.col("band") == j).select(
+            *[F.col(f"h{r}").alias(f"b{j}h{r}") for r in range(ROWS_PER_BAND)],
+            F.lit(1).alias(f"hit{j}"),
+        )
+        cond = None
+        for r in range(ROWS_PER_BAND):
+            c = F.element_at("mh", j * ROWS_PER_BAND + r + 1) == F.col(
+                f"b{j}h{r}"
+            )
+            cond = c if cond is None else cond & c
+        s = s.join(F.broadcast(bk_j), cond, "left_outer").drop(
+            *[f"b{j}h{r}" for r in range(ROWS_PER_BAND)]
+        )
+    near = None
+    for j in range(BANDS):
+        c = F.col(f"hit{j}").isNotNull()
+        near = c if near is None else near | c
+    return (
+        s.filter(~near)
+        .select("doc_id", "text", "lang", "source", "n_chars", "ck")
+    )

@@ -517,3 +517,115 @@ def test_checkpoint_restart_recovers_exactly_once(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_incremental_ingest_stream_matches_batch_layers(spark):
+    """The streaming ingest must admit exactly the documents the batch
+    incremental keep-list admits through its three streamable layers
+    (bucket_cap=0 disables the batch-only near-batch CC layer). On the
+    natural sf0.001 corpus there are no exact batch twins, so first-arrival
+    and min-doc_id agree and the comparison is exact."""
+    from polars_ad_etl_spark.operators.dedup import dedup_incremental_keep_list
+    from polars_ad_etl_spark.streaming import (
+        corpus_indexes,
+        incremental_ingest_stream,
+        read_documents_stream,
+    )
+
+    ck, bk = corpus_indexes(spark, SF_DIR)
+    stream = read_documents_stream(spark, SF_DIR)
+    _run_to_completion(
+        incremental_ingest_stream(stream, ck, bk), "ingest_out"
+    )
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM ingest_out").collect()}
+    want = {
+        r.doc_id
+        for r in dedup_incremental_keep_list(
+            spark, SF_DIR, bucket_cap=0
+        ).collect()
+        if r.keep
+    }
+    assert got == want and got
+
+
+def test_incremental_ingest_stream_state_across_batches(spark, tmp_path):
+    """Cross-micro-batch state: a planted corpus/batch split streamed as two
+    files (modification times pin the processing order) must drop an exact
+    twin that arrives in a LATER micro-batch than its first occurrence,
+    drop exact/near corpus matches, and keep NULL-text docs (surrogate key:
+    Spark's null-equal grouping must not collapse them)."""
+    import hashlib
+    import os
+    import time
+
+    from polars_ad_etl_spark.operators.dedup import (
+        INCR_SPLIT_PERMILLE,
+        _INCR_SALT,
+    )
+    from polars_ad_etl_spark.streaming import (
+        corpus_indexes,
+        incremental_ingest_stream,
+        read_documents_stream,
+    )
+
+    def is_batch(doc_id):
+        h = int(
+            hashlib.md5(f"{_INCR_SALT}{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        return h % 1000 >= INCR_SPLIT_PERMILLE
+
+    cids = [i for i in range(1, 200) if not is_batch(i)]
+    bids = [i for i in range(1, 200) if is_batch(i)]
+    t_shared = "the quick brown fox jumps over the lazy sleeping dog today"
+    t_twin = "an entirely different batch story about seven silver ships sailing"
+
+    def write(rows, path):
+        spark.createDataFrame(
+            [(i, t, "en", "synthetic", len(t) if t else 0) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    # the file source does not recurse into nested directories, so each
+    # micro-batch is one FLAT part file copied into the stream dir
+    import glob as _glob
+    import shutil
+
+    d = f"{tmp_path}/stream_src/documents.parquet"
+    os.makedirs(d)
+    now = time.time()
+    for name, rows, when in (
+        ("f0", [(bids[0], t_shared), (bids[2], t_twin), (bids[6], None)],
+         now - 60),
+        ("f1", [(bids[3], t_twin),
+                (bids[1], t_shared.replace(" fox ", "  fox ")),
+                (bids[7], None)], now - 30),
+    ):
+        w = f"{tmp_path}/w_{name}"
+        write(rows, w)
+        part = _glob.glob(f"{w}/part-*.parquet")[0]
+        dst = f"{d}/{name}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (when, when))
+
+    # static corpus from a separate dir (the established corpus)
+    corpus_dir = f"{tmp_path}/corpus"
+    write(
+        [(cids[0], t_shared),
+         (cids[1], "a corpus only story never repeated anywhere else at all")],
+        f"{corpus_dir}/documents.parquet",
+    )
+    ck, bk = corpus_indexes(spark, corpus_dir)
+
+    stream = read_documents_stream(
+        spark, f"{tmp_path}/stream_src", max_files_per_trigger=1
+    )
+    _run_to_completion(
+        incremental_ingest_stream(stream, ck, bk), "ingest_state_out"
+    )
+    got = {
+        r.doc_id
+        for r in spark.sql("SELECT doc_id FROM ingest_state_out").collect()
+    }
+    # b0 exact-vs-corpus, b1 near-vs-corpus, b3 exact twin of b2 from the
+    # EARLIER micro-batch; both NULL-text docs kept
+    assert got == {bids[2], bids[6], bids[7]}
