@@ -1322,6 +1322,27 @@ def dedup_incremental_keep_list(
 
 
 @register(
+    "dedup_incremental_ingest_admitted",
+    oracle=f"""
+    WITH RECURSIVE {_incremental_oracle_ctes(0)}
+    SELECT doc_id FROM labeled WHERE reason = 'kept'
+    """,
+)
+def dedup_incremental_ingest_admitted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch twin of ``streaming.documents.incremental_ingest_stream``: the
+    documents the three STREAMABLE layers admit (``bucket_cap=0`` disables
+    the batch-only near-batch CC layer, leaving exact-vs-corpus,
+    exact-within-batch, near-vs-corpus). Registered so the streaming
+    pipeline's admission semantics carry a DuckDB oracle the same way the
+    events_* batch twins gate the event streams;
+    tests/test_streaming.py asserts the stream's output equals this set."""
+    kl = dedup_incremental_keep_list(spark, sf_dir, bucket_cap=0)
+    return kl.filter("keep").select("doc_id")
+
+
+@register(
     "dedup_incremental_report",
     oracle=_incremental_report_oracle(PRODUCTION_BUCKET_CAP),
 )

@@ -525,7 +525,9 @@ def test_incremental_ingest_stream_matches_batch_layers(spark):
     (bucket_cap=0 disables the batch-only near-batch CC layer). On the
     natural sf0.001 corpus there are no exact batch twins, so first-arrival
     and min-doc_id agree and the comparison is exact."""
-    from polars_ad_etl_spark.operators.dedup import dedup_incremental_keep_list
+    from polars_ad_etl_spark.operators.dedup import (
+        dedup_incremental_ingest_admitted,
+    )
     from polars_ad_etl_spark.streaming import (
         corpus_indexes,
         incremental_ingest_stream,
@@ -538,12 +540,10 @@ def test_incremental_ingest_stream_matches_batch_layers(spark):
         incremental_ingest_stream(stream, ck, bk), "ingest_out"
     )
     got = {r.doc_id for r in spark.sql("SELECT doc_id FROM ingest_out").collect()}
+    # the oracle-checked batch twin of the stream's admission semantics
     want = {
         r.doc_id
-        for r in dedup_incremental_keep_list(
-            spark, SF_DIR, bucket_cap=0
-        ).collect()
-        if r.keep
+        for r in dedup_incremental_ingest_admitted(spark, SF_DIR).collect()
     }
     assert got == want and got
 
