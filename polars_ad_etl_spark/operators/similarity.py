@@ -849,7 +849,7 @@ def _pq_oracle_sql() -> str:
 
 
 def _pq_train(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, q_full: DataFrame | None = None
 ) -> tuple[DataFrame, list[list[list[int]]]]:
     """(quantized frame, per-subspace codebooks) — shared by the code
     emitter and the ADC search.
@@ -864,11 +864,14 @@ def _pq_train(
     argmin tie-break, same floor-divided update; pinned by
     ``test_pq_combined_trainer_matches_per_subspace``), but 3 passes over
     the data instead of 3*PQ_M — at corpus scale, M fewer full scans per
-    iteration; on the local harness, 4x fewer job round-trips."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "embedding"
-    )
-    q_full = _quantized(e)
+    iteration; on the local harness, 4x fewer job round-trips. Pass an
+    existing quantized (vec_id, qe) frame via ``q_full`` to share the
+    scan/quantize subplan with a caller that already built it (IVF-PQ)."""
+    if q_full is None:
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        q_full = _quantized(e)
     from polars_ad_etl_spark.functions.hashing import portable_hash32
 
     init = (
@@ -1135,8 +1138,9 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one combined Lloyd pass trains all PQ_M subspace codebooks
     # (bit-identical to per-subspace _kmeans_fixed_on; pinned by
     # test_pq_combined_trainer_matches_per_subspace) — M fewer training
-    # scans per iteration than the per-subspace loop this replaced
-    _, codebooks = _pq_train(spark, sf_dir)
+    # scans per iteration than the per-subspace loop this replaced; the
+    # already-quantized frame is shared so the scan/quantize isn't rebuilt
+    _, codebooks = _pq_train(spark, sf_dir, q_full=q_full)
     codes = q_full.select(
         "vec_id",
         *[_pq_code_col(codebooks, m).alias(f"code{m}") for m in range(PQ_M)],
