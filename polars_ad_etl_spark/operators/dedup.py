@@ -317,6 +317,11 @@ COSINE_CAP_DEMO = 5
 # explicitly for an exhaustive (potentially quadratic) run.
 PRODUCTION_BUCKET_CAP = 1000
 
+# Deterministic corpus/new-batch hash split shared by the incremental
+# (delta) dedup paths — documents (salt `_INCR_SALT`, see the incremental
+# section) and embeddings (`_VEC_INCR_SALT`). 80% corpus / 20% batch.
+INCR_SPLIT_PERMILLE = 800
+
 
 def _capped_pairs_oracle(cap: int) -> str:
     """DuckDB SQL for the capped LSH pair set at an arbitrary ``cap`` —
@@ -787,6 +792,153 @@ def dedup_cosine_overflow_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_bucket_overflow(spark, sf_dir, COSINE_CAP_DEMO)
 
 
+# ------------------------------------ incremental embedding-level near-dup
+# The vector analog of the incremental document dedup below: a NEW BATCH of
+# embeddings (deterministic hash split on vec_id) is deduplicated against
+# the established corpus. Candidates come from sign-LSH bucket collisions
+# only — the batch-vs-corpus join is bucket-equi, bounded per batch vector
+# by the corpus bucket size, never all-pairs — and exact cosine confirms at
+# the duplicate threshold. Survivors then dedup among themselves the same
+# way (bucketed pairs -> connected components -> keep the min vec_id).
+_VEC_INCR_SALT = "vincr3"
+
+_COS_SQL_AB = (
+    "round(list_dot_product(a.e, b.e) / "
+    "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4)"
+)
+_COS_SQL_AC = _COS_SQL_AB.replace("b.e", "c.e")
+
+
+def _vec_is_batch(col: Column) -> Column:
+    from polars_ad_etl_spark.functions.hashing import portable_hash32
+
+    h = portable_hash32(F.concat(F.lit(_VEC_INCR_SALT), col.cast("string")))
+    return (h % 1000) >= INCR_SPLIT_PERMILLE
+
+
+@register(
+    "dedup_incremental_embedding_keep",
+    oracle=f"""
+    WITH RECURSIVE bucketed AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               {_bucket_sql('embedding')} AS bucket,
+               ({portable_hash32_sql(f"'{_VEC_INCR_SALT}' || CAST(vec_id AS VARCHAR)")}
+                % 1000) >= {{permille}} AS is_batch
+        FROM embeddings
+    ),
+    nc AS (
+        SELECT DISTINCT a.vec_id
+        FROM bucketed a JOIN bucketed c
+          ON a.bucket = c.bucket AND a.is_batch AND NOT c.is_batch
+        WHERE {_COS_SQL_AC} >= {COSINE_DUP_THRESHOLD}
+    ),
+    surv AS (
+        SELECT * FROM bucketed
+        WHERE is_batch AND vec_id NOT IN (SELECT vec_id FROM nc)
+    ),
+    pairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM surv a JOIN surv b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_COS_SQL_AB} >= {COSINE_DUP_THRESHOLD}
+    ),
+    {{cc}}
+    SELECT vec_id, reason, reason = 'kept' AS keep FROM (
+        SELECT v.vec_id,
+               CASE WHEN nc.vec_id IS NOT NULL THEN 'near_corpus'
+                    WHEN cp.component_id IS NOT NULL
+                         AND cp.component_id < v.vec_id THEN 'near_batch'
+                    ELSE 'kept' END AS reason
+        FROM bucketed v
+        LEFT JOIN nc ON v.vec_id = nc.vec_id
+        LEFT JOIN comp cp ON v.vec_id = cp.doc_id
+        WHERE v.is_batch
+    )
+    """.replace("{permille}", str(INCR_SPLIT_PERMILLE)).replace(
+        "{cc}", "_CC_PLACEHOLDER_"
+    ),
+)
+def dedup_incremental_embedding_keep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One keep/drop decision + reason per new-batch embedding, deduplicated
+    against the corpus (see the section comment). Scale shape: both layers
+    join on the sign bucket only — the corpus side ships (bucket, vector)
+    for collision candidates, cosine confirms exactly, and the batch-batch
+    survivor graph collapses via the same checkpointed min-label CC as the
+    document path. Hot corpus buckets bound the per-vector candidate count;
+    ``embedding_bucket_overflow`` remains the accounting side-channel for a
+    capped run."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = e.select(
+        "vec_id",
+        "embedding",
+        _bucket_expr(F.col("embedding")).alias("bucket"),
+        _vec_is_batch(F.col("vec_id")).alias("is_batch"),
+    )
+    corpus = b.filter(~F.col("is_batch")).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        "bucket",
+    )
+    batch = b.filter("is_batch").select("vec_id", "embedding", "bucket")
+    near_corpus = (
+        batch.join(corpus, "bucket")
+        .filter(
+            F.round(cosine(F.col("embedding"), F.col("ce")), 4)
+            >= COSINE_DUP_THRESHOLD
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    surv = batch.join(near_corpus, "vec_id", "left_anti")
+    a_side, b_side = surv.alias("a"), surv.alias("b")
+    pairs = (
+        a_side.join(
+            b_side,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
+            >= COSINE_DUP_THRESHOLD
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+        )
+        .localCheckpoint(eager=True)
+    )
+    comp = connected_components_propagate(
+        pairs.selectExpr("doc_a AS a", "doc_b AS b")
+    ).select(F.col("node").alias("vec_id"), "component_id")
+    reason = (
+        F.when(F.col("near_c").isNotNull(), F.lit("near_corpus"))
+        .when(
+            F.col("component_id").isNotNull()
+            & (F.col("component_id") < F.col("vec_id")),
+            F.lit("near_batch"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        batch.select("vec_id")
+        .join(
+            near_corpus.select("vec_id", F.lit(1).alias("near_c")),
+            "vec_id",
+            "left_outer",
+        )
+        .join(comp, "vec_id", "left_outer")
+        .select(
+            "vec_id", reason.alias("reason"), (reason == "kept").alias("keep")
+        )
+    )
+
+
+ORACLES["dedup_incremental_embedding_keep"] = ORACLES[
+    "dedup_incremental_embedding_keep"
+].replace("_CC_PLACEHOLDER_", _CC_CTES)
+
+
 # ------------------------------------------------------ curation pipeline
 @register(
     "curation_training_set",
@@ -1091,7 +1243,8 @@ def dedup_near_dup_keep_list(
 #                 bucket_cap, min-label CC, keep the minimum doc_id)
 # Batch-batch survivors whose only near-twin was dropped by an earlier
 # layer are KEPT — the sequential-greedy semantics of a rolling ingest.
-INCR_SPLIT_PERMILLE = 800  # 80% corpus / 20% incoming batch
+# (The 80/20 split constant INCR_SPLIT_PERMILLE lives next to the cap
+# constants, shared with the embedding incremental path.)
 _INCR_SALT = "incr9"
 
 

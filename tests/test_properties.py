@@ -1102,6 +1102,63 @@ def test_incremental_dedup_all_layers(spark, tmp_path):
     }
 
 
+def test_incremental_embedding_dedup_layers(spark, tmp_path):
+    """dedup_incremental_embedding_keep must label the vector drop layers on
+    a planted corpus/batch: near_corpus (cosine 1.0 with a corpus vector),
+    near_batch (identical batch twins collapse to the min vec_id via CC),
+    and kept for vectors below the duplicate threshold against everything."""
+    import hashlib
+
+    from polars_ad_etl_spark.operators.dedup import (
+        INCR_SPLIT_PERMILLE,
+        _VEC_INCR_SALT,
+        dedup_incremental_embedding_keep,
+    )
+
+    def is_batch(vec_id):
+        h = int(
+            hashlib.md5(f"{_VEC_INCR_SALT}{vec_id}".encode()).hexdigest()[:8],
+            16,
+        )
+        return h % 1000 >= INCR_SPLIT_PERMILLE
+
+    cids = [i for i in range(1, 300) if not is_batch(i)]
+    bids = [i for i in range(1, 300) if is_batch(i)]
+    dim = 8
+    v1 = [1.0, 0.5, -0.25, 0.75, 0.1, -0.6, 0.3, 0.9]
+    v2 = [-0.8, 0.4, 0.7, -0.2, 0.55, 0.15, -0.35, 0.05]
+    # orthogonal to v1 within rounding: cos(v3, v1) == 0 by construction
+    v3 = [0.5, -1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    assert abs(sum(a * b for a, b in zip(v1, v3))) < 1e-9
+    rows = [
+        (cids[0], v1, 0),
+        (bids[0], v1, 0),   # near_corpus (cosine 1.0)
+        (bids[1], v2, 0),   # kept (min of the identical pair)
+        (bids[2], v2, 0),   # near_batch
+        (bids[3], v3, 0),   # kept (orthogonal to v1; cosine vs v2 < 0.35)
+    ]
+    import math
+
+    cos23 = sum(a * b for a, b in zip(v2, v3)) / (
+        math.sqrt(sum(a * a for a in v2)) * math.sqrt(sum(a * a for a in v3))
+    )
+    assert cos23 < 0.35  # threshold is on SIGNED cosine, matching the operator
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    got = {
+        r.vec_id: (r.reason, r.keep)
+        for r in dedup_incremental_embedding_keep(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        bids[0]: ("near_corpus", False),
+        bids[1]: ("kept", True),
+        bids[2]: ("near_batch", False),
+        bids[3]: ("kept", True),
+    }
+
+
 def test_kcenter_lineage_stays_flat_at_k25(spark):
     """kcenter_greedy chains one withColumn per round; the periodic
     localCheckpoint must keep the optimized-plan size bounded at K=25
