@@ -8,7 +8,7 @@ probe re-runs the ENTIRE registry under `local-cluster[2,4,4096]` (two
 separate executor processes, 4 cores / 4 GB each) with a hostile session
 timezone, comparing every query against its DuckDB oracle.
 
-Round-6 result: 278 MATCH / 0 rows-only / 0 FAIL of 278 in ~220s.
+Round-6 result: 282 MATCH / 0 rows-only / 0 FAIL of 282 in ~220s.
 
 Usage: python scripts/local_cluster_probe.py [SF_DIR]
 (Expect harmless shutdown-hook noise from the standalone master during
