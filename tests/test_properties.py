@@ -1102,6 +1102,75 @@ def test_incremental_dedup_all_layers(spark, tmp_path):
     }
 
 
+def test_incremental_dedup_random_differential(spark, tmp_path):
+    """Adversarial randomized differential: generate corpora from a tiny
+    vocabulary (forcing heavy shingle collisions, exact dups, doubled-space
+    near dups, short docs, NULLs), and hash-compare the full incremental
+    keep-list + report against the DuckDB oracle — the independent
+    implementation of all four layers. Seeded, so failures reproduce."""
+    import random
+
+    import duckdb
+
+    from oracle_util import compare
+    from polars_ad_etl_spark.operators.dedup import (
+        dedup_incremental_keep_list,
+        dedup_incremental_report,
+    )
+    from polars_ad_etl_spark.operators.registry import ORACLES, QUERIES
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        rows = []
+        texts = []
+        for doc_id in range(1, 61):
+            roll = rng.random()
+            if roll < 0.08:
+                text = None
+            elif roll < 0.25 and texts:
+                text = rng.choice(texts)  # exact dup of an earlier doc
+            elif roll < 0.40 and texts:
+                # near dup: same tokens, different raw text
+                text = rng.choice(texts).replace(" ", "  ", 1)
+            else:
+                n = rng.randint(1, 10)  # includes <3-token shingle-less docs
+                text = " ".join(rng.choice(vocab) for _ in range(n))
+            if text:
+                texts.append(text)
+            rows.append(
+                (doc_id, text, "en", "synthetic", len(text) if text else 0)
+            )
+        d = f"{tmp_path}/rand{seed}"
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        for name in (
+            "dedup_incremental_keep_list",
+            "dedup_incremental_report",
+            "dedup_incremental_ingest_admitted",
+        ):
+            diff = compare(QUERIES[name](spark, d), con, ORACLES[name])
+            assert diff is None, f"seed={seed} {name}: {diff}"
+        # structural invariants on the same corpus
+        kl = dedup_incremental_keep_list(spark, d).collect()
+        rep = dedup_incremental_report(spark, d).collect()[0]
+        assert rep.n_batch == len(kl)
+        assert rep.n_batch == (
+            rep.n_exact_corpus + rep.n_exact_batch + rep.n_near_corpus
+            + rep.n_near_batch + rep.n_kept
+        )
+        for r in kl:
+            assert r.keep == (r.reason == "kept")
+        con.close()
+
+
 def test_incremental_embedding_dedup_layers(spark, tmp_path):
     """dedup_incremental_embedding_keep must label the vector drop layers on
     a planted corpus/batch: near_corpus (cosine 1.0 with a corpus vector),
