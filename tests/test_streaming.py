@@ -629,3 +629,93 @@ def test_incremental_ingest_stream_state_across_batches(spark, tmp_path):
     # b0 exact-vs-corpus, b1 near-vs-corpus, b3 exact twin of b2 from the
     # EARLIER micro-batch; both NULL-text docs kept
     assert got == {bids[2], bids[6], bids[7]}
+
+
+def test_incremental_ingest_checkpoint_restart(spark, tmp_path):
+    """Stop the ingest stream, deliver more files, restart from the SAME
+    checkpoint: the dropDuplicates state must survive (an exact twin of a
+    pre-restart admission stays dropped), and the file sink must hold each
+    admitted doc exactly once (no replay duplicates)."""
+    import hashlib
+
+    from polars_ad_etl_spark.operators.dedup import (
+        INCR_SPLIT_PERMILLE,
+        _INCR_SALT,
+    )
+    from polars_ad_etl_spark.streaming import (
+        corpus_indexes,
+        incremental_ingest_stream,
+        read_documents_stream,
+    )
+
+    def is_batch(doc_id):
+        h = int(
+            hashlib.md5(f"{_INCR_SALT}{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        return h % 1000 >= INCR_SPLIT_PERMILLE
+
+    cids = [i for i in range(1, 200) if not is_batch(i)]
+    bids = [i for i in range(1, 200) if is_batch(i)]
+    t_twin = "an entirely different batch story about seven silver ships sailing"
+
+    def write_flat(rows, dst):
+        import glob as _glob
+        import os
+        import shutil
+
+        w = f"{tmp_path}/w_{os.path.basename(dst)}"
+        spark.createDataFrame(
+            [(i, t, "en", "synthetic", len(t) if t else 0) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(w)
+        shutil.copy(_glob.glob(f"{w}/part-*.parquet")[0], dst)
+
+    import os
+
+    src = f"{tmp_path}/restart_src/documents.parquet"
+    out = f"{tmp_path}/admitted"
+    ckpt = f"{tmp_path}/ckpt"
+    os.makedirs(src)
+
+    corpus_dir = f"{tmp_path}/corpus"
+    os.makedirs(corpus_dir)
+    # corpus is a single-file table in its own dir
+    write_flat(
+        [(cids[0], "a corpus only story never repeated anywhere else at all")],
+        f"{corpus_dir}/documents.parquet",
+    )
+    ck, bk = corpus_indexes(spark, corpus_dir)
+
+    def start():
+        stream = read_documents_stream(
+            spark, f"{tmp_path}/restart_src", max_files_per_trigger=1
+        )
+        return (
+            incremental_ingest_stream(stream, ck, bk)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    write_flat(
+        [(bids[0], t_twin), (bids[1], "a first unique document here")],
+        f"{src}/f0.parquet",
+    )
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    # post-restart file: an exact twin of the PRE-restart admission plus a
+    # genuinely new doc
+    write_flat(
+        [(bids[2], t_twin), (bids[3], "a second unique document arrives")],
+        f"{src}/f1.parquet",
+    )
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    admitted = [r.doc_id for r in spark.read.parquet(out).collect()]
+    assert sorted(admitted) == sorted([bids[0], bids[1], bids[3]])
+    assert len(admitted) == len(set(admitted))  # exactly-once across restart
