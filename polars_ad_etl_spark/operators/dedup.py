@@ -823,7 +823,7 @@ def _vec_is_batch(col: Column) -> Column:
         SELECT vec_id, embedding::DOUBLE[] AS e,
                {_bucket_sql('embedding')} AS bucket,
                ({portable_hash32_sql(f"'{_VEC_INCR_SALT}' || CAST(vec_id AS VARCHAR)")}
-                % 1000) >= {{permille}} AS is_batch
+                % 1000) >= {INCR_SPLIT_PERMILLE} AS is_batch
         FROM embeddings
     ),
     nc AS (
@@ -842,7 +842,7 @@ def _vec_is_batch(col: Column) -> Column:
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE {_COS_SQL_AB} >= {COSINE_DUP_THRESHOLD}
     ),
-    {{cc}}
+    {_CC_CTES}
     SELECT vec_id, reason, reason = 'kept' AS keep FROM (
         SELECT v.vec_id,
                CASE WHEN nc.vec_id IS NOT NULL THEN 'near_corpus'
@@ -854,28 +854,51 @@ def _vec_is_batch(col: Column) -> Column:
         LEFT JOIN comp cp ON v.vec_id = cp.doc_id
         WHERE v.is_batch
     )
-    """.replace("{permille}", str(INCR_SPLIT_PERMILLE)).replace(
-        "{cc}", "_CC_PLACEHOLDER_"
-    ),
+    """,
 )
 def dedup_incremental_embedding_keep(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """One keep/drop decision + reason per new-batch embedding, deduplicated
     against the corpus (see the section comment). Scale shape: both layers
     join on the sign bucket only — the corpus side ships (bucket, vector)
     for collision candidates, cosine confirms exactly, and the batch-batch
     survivor graph collapses via the same checkpointed min-label CC as the
-    document path. Hot corpus buckets bound the per-vector candidate count;
-    ``embedding_bucket_overflow`` remains the accounting side-channel for a
-    capped run."""
+    document path.
+
+    ``bucket_cap`` drops ALL vectors in sign buckets larger than the cap
+    before either join (the same pre-join filter as
+    :func:`dedup_embedding_cosine_pairs`), bounding both the per-vector
+    corpus fan-out and the survivor self-join on duplication-heavy
+    corpora; run :func:`embedding_bucket_overflow` alongside a capped job
+    for the never-silent accounting. Unlike the document path there is no
+    universal production default: the sign-bucket universe is only
+    2^planes wide, so the right cap scales with corpus size per bucket —
+    size it from the overflow report (or add planes) rather than a fixed
+    constant. Default ``None`` is the oracle-checked registry behavior."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    b = e.select(
+    b_full = e.select(
         "vec_id",
         "embedding",
         _bucket_expr(F.col("embedding")).alias("bucket"),
         _vec_is_batch(F.col("vec_id")).alias("is_batch"),
     )
+    batch_all = b_full.filter("is_batch").select("vec_id")
+    b = b_full
+    if bucket_cap is not None:
+        # cap bounds CANDIDATE GENERATION only — every batch vector stays
+        # in the output (vectors in suppressed buckets surface as kept,
+        # with the overflow report accounting for the skipped candidates),
+        # mirroring the document path's suppressed-bucket semantics
+        keep_buckets = (
+            b.groupBy("bucket")
+            .agg(F.count("*").alias("bucket_size"))
+            .filter(F.col("bucket_size") <= int(bucket_cap))
+            .select("bucket")
+        )
+        b = b.join(F.broadcast(keep_buckets), "bucket")
     corpus = b.filter(~F.col("is_batch")).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("ce"),
@@ -921,8 +944,7 @@ def dedup_incremental_embedding_keep(
         .otherwise(F.lit("kept"))
     )
     return (
-        batch.select("vec_id")
-        .join(
+        batch_all.join(
             near_corpus.select("vec_id", F.lit(1).alias("near_c")),
             "vec_id",
             "left_outer",
@@ -932,11 +954,6 @@ def dedup_incremental_embedding_keep(
             "vec_id", reason.alias("reason"), (reason == "kept").alias("keep")
         )
     )
-
-
-ORACLES["dedup_incremental_embedding_keep"] = ORACLES[
-    "dedup_incremental_embedding_keep"
-].replace("_CC_PLACEHOLDER_", _CC_CTES)
 
 
 # ------------------------------------------------------ curation pipeline

@@ -34,6 +34,7 @@ from polars_ad_etl_spark.operators.dedup import (
     BANDS,
     PERMS,
     ROWS_PER_BAND,
+    _banded_keys,
     _incr_is_batch,
     minhash_signatures,
 )
@@ -107,25 +108,8 @@ def corpus_indexes(
         ~_incr_is_batch(F.col("doc_id"))
     )
     corpus_bk = (
-        sigs.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("band"),
-                            *[
-                                F.col(f"mh{j * ROWS_PER_BAND + r}").alias(
-                                    f"h{r}"
-                                )
-                                for r in range(ROWS_PER_BAND)
-                            ],
-                        )
-                        for j in range(BANDS)
-                    ]
-                )
-            ).alias("b")
-        )
-        .select("b.*")
+        _banded_keys(sigs)
+        .select("band", *[f"h{r}" for r in range(ROWS_PER_BAND)])
         .distinct()
     )
     return corpus_ck, corpus_bk
@@ -151,15 +135,19 @@ def incremental_ingest_stream(
        collides. Docs under 3 tokens have NULL minima and join nothing.
     """
     s = docs.filter(_incr_is_batch(F.col("doc_id"))).select(
-        "*",
-        F.md5(F.lower(F.trim("text"))).alias("ck"),
-        F.expr(_SIG_ARRAY_SQL).alias("mh"),
+        "*", F.md5(F.lower(F.trim("text"))).alias("ck")
     )
     s = s.withColumn(
         "ck2", F.coalesce("ck", F.concat(F.lit("∅"), F.col("doc_id")))
     )
     s = s.dropDuplicates(["ck2"])
     s = s.join(corpus_ck, "ck", "left_anti")
+    # the md5-per-shingle signature projection comes AFTER the exact
+    # layers on purpose: rows dropped on the 16-byte content key alone
+    # (the bulk, on a duplicate-heavy stream) never pay for it, and the
+    # stateful Deduplicate operator above would otherwise force it to run
+    # pre-state for every arriving row
+    s = s.withColumn("mh", F.expr(_SIG_ARRAY_SQL))
     for j in range(BANDS):
         bk_j = corpus_bk.filter(F.col("band") == j).select(
             *[F.col(f"h{r}").alias(f"b{j}h{r}") for r in range(ROWS_PER_BAND)],

@@ -57,8 +57,14 @@ def _is_directory(spark: SparkSession, path: str) -> bool:
             raise AttributeError("no JVM gateway")
     except AttributeError:
         return os.path.isdir(path)
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    try:
+        # construction-phase failures mean Hadoop cannot REPRESENT the
+        # path (e.g. a colon in a component, HADOOP-3257) — a plain local
+        # path like that still streams fine, so fall back to the OS check
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    except Exception:
+        return os.path.isdir(path)
     try:
         return bool(fs.getFileStatus(hpath).isDirectory())
     except Exception as e:

@@ -1191,14 +1191,29 @@ def test_incremental_embedding_dedup_layers(spark, tmp_path):
         )
         return h % 1000 >= INCR_SPLIT_PERMILLE
 
+    import math
+
     cids = [i for i in range(1, 300) if not is_batch(i)]
     bids = [i for i in range(1, 300) if is_batch(i)]
-    dim = 8
-    v1 = [1.0, 0.5, -0.25, 0.75, 0.1, -0.6, 0.3, 0.9]
-    v2 = [-0.8, 0.4, 0.7, -0.2, 0.55, 0.15, -0.35, 0.05]
-    # orthogonal to v1 within rounding: cos(v3, v1) == 0 by construction
-    v3 = [0.5, -1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    # FULL 64-dim vectors: the sign-LSH hyperplanes are 64-dim, and
+    # shorter vectors NULL-pad every projection into bucket 0, which
+    # would degenerate the test to all-pairs and hide bucketing bugs
+    dim = 64
+    v1 = [math.sin(1.0 + 0.37 * i) for i in range(dim)]
+    v2 = [math.cos(2.0 + 0.53 * i) * (1 if i % 3 else -1) for i in range(dim)]
+    # exact-zero dot product by pairwise rotation of v1
+    v3 = []
+    for i in range(0, dim, 2):
+        v3 += [v1[i + 1], -v1[i]]
     assert abs(sum(a * b for a, b in zip(v1, v3))) < 1e-9
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b)) / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    # preconditions the labels below rely on (signed threshold 0.35)
+    assert cos(v1, v2) < 0.35 and cos(v1, v3) < 0.35 and cos(v2, v3) < 0.35
     rows = [
         (cids[0], v1, 0),
         (bids[0], v1, 0),   # near_corpus (cosine 1.0)
@@ -1206,12 +1221,6 @@ def test_incremental_embedding_dedup_layers(spark, tmp_path):
         (bids[2], v2, 0),   # near_batch
         (bids[3], v3, 0),   # kept (orthogonal to v1; cosine vs v2 < 0.35)
     ]
-    import math
-
-    cos23 = sum(a * b for a, b in zip(v2, v3)) / (
-        math.sqrt(sum(a * a for a in v2)) * math.sqrt(sum(a * a for a in v3))
-    )
-    assert cos23 < 0.35  # threshold is on SIGNED cosine, matching the operator
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")

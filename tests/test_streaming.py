@@ -534,6 +534,24 @@ def test_incremental_ingest_stream_matches_batch_layers(spark):
         read_documents_stream,
     )
 
+    # precondition the exact comparison relies on: no two batch docs share
+    # a content hash in this corpus (else first-arrival vs min-doc_id could
+    # legitimately disagree on WHICH twin survives) — assert it so a future
+    # testdata regeneration fails loudly instead of flaking
+    from pyspark.sql import functions as F
+
+    from polars_ad_etl_spark.operators.dedup import _incr_is_batch
+
+    dup_cks = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(_incr_is_batch(F.col("doc_id")))
+        .groupBy(F.md5(F.lower(F.trim("text"))).alias("ck"))
+        .count()
+        .filter("ck IS NOT NULL AND count > 1")
+        .count()
+    )
+    assert dup_cks == 0, "testdata now has exact batch twins; compare by ck"
+
     ck, bk = corpus_indexes(spark, SF_DIR)
     stream = read_documents_stream(spark, SF_DIR)
     _run_to_completion(
