@@ -816,24 +816,34 @@ def _vec_is_batch(col: Column) -> Column:
     return (h % 1000) >= INCR_SPLIT_PERMILLE
 
 
-@register(
-    "dedup_incremental_embedding_keep",
-    oracle=f"""
+def _vec_incr_oracle(cap: int | None = None) -> str:
+    """Cap-parameterized oracle for the incremental embedding keep list:
+    with ``cap`` set, candidate generation (both layers) reads only from
+    the bucket-size-filtered frame while the labeled output still covers
+    EVERY batch vector — the identical semantics as the Spark path."""
+    cand = "bucketed" if cap is None else "capped"
+    capped_ctes = "" if cap is None else f"""
+    bsz AS (SELECT bucket, COUNT(*) AS n FROM bucketed GROUP BY bucket),
+    capped AS (
+        SELECT bucketed.* FROM bucketed JOIN bsz USING (bucket)
+        WHERE n <= {cap}
+    ),"""
+    return f"""
     WITH RECURSIVE bucketed AS (
         SELECT vec_id, embedding::DOUBLE[] AS e,
                {_bucket_sql('embedding')} AS bucket,
                ({portable_hash32_sql(f"'{_VEC_INCR_SALT}' || CAST(vec_id AS VARCHAR)")}
                 % 1000) >= {INCR_SPLIT_PERMILLE} AS is_batch
         FROM embeddings
-    ),
+    ),{capped_ctes}
     nc AS (
         SELECT DISTINCT a.vec_id
-        FROM bucketed a JOIN bucketed c
+        FROM {cand} a JOIN {cand} c
           ON a.bucket = c.bucket AND a.is_batch AND NOT c.is_batch
         WHERE {_COS_SQL_AC} >= {COSINE_DUP_THRESHOLD}
     ),
     surv AS (
-        SELECT * FROM bucketed
+        SELECT * FROM {cand}
         WHERE is_batch AND vec_id NOT IN (SELECT vec_id FROM nc)
     ),
     pairs AS (
@@ -854,8 +864,10 @@ def _vec_is_batch(col: Column) -> Column:
         LEFT JOIN comp cp ON v.vec_id = cp.doc_id
         WHERE v.is_batch
     )
-    """,
-)
+    """
+
+
+@register("dedup_incremental_embedding_keep", oracle=_vec_incr_oracle())
 def dedup_incremental_embedding_keep(
     spark: SparkSession,
     sf_dir: str,
@@ -953,6 +965,29 @@ def dedup_incremental_embedding_keep(
         .select(
             "vec_id", reason.alias("reason"), (reason == "kept").alias("keep")
         )
+    )
+
+
+# cap sized to BITE on the driver's sf0.01 corpus (largest natural sign
+# bucket there holds 8 vectors), so the capped answer genuinely differs
+# from uncapped and the oracle proves the cap semantics, not a no-op
+VEC_INCR_CAP_DEMO = 4
+
+
+@register(
+    "dedup_incremental_embedding_keep_capped",
+    oracle=_vec_incr_oracle(VEC_INCR_CAP_DEMO),
+)
+def dedup_incremental_embedding_keep_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`dedup_incremental_embedding_keep` with the sign-bucket cap
+    ENGAGED (cap={VEC_INCR_CAP_DEMO}) — the duplication-heavy-corpus
+    production shape, oracle-verified with the identical pre-join filter
+    on candidate generation while the labeled output still covers every
+    batch vector."""
+    return dedup_incremental_embedding_keep(
+        spark, sf_dir, bucket_cap=VEC_INCR_CAP_DEMO
     )
 
 

@@ -1236,6 +1236,17 @@ def test_incremental_embedding_dedup_layers(spark, tmp_path):
         bids[3]: ("kept", True),
     }
 
+    # bucket_cap=0 suppresses ALL candidate generation but every batch
+    # vector must remain in the output (as kept) — cap bounds work, never
+    # silently shrinks the answer's row set
+    capped = {
+        r.vec_id: (r.reason, r.keep)
+        for r in dedup_incremental_embedding_keep(
+            spark, str(tmp_path), bucket_cap=0
+        ).collect()
+    }
+    assert capped == {b: ("kept", True) for b in (bids[0], bids[1], bids[2], bids[3])}
+
 
 def test_kcenter_lineage_stays_flat_at_k25(spark):
     """kcenter_greedy chains one withColumn per round; the periodic
