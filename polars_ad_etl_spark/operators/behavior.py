@@ -1761,18 +1761,28 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("B")
         .alias("variant"),
     ).distinct()
+    zero = F.lit(0).cast("long")
+    # coalesce: COUNT-FILTER semantics (0 users, not NULL) on an empty
+    # stream; nullif keeps 0-div-0 as NULL instead of an ANSI error
     counts = assigned.agg(
-        F.sum((F.col("variant") == "A").cast("long")).alias("n_a"),
-        F.sum((F.col("variant") == "B").cast("long")).alias("n_b"),
+        F.coalesce(
+            F.sum((F.col("variant") == "A").cast("long")), zero
+        ).alias("n_a"),
+        F.coalesce(
+            F.sum((F.col("variant") == "B").cast("long")), zero
+        ).alias("n_b"),
     )
     return counts.select(
         "n_a",
         "n_b",
         F.expr(
-            "(1000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)"
+            "(1000 * (n_a - n_b) * (n_a - n_b)) div nullif(n_a + n_b, 0)"
         ).alias("srm_chi2_milli"),
         (
-            F.expr("(1000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)")
+            F.expr(
+                "(1000 * (n_a - n_b) * (n_a - n_b))"
+                " div nullif(n_a + n_b, 0)"
+            )
             > 3841
         ).alias("srm_alarm"),
     )
@@ -2247,19 +2257,30 @@ def events_conversion_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("timestampdiff(MICROSECOND, v_ts, p_ts)").alias("us")
     )
     tot = v.agg(F.count("*").alias("n"))
+    zero = F.lit(0).cast("long")
+    # coalesce: COUNT-FILTER semantics on zero converters (0, not NULL);
+    # nullif: zero viewers makes the permilles NULL, not an ANSI error
     agg = lat.agg(
         F.count("*").alias("n_converters"),
-        F.sum((F.col("us") <= 60_000_000).cast("long")).alias("c1m"),
-        F.sum((F.col("us") <= 3_600_000_000).cast("long")).alias("c1h"),
-        F.sum((F.col("us") <= 86_400_000_000).cast("long")).alias("c1d"),
+        F.coalesce(
+            F.sum((F.col("us") <= 60_000_000).cast("long")), zero
+        ).alias("c1m"),
+        F.coalesce(
+            F.sum((F.col("us") <= 3_600_000_000).cast("long")), zero
+        ).alias("c1h"),
+        F.coalesce(
+            F.sum((F.col("us") <= 86_400_000_000).cast("long")), zero
+        ).alias("c1d"),
     )
     return agg.crossJoin(F.broadcast(tot)).select(
         F.col("n").alias("n_viewers"),
         "n_converters",
-        F.expr("(1000 * c1m) div n").alias("within_1m_permille"),
-        F.expr("(1000 * c1h) div n").alias("within_1h_permille"),
-        F.expr("(1000 * c1d) div n").alias("within_1d_permille"),
-        F.expr("(1000 * n_converters) div n").alias("ever_permille"),
+        F.expr("(1000 * c1m) div nullif(n, 0)").alias("within_1m_permille"),
+        F.expr("(1000 * c1h) div nullif(n, 0)").alias("within_1h_permille"),
+        F.expr("(1000 * c1d) div nullif(n, 0)").alias("within_1d_permille"),
+        F.expr("(1000 * n_converters) div nullif(n, 0)").alias(
+            "ever_permille"
+        ),
     )
 
 

@@ -651,16 +651,25 @@ def curation_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pass_dedup"
         ),
     )
+    zero = F.lit(0).cast("long")
+    # coalesce: an empty corpus reports 0 at every stage (COUNT-FILTER
+    # semantics), not NULL (SUM-over-empty)
     wide = flags.agg(
         F.count(F.lit(1)).alias("c1"),
-        F.sum(F.col("pass_len").cast("long")).alias("c2"),
-        F.sum((F.col("pass_len") & F.col("pass_lang")).cast("long")).alias(
-            "c3"
-        ),
-        F.sum(
-            (
-                F.col("pass_len") & F.col("pass_lang") & F.col("pass_dedup")
-            ).cast("long")
+        F.coalesce(F.sum(F.col("pass_len").cast("long")), zero).alias("c2"),
+        F.coalesce(
+            F.sum((F.col("pass_len") & F.col("pass_lang")).cast("long")),
+            zero,
+        ).alias("c3"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("pass_len")
+                    & F.col("pass_lang")
+                    & F.col("pass_dedup")
+                ).cast("long")
+            ),
+            zero,
         ).alias("c4"),
     )
     return (

@@ -2194,7 +2194,7 @@ def dedup_blocking_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.expr(
                 "1000 - (1000 * n_candidates * 2)"
-                " div (n_docs * (n_docs - 1))"
+                " div nullif(n_docs * (n_docs - 1), 0)"
             ).alias("reduction_permille"),
         )
     )

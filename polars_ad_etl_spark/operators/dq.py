@@ -39,9 +39,12 @@ def evaluate_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     rule_id."""
     aggs = [F.count(F.lit(1)).alias("_n")]
     for name, cond in rules.items():
+        # coalesce: a 0-row table has 0 violations (COUNT semantics),
+        # not NULL (SUM-over-empty semantics)
         aggs.append(
-            F.sum(
-                F.when(cond, F.lit(0)).otherwise(F.lit(1))
+            F.coalesce(
+                F.sum(F.when(cond, F.lit(0)).otherwise(F.lit(1))),
+                F.lit(0).cast("long"),
             ).alias(f"_v_{name}")
         )
     wide = df.agg(*aggs)
@@ -57,7 +60,7 @@ def evaluate_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
             "rule_id",
             F.col("_n").alias("n_checked"),
             "n_violations",
-            F.expr("(1000 * n_violations) div _n").alias(
+            F.expr("(1000 * n_violations) div nullif(_n, 0)").alias(
                 "violation_permille"
             ),
         )
@@ -257,13 +260,18 @@ def dq_linenumber_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_linenumber").alias("min_ln"),
         F.count_distinct("l_linenumber").alias("n_distinct"),
     )
+    zero = F.lit(0).cast("long")
     return per_order.agg(
         F.count("*").alias("n_orders"),
-        F.sum((F.col("min_ln") != 1).cast("long")).alias("n_bad_start"),
-        F.sum((F.col("n_distinct") != F.col("n_lines")).cast("long")).alias(
-            "n_duplicate_linenums"
-        ),
-        F.sum((F.col("max_ln") != F.col("n_lines")).cast("long")).alias(
-            "n_gapped"
-        ),
+        # coalesce: COUNT-FILTER semantics (0 on empty), not SUM (NULL)
+        F.coalesce(
+            F.sum((F.col("min_ln") != 1).cast("long")), zero
+        ).alias("n_bad_start"),
+        F.coalesce(
+            F.sum((F.col("n_distinct") != F.col("n_lines")).cast("long")),
+            zero,
+        ).alias("n_duplicate_linenums"),
+        F.coalesce(
+            F.sum((F.col("max_ln") != F.col("n_lines")).cast("long")), zero
+        ).alias("n_gapped"),
     )

@@ -354,11 +354,12 @@ def events_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing = (
         ranked.crossJoin(F.broadcast(tot))
         .filter(5 * F.col("cumsum") >= 4 * F.col("total"))
+        # grouped (not global) aggregate, mirroring the oracle's GROUP BY:
+        # with no spenders there is no crossing row, not a row of NULLs
+        .groupBy(F.col("n").alias("n_users"), "total")
         .agg(
-            F.max("n").alias("n_users"),
             F.min("rank").alias("n_top_users"),
             F.min("cumsum").alias("min_cum"),
-            F.max("total").alias("total"),
         )
     )
     return crossing.select(

@@ -290,7 +290,11 @@ def embedding_variance_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return var.crossJoin(F.broadcast(tot)).select(
         "dim",
         "var_num",
-        F.expr("(1000 * var_num) div total").alias("share_permille"),
+        # nullif: a 1-vector corpus has zero total variance -> NULL shares
+        # (DuckDB's // 0), not an ANSI error
+        F.expr("(1000 * var_num) div nullif(total, 0)").alias(
+            "share_permille"
+        ),
     )
 
 
@@ -421,7 +425,9 @@ def embedding_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return tot.select(
         "n_dims",
-        F.expr("CAST((1000 * sv * sv) div sv2 AS BIGINT)").alias(
+        # nullif: zero variance spectrum (single vector) -> NULL, matching
+        # DuckDB's // 0, instead of an ANSI divide-by-zero error
+        F.expr("CAST((1000 * sv * sv) div nullif(sv2, 0) AS BIGINT)").alias(
             "pr_permille"
         ),
     )
@@ -582,7 +588,10 @@ def kcenter_greedy(
             lambda acc, x: acc + x,
         )
 
-    seed = q.orderBy("vec_id").limit(1).collect()[0]
+    seeds = q.orderBy("vec_id").limit(1).collect()
+    if not seeds:  # empty corpus: nothing to pick, nothing to iterate
+        return [], q.withColumn("mind", F.lit(None).cast("bigint"))
+    seed = seeds[0]
     picks = [(0, seed.vec_id, 0)]
     cur = q.withColumn("mind", dist_to(seed.qv))
     for i in range(1, k):

@@ -89,13 +89,15 @@ def privacy_suppression_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("gs")
     )
     small = F.col("gs") < K_ANON
+    zero = F.lit(0).cast("long")
     return sizes.agg(
         F.count("*").alias("n_groups"),
-        F.sum(small.cast("long")).alias("n_small_groups"),
+        # coalesce: COUNT-FILTER/COALESCE-SUM oracle semantics on 0 groups
+        F.coalesce(F.sum(small.cast("long")), zero).alias("n_small_groups"),
         F.sum("gs").alias("n_rows"),
-        F.sum(F.when(small, F.col("gs")).otherwise(0)).alias(
-            "n_suppressed_rows"
-        ),
+        F.coalesce(
+            F.sum(F.when(small, F.col("gs")).otherwise(0)), zero
+        ).alias("n_suppressed_rows"),
     ).select(
         "n_groups",
         "n_small_groups",

@@ -251,10 +251,13 @@ def agg_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_ad_etl_spark.functions.grouping import with_empty_grand_total
+
     l = _t(spark, sf_dir, "lineitem")
-    return l.rollup("l_returnflag", "l_linestatus").agg(
+    rolled = l.rollup("l_returnflag", "l_linestatus").agg(
         dsum(_revenue()).alias("revenue"), F.count("*").alias("n_rows")
     )
+    return with_empty_grand_total(rolled, l, count_cols=("n_rows",))
 
 
 @register(
@@ -267,10 +270,13 @@ def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_ad_etl_spark.functions.grouping import with_empty_grand_total
+
     l = _t(spark, sf_dir, "lineitem")
-    return l.cube("l_returnflag", "l_linestatus").agg(
+    cubed = l.cube("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_rows")
     )
+    return with_empty_grand_total(cubed, l, count_cols=("n_rows",))
 
 
 # ---------------------------------------------------------------- windows

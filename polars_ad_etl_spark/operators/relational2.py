@@ -250,8 +250,11 @@ def pivot_quantity_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary grouping sets (beyond rollup/cube) via the SQL surface —
     Catalyst expands to a single Expand + hash aggregate, one scan."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
-    return spark.sql(
+    from polars_ad_etl_spark.functions.grouping import with_empty_grand_total
+
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    gs = spark.sql(
         f"""
         SELECT l_returnflag, l_linestatus,
                {dsum_sql(REVENUE_SQL)} AS revenue
@@ -259,6 +262,8 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+    # the sets include (), so the standard empty-input output is its row
+    return with_empty_grand_total(gs, li)
 
 
 # ------------------------------------------------------------- percentiles

@@ -721,14 +721,18 @@ def sort_events_null_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP with GROUPING identification — distinguishes 'real null group'
     from 'subtotal row', which plain rollup output cannot."""
+    from polars_ad_etl_spark.functions.grouping import with_empty_grand_total
+
     l = _t(spark, sf_dir, "lineitem")
     gid = (
         F.grouping("l_returnflag").cast("long") * 2
         + F.grouping("l_linestatus").cast("long")
     )
-    return l.rollup("l_returnflag", "l_linestatus").agg(
+    rolled = l.rollup("l_returnflag", "l_linestatus").agg(
         gid.alias("gid"), dsum("l_quantity").alias("sum_qty")
     )
+    # grand-total row: both GROUPING() flags are 1 -> gid == 3
+    return with_empty_grand_total(rolled, l, grand_values={"gid": F.lit(3)})
 
 
 # ------------------------------------------------------ time-series ops

@@ -762,7 +762,8 @@ def corpus_health_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.expr("sum(n_chars) div count(*)").alias("mean_chars"),
+        # nullif: an empty corpus reports NULL means, not an ANSI error
+        F.expr("sum(n_chars) div nullif(count(*), 0)").alias("mean_chars"),
     )
     vocab = toks.agg(
         F.count_distinct("term").alias("vocab_size"),
@@ -783,7 +784,7 @@ def corpus_health_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_size",
             "total_tokens",
             "n_unique_texts",
-            F.expr("(1000 * n_unique_texts) div n_docs").alias(
+            F.expr("(1000 * n_unique_texts) div nullif(n_docs, 0)").alias(
                 "unique_permille"
             ),
             "n_langs",

@@ -359,7 +359,17 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
     distance array evaluates once WITHIN each output expression; the
     cluster and sse outputs are two copies of that expression (same shape
     as the Column-built original), deduplicated across outputs by codegen
-    subexpression elimination."""
+    subexpression elimination.
+
+    With no centroids (empty training input), the assignment is typed
+    NULLs — df is necessarily empty too, so no row ever carries them."""
+    if not centroids:
+        return df.select(
+            "vec_id",
+            "embedding",
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("double").alias("sse"),
+        )
     dists = ", ".join(_l2sq_sql("s", c) for c in centroids)
     nearest = (
         "transform(array(embedding), s -> "
@@ -409,6 +419,8 @@ def kmeans_train(
         .collect()
     )
     centroids = [[float(x) for x in r.embedding] for r in init]
+    if not centroids:  # empty table: no clusters, no iterations to run
+        return [], []
     history: list[float] = []
     for _ in range(max_iter):
         assigned = kmeans_assign(e, centroids)
@@ -481,7 +493,13 @@ def _nearest_sql(vec_sql: str, centroids: list[list[int]]) -> str:
     vector and the distance array are let-bound via single-element
     ``transform`` so each evaluates exactly once (the CollapseProject
     lambda-inlining trap — see dedup._SHINGLES_SPARK — applies to any
-    expression referenced more than once)."""
+    expression referenced more than once).
+
+    An empty codebook (only reachable when the training table itself was
+    empty, so every downstream row is filtered anyway) yields a typed NULL
+    instead of an un-analyzable empty ``array()`` literal."""
+    if not centroids:
+        return "CAST(NULL AS INT)"
     dists = ", ".join(_sq_dist_sql("s", c) for c in centroids)
     return (
         f"transform(array({vec_sql}), s -> "
@@ -530,6 +548,8 @@ def _kmeans_fixed_on(q: DataFrame, k: int, iters: int) -> list[list[int]]:
         .collect()
     )
     centroids = [[int(x) for x in r.qe] for r in init]
+    if not centroids:  # empty table: no clusters, no iterations to run
+        return []
     for _ in range(iters):
         assigned = _assign_quantized(q, centroids)
         rows = (
@@ -891,6 +911,8 @@ def _pq_train(
         ]
         for m in range(PQ_M)
     ]
+    if not init:  # empty table: M empty codebooks, nothing to iterate
+        return q_full, codebooks
     for _ in range(2):
         cluster_cols = [
             F.expr(

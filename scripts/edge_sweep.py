@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Edge-input full-registry sweep: every query + oracle on empty or
+single-row tables (variants from ``gen_edge_data.py``).
+
+Why this gate exists: production pipelines hit empty partitions, empty
+delta batches, and single-row sources constantly; the sf* benchmarks never
+exercise them. The first run of this sweep found 20 real defects in 5
+classes (see tests/test_edge_inputs.py's docstring for the taxonomy and
+fixes). Round-6 result after fixes: empty 283/283, tiny 283/283.
+
+Usage: python scripts/edge_sweep.py [empty|tiny]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+from pathlib import Path
+
+_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_ROOT))
+sys.path.insert(0, str(_ROOT / "tests"))
+sys.path.insert(0, str(_ROOT / "scripts"))
+
+from pyspark.sql import SparkSession
+
+from gen_edge_data import generate  # noqa: E402
+from oracle_util import compare, duckdb_conn  # noqa: E402
+from polars_ad_etl_spark.operators import ORACLES, QUERIES  # noqa: E402
+
+
+def main() -> int:
+    variant = sys.argv[1] if len(sys.argv) > 1 else "empty"
+    sf = str(generate(variant, f"/tmp/edge_{variant}"))
+    print(f"swept dir: {sf}", flush=True)
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName(f"edge-{variant}")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb_conn(sf)
+    t0 = time.time()
+    ok = fail = crash = 0
+    bad: list[tuple[str, str, str]] = []
+    for n, fn in QUERIES.items():
+        try:
+            df = fn(spark, sf)
+            d = compare(df, con, ORACLES[n]) if n in ORACLES else None
+            if d is None:
+                ok += 1
+            else:
+                fail += 1
+                bad.append(("MISMATCH", n, d[:200]))
+        except Exception as ex:
+            crash += 1
+            tb = traceback.format_exc().splitlines()
+            bad.append(
+                ("CRASH", n, f"{type(ex).__name__}: {str(ex)[:200]} | {tb[-2][:150]}")
+            )
+        print(".", end="", flush=True)
+    print()
+    print(
+        f"VERDICT variant={variant} ok={ok} mismatch={fail} crash={crash}"
+        f" total={len(QUERIES)} wall={time.time() - t0:.0f}s"
+    )
+    for kind, n, d in bad:
+        print(f"  {kind} {n}: {d}")
+    spark.stop()
+    return 0 if not bad else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,113 @@
+"""Generate edge-case variants of the test dataset for robustness sweeps.
+
+Production pipelines constantly hit inputs the benchmark data never shows:
+an empty partition (a day with no events), a batch where every optional
+column is NULL, a single-row table. A query that crashes or silently
+mis-answers on those is a real production bug even if every sf* gate is
+green. This script derives such variants FROM the driver-generated
+sf0.001 schemas (never hand-written schemas, so they cannot drift) and
+writes them under a target directory with the same `<table>.parquet`
+layout, so `tests/oracle_util.py` and the sweep scripts work unchanged.
+
+Variants:
+  empty  — every table has 0 rows, schema byte-identical to sf0.001.
+  tiny   — every table keeps exactly 1 row (head(1) of sf0.001), so
+           joins mostly produce empty results and aggregates hit the
+           one-group path.
+  nulls  — payload columns nulled on deterministic row strides (join
+           keys stay intact): NULL text/lang, NULL timestamps, NULL
+           embedding vectors, NULL measures — the shapes a failed
+           extractor or encoder batch actually ships. The differential
+           gate stays fair because Spark and DuckDB read the same file.
+
+Usage:  python scripts/gen_edge_data.py <variant> <out_dir> [src_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# (modulus, remainder) stride per nulled column — distinct primes so the
+# null patterns overlap in varied combinations; join/id keys never nulled.
+NULL_PLAN: dict[str, dict[str, tuple[int, int]]] = {
+    "documents": {"text": (3, 0), "lang": (5, 1), "source": (7, 2)},
+    "events": {
+        "event_type": (5, 0),
+        "value": (3, 1),
+        "props": (2, 0),
+        "ts": (11, 3),
+    },
+    "embeddings": {"label": (4, 1), "embedding": (13, 5)},
+    "orders": {
+        "o_orderstatus": (5, 2),
+        "o_orderpriority": (7, 1),
+        "o_totalprice": (11, 4),
+        "o_orderdate": (13, 6),
+    },
+    "lineitem": {
+        "l_returnflag": (5, 3),
+        "l_linestatus": (7, 4),
+        "l_shipdate": (11, 2),
+        "l_quantity": (13, 1),
+        "l_extendedprice": (17, 0),
+        "l_discount": (19, 5),
+        "l_tax": (23, 7),
+    },
+    "customer": {"c_mktsegment": (5, 0), "c_acctbal": (7, 3), "c_name": (11, 2)},
+}
+
+
+def _with_nulls(tbl: pa.Table, plan: dict[str, tuple[int, int]]) -> pa.Table:
+    tbl = tbl.combine_chunks()
+    n = tbl.num_rows
+    for col, (m, r) in plan.items():
+        mask = pa.array([i % m == r % m for i in range(n)], type=pa.bool_())
+        i = tbl.schema.get_field_index(col)
+        nulled = pc.if_else(mask, pa.scalar(None, tbl.column(i).type), tbl.column(i).combine_chunks())
+        tbl = tbl.set_column(i, tbl.schema.field(i), nulled)
+    return tbl
+
+
+def generate(variant: str, out_dir: str | Path, src_dir: str | Path = "/root/testdata/sf0.001") -> Path:
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for t in TABLES:
+        src = Path(src_dir) / f"{t}.parquet"
+        tbl = pq.read_table(src)
+        if variant == "empty":
+            tbl = tbl.slice(0, 0)
+        elif variant == "tiny":
+            tbl = tbl.slice(0, 1)
+        elif variant == "nulls":
+            tbl = _with_nulls(tbl, NULL_PLAN.get(t, {}))
+        else:
+            raise ValueError(f"unknown variant {variant!r}")
+        pq.write_table(tbl, out / f"{t}.parquet")
+    return out
+
+
+if __name__ == "__main__":
+    variant = sys.argv[1] if len(sys.argv) > 1 else "empty"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/edge_{variant}"
+    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+    p = generate(variant, out_dir, src)
+    print(f"wrote {variant} variant to {p}")
