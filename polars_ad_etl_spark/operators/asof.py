@@ -32,16 +32,28 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the latest right-side ``value_cols`` with
     ``right.time_col <= left.time_col`` within the same ``key``. Left columns
-    are preserved; missing matches yield nulls (left-asof semantics)."""
+    are preserved; missing matches yield nulls (left-asof semantics).
+
+    The carried payload is ONE struct per right row, not per-column
+    ``last(ignorenulls=True)`` carries: a struct whose members are NULL is
+    still a non-NULL struct, so a right row with NULL value columns is a
+    real match (yielding its NULLs), and all asof_* outputs always come
+    from the SAME right row — per-column carries would skip the NULL and
+    tear columns from different rows (caught by the NULL-heavy edge
+    sweep)."""
     lcols = left.columns
-    l_tagged = left.withColumn("_side", F.lit(1)).withColumns(
-        {f"_r_{c}": F.lit(None).cast(dict(right.dtypes)[c]) for c in value_cols}
+    rtypes = dict(right.dtypes)
+    struct_ddl = (
+        "struct<" + ",".join(f"`{c}`:{rtypes[c]}" for c in value_cols) + ">"
+    )
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
+        "_r", F.lit(None).cast(struct_ddl)
     )
     r_tagged = (
         right.select(
             key,
             time_col,
-            *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+            F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_r"),
         )
         .withColumn("_side", F.lit(0))
         .withColumns({c: F.lit(None).cast(dict(left.dtypes)[c]) for c in lcols
@@ -54,11 +66,12 @@ def asof_join(
         .orderBy(time_col, "_side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    carried = unioned.withColumns(
-        {f"_r_{c}": F.last(f"_r_{c}", ignorenulls=True).over(w) for c in value_cols}
+    carried = unioned.withColumn(
+        "_r", F.last("_r", ignorenulls=True).over(w)
     )
     return carried.filter(F.col("_side") == 1).select(
-        *lcols, *[F.col(f"_r_{c}").alias(f"asof_{c}") for c in value_cols]
+        *lcols,
+        *[F.col(f"_r.{c}").alias(f"asof_{c}") for c in value_cols],
     )
 
 

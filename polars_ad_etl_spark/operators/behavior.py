@@ -1178,10 +1178,14 @@ def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sort_array(F.collect_list("ev")).alias("seq"))
     )
+    # the zero accumulator's ewma is a typed NULL, not literal 0: Spark
+    # derives the fold's state type from the zero value, and a
+    # non-nullable field silently coerces a NULL intermediate (NULL cents
+    # poisoning the average, as in the oracle's recursion) to 0
     fold = """
         aggregate(
             seq,
-            named_struct('ewma', CAST(0 AS BIGINT), 'n', CAST(0 AS BIGINT)),
+            named_struct('ewma', CAST(NULL AS BIGINT), 'n', CAST(0 AS BIGINT)),
             (acc, x) -> IF(acc.n = 0,
                 named_struct('ewma', x.cents, 'n', CAST(1 AS BIGINT)),
                 named_struct('ewma', (x.cents + acc.ewma) div 2,
@@ -1671,8 +1675,10 @@ _CROSS_BUCKETS = 256
     oracle=f"""
     WITH crossed AS (
         SELECT {portable_hash32_sql(
-            "event_type || ':' || CAST(isodow(ts) AS VARCHAR) || ':' || "
-            "CAST(CAST(round(value * 100) AS BIGINT) // 5000 AS VARCHAR)"
+            "COALESCE(event_type, '~null~') || ':' || "
+            "CAST(isodow(ts) AS VARCHAR) || ':' || "
+            "COALESCE(CAST(CAST(round(value * 100) AS BIGINT) // 5000"
+            " AS VARCHAR), '~null~')"
         )} % {_CROSS_BUCKETS} AS bucket
         FROM events
     )
@@ -1693,16 +1699,23 @@ def events_feature_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir)
     from polars_ad_etl_spark.functions.hashing import portable_hash32
 
+    # missing features hash as an explicit '~null~' token on BOTH engines:
+    # concat_ws would silently drop the element (aliasing distinct crosses,
+    # e.g. (NULL, 7, 3) with ('7', 3, ...)), and || would NULL-poison the
+    # whole cross (lumping every missing-feature row into one bucket)
     crossed = e.select(
         (
             portable_hash32(
                 F.concat_ws(
                     ":",
-                    F.col("event_type"),
+                    F.coalesce(F.col("event_type"), F.lit("~null~")),
                     F.expr("extract(dayofweek_iso FROM ts)").cast("string"),
-                    F.expr(
-                        "CAST(round(value * 100) AS BIGINT) div 5000"
-                    ).cast("string"),
+                    F.coalesce(
+                        F.expr(
+                            "CAST(round(value * 100) AS BIGINT) div 5000"
+                        ).cast("string"),
+                        F.lit("~null~"),
+                    ),
                 )
             )
             % _CROSS_BUCKETS

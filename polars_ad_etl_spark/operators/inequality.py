@@ -570,6 +570,7 @@ def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
                o_orderkey
         FROM orders
+        WHERE o_totalprice IS NOT NULL
     ), ranked AS (
         SELECT o_orderpriority, cents,
                ROW_NUMBER() OVER (PARTITION BY o_orderpriority
@@ -600,7 +601,8 @@ def stats_percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from exploding a 3-element literal; one pass, conditional-max
     pivot."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cents = orders.select(
+    # rank statistics exclude NULL measures (standard percentile semantics)
+    cents = orders.where(F.col("o_totalprice").isNotNull()).select(
         "o_orderpriority",
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
         "o_orderkey",

@@ -18,6 +18,7 @@ Determinism rules for oracle parity (why these queries look the way they do):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,12 +28,39 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Event-time data contract: a row without a timestamp cannot be placed on
+# the timeline, so the events surface excludes it everywhere — declared
+# ONCE on each engine. Spark side: sources/star.py::load_events filters
+# ts IS NOT NULL (every events query goes through it). Oracle side: this
+# rewrite routes every events reference through the same predicate, so the
+# two engines keep seeing the same relation on NULL-carrying inputs
+# (exercised by scripts/edge_sweep.py's `nulls` variant). The rewrite is
+# alias-safe (`FROM events e` -> `FROM __events e`) and CTE-safe (the
+# shadow name differs from the view name, so there is no circular
+# reference and no schema-qualification assumption about the driver's
+# DuckDB catalog).
+_EVENTS_REF = re.compile(r"\b(FROM|JOIN)(\s+)events\b")
+_EVENTS_CTE = "__events AS (SELECT * FROM events WHERE ts IS NOT NULL)"
+
+
+def _apply_events_contract(sql: str) -> str:
+    rewritten, n = _EVENTS_REF.subn(r"\1\2__events", sql)
+    if n == 0:
+        return sql
+    s = rewritten.lstrip()
+    low = s[:20].upper()
+    if low.startswith("WITH RECURSIVE"):
+        return "WITH RECURSIVE " + _EVENTS_CTE + ", " + s[len("WITH RECURSIVE") :].lstrip()
+    if low.startswith("WITH"):
+        return "WITH " + _EVENTS_CTE + ", " + s[len("WITH") :].lstrip()
+    return "WITH " + _EVENTS_CTE + " " + s
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            ORACLES[name] = _apply_events_contract(oracle)
         return fn
 
     return deco

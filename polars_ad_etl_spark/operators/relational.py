@@ -326,7 +326,8 @@ def window_rank_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate NULLS FIRST, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS running_spend
     FROM orders
@@ -334,11 +335,14 @@ def window_rank_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running-total frame; decimal accumulation makes the prefix sums exact,
-    so the result is identical under any partitioning."""
+    so the result is identical under any partitioning. NULL order dates
+    sort FIRST — spelled on both engines (Spark's ASC default is
+    nulls-first, DuckDB's is nulls-last; an unspelled order diverges the
+    prefix sums on NULL-carrying input)."""
     o = _t(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_first("o_orderdate"), "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return o.select(

@@ -607,6 +607,7 @@ _TRIM_PCT = 5
                ) AS rk,
                COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
         FROM orders
+        WHERE o_totalprice IS NOT NULL
     )
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_kept,
@@ -623,6 +624,9 @@ def stats_trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     o = _t(spark, sf_dir, "orders")
+    # rank statistics exclude NULL measures (standard percentile-family
+    # semantics; an unspelled NULL rank position diverges across engines)
+    o = o.where(F.col("o_totalprice").isNotNull())
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     w = W.partitionBy("o_orderpriority").orderBy(cents, "o_orderkey")
     wn = W.partitionBy("o_orderpriority")
@@ -650,7 +654,7 @@ def stats_trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH monthly AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
                {dsum_sql('o_totalprice')} AS revenue
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     )
     SELECT month_start, revenue,
            LAG(revenue, 12) OVER (ORDER BY month_start) AS revenue_prior_year,
@@ -669,7 +673,9 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     o = _t(spark, sf_dir, "orders")
-    monthly = o.groupBy(
+    # a calendar lag is undefined for unknown dates: the NULL-date month
+    # would shift the lag-12 alignment (and engines order NULLs apart)
+    monthly = o.where(F.col("o_orderdate").isNotNull()).groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").alias("month_start")
     ).agg(dsum("o_totalprice").alias("revenue"))
     w = W.orderBy("month_start")
@@ -1105,7 +1111,11 @@ def orders_quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.groupBy("qtr")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(in_final.cast("long")).alias("n_final_week"),
+            # coalesce: the NULL-date quarter group has COUNT-FILTER
+            # semantics (0), not SUM-over-all-NULL (NULL)
+            F.coalesce(
+                F.sum(in_final.cast("long")), F.lit(0).cast("long")
+            ).alias("n_final_week"),
         )
         .select(
             "qtr",

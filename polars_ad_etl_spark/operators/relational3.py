@@ -591,7 +591,7 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
            NTH_VALUE(c_custkey, 2) OVER w AS second_custkey
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment
-                 ORDER BY c_acctbal, c_custkey
+                 ORDER BY c_acctbal NULLS FIRST, c_custkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
@@ -602,7 +602,10 @@ def window_family_customer_balance(spark: SparkSession, sf_dir: str) -> DataFram
     c = _t(spark, sf_dir, "customer")
     # ranking functions require the default (running) frame; value functions
     # need the full-partition frame — same partitioning, so still one shuffle
-    w_rank = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    # NULLS FIRST spelled on both engines (see window_running_customer_spend)
+    w_rank = W.partitionBy("c_mktsegment").orderBy(
+        F.asc_nulls_first("c_acctbal"), "c_custkey"
+    )
     w_full = w_rank.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return c.select(
         "c_custkey",
@@ -660,9 +663,9 @@ def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_big, has_null_value, big_total
     FROM agg a
     JOIN (SELECT event_type, user_id FROM ranked WHERE rmax = 1) mx
-      USING (event_type)
+      ON a.event_type IS NOT DISTINCT FROM mx.event_type
     JOIN (SELECT event_type, user_id FROM ranked WHERE rmin = 1) mn
-      USING (event_type)
+      ON a.event_type IS NOT DISTINCT FROM mn.event_type
     """,
 )
 def agg_modern_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1522,7 +1525,8 @@ def window_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = F.sort_array(F.collect_list("cents").over(w))
     med = F.expr(
         """
-        CASE WHEN size(frame) % 2 = 1
+        CASE WHEN size(frame) = 0 THEN CAST(NULL AS DOUBLE)
+             WHEN size(frame) % 2 = 1
              THEN CAST(element_at(frame, CAST(size(frame) div 2 + 1 AS INT)) AS DOUBLE)
              ELSE (CAST(element_at(frame, CAST(size(frame) div 2 AS INT))
                         AS DOUBLE)

@@ -486,7 +486,9 @@ def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact integer ratio over per-language totals; two stacked
     aggregations."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    per_doc = docs.select(
+    # fertility is undefined for a doc with no text: excluded, matching the
+    # oracle's token CTE (a NULL text yields no token rows to join back)
+    per_doc = docs.where(F.col("text").isNotNull()).select(
         "lang",
         "n_chars",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),

@@ -165,7 +165,7 @@ def events_json_kv_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS l2_norm,
            CAST(list_max(embedding::DOUBLE[]) AS DOUBLE) AS max_elem,
            len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_positive
-    FROM embeddings
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings
     """,
 )
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,7 +174,7 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     no explode, no shuffle."""
     from polars_ad_etl_spark.functions.vectors import norm
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
     as_double = F.transform("embedding", lambda x: x.cast("double"))
     return e.select(
         "vec_id",

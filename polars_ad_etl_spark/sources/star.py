@@ -30,7 +30,11 @@ def load_events(spark: SparkSession, sf_dir: str | Path) -> DataFrame:
                 " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ),
         )
-    return df
+    # Event-time contract: a row without a timestamp cannot be placed on
+    # the timeline, so it is excluded at the loader (quarantine upstream).
+    # The oracle side applies the identical predicate via
+    # operators/registry.py::_apply_events_contract.
+    return df.where(F.col("ts").isNotNull())
 
 
 TABLES = (

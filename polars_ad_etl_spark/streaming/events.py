@@ -107,9 +107,14 @@ def read_events_stream(
             str(sf_dir)
         )
     if isinstance(probed, T.LongType):
-        return raw.withColumn("ts", F.expr(_TS_EXPR))
-    # NTZ wall-clock -> LTZ instant is identity under the UTC session pin
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        out = raw.withColumn("ts", F.expr(_TS_EXPR))
+    else:
+        # NTZ wall-clock -> LTZ instant is identity under the UTC session pin
+        out = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Event-time contract (same as sources/star.py::load_events): rows
+    # without a timestamp can't be watermarked or windowed — excluded here,
+    # quarantine upstream.
+    return out.where(F.col("ts").isNotNull())
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -21,8 +21,33 @@ The sf* gates never exercise them, and the first empty-input sweep found
    grouped aggregate yields no row (events_pareto_8020) — fixed by
    mirroring the oracle's GROUP BY.
 
+The NULL-heavy sweep (``nulls`` variant: payload columns nulled on
+deterministic strides — NULL text, NULL timestamps, NULL embeddings,
+NULL measures) found 45 more, resolved by four declared data contracts
+plus four genuine engine bugs:
+
+6. Event-time contract: a row without a timestamp cannot be placed on
+   the timeline — filtered ONCE in ``sources/star.py::load_events`` and
+   mirrored into every events oracle by
+   ``operators/registry.py::_apply_events_contract`` (fixed ~20 window/
+   session/rollup divergences, since Spark sorts NULLs first and DuckDB
+   last).
+7. NULL-vector contract: embedding operators exclude rows without a
+   vector (failed encoder batch), uniformly on both engines.
+8. Rank-statistic contract: percentile/trimmed-mean rankings exclude
+   NULL measures (standard percentile-family semantics); remaining
+   order-sensitive windows spell NULLS FIRST on both engines.
+9. Engine bugs: ``asof_join`` carried value columns individually with
+   ``last(ignorenulls=True)``, skipping legitimate NULL-valued matches
+   and tearing columns across different right rows (now ONE struct
+   carry); the EWMA fold's zero accumulator used a non-nullable literal
+   0, silently coercing NULL-poisoned state to 0; ``concat_ws`` in
+   feature hashing silently dropped NULL features (aliasing distinct
+   crosses — now an explicit '~null~' token both sides); rolling-median
+   crashed on an all-NULL window frame (element_at index 0).
+
 The full-registry sweep lives in ``scripts/edge_sweep.py`` (283/283 on
-both variants); this file pins the once-broken queries plus one
+all three variants); this file pins the once-broken queries plus one
 representative per family so the property is guarded in CI time budget.
 """
 
@@ -78,9 +103,38 @@ REPRESENTATIVES = [
 ]
 
 
+# Queries the NULL-heavy sweep broke (classes 6-9 above): the asof struct
+# carry, the EWMA fold state, the feature-hash missing token, the rolling
+# median frame guard, the NULL-ordering spellings, the rank-statistic and
+# fertility exclusions, plus one representative of each declared contract.
+NULLS_ONCE_BROKEN = [
+    "asof_purchase_last_click",
+    "events_value_ewma",
+    "events_feature_crosses",
+    "window_rolling_median_value",
+    "agg_modern_event_stats",
+    "window_running_customer_spend",
+    "window_family_customer_balance",
+    "stats_trimmed_mean_prices",
+    "stats_percentile_disc_prices",
+    "orders_quarter_end_loading",
+    "orders_yoy_growth",
+    "text_token_fertility",
+    "events_session_windows",  # event-time contract representative
+    "sim_bruteforce_topk",  # NULL-vector contract representative
+    "dedup_embedding_cosine_pairs",
+    "dedup_incremental_keep_list",  # NULL-text handling (pre-existing)
+]
+
+
 @pytest.fixture(scope="module")
 def empty_dir(tmp_path_factory):
     return str(generate("empty", tmp_path_factory.mktemp("edge_empty")))
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(tmp_path_factory):
+    return str(generate("nulls", tmp_path_factory.mktemp("edge_nulls")))
 
 
 @pytest.fixture(scope="module")
@@ -106,6 +160,11 @@ def test_empty_input_matches_oracle(spark, empty_dir, name):
 @pytest.mark.parametrize("name", ONCE_BROKEN + REPRESENTATIVES)
 def test_tiny_input_matches_oracle(spark, tiny_dir, name):
     _check(spark, tiny_dir, name)
+
+
+@pytest.mark.parametrize("name", NULLS_ONCE_BROKEN)
+def test_null_heavy_input_matches_oracle(spark, nulls_dir, name):
+    _check(spark, nulls_dir, name)
 
 
 def test_grand_total_guard_is_limit1_not_rescan(spark, empty_dir):
