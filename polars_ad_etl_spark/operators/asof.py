@@ -42,6 +42,8 @@ def asof_join(
     tear columns from different rows (caught by the NULL-heavy edge
     sweep)."""
     lcols = left.columns
+    if not value_cols:  # nothing to attach: the as-of is a no-op
+        return left
     rtypes = dict(right.dtypes)
     struct_ddl = (
         "struct<" + ",".join(f"`{c}`:{rtypes[c]}" for c in value_cols) + ">"

@@ -1774,16 +1774,11 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("B")
         .alias("variant"),
     ).distinct()
-    zero = F.lit(0).cast("long")
-    # coalesce: COUNT-FILTER semantics (0 users, not NULL) on an empty
-    # stream; nullif keeps 0-div-0 as NULL instead of an ANSI error
+    # count_if: COUNT-FILTER semantics (0 users on empty input, not NULL);
+    # nullif keeps 0-div-0 as NULL instead of an ANSI error
     counts = assigned.agg(
-        F.coalesce(
-            F.sum((F.col("variant") == "A").cast("long")), zero
-        ).alias("n_a"),
-        F.coalesce(
-            F.sum((F.col("variant") == "B").cast("long")), zero
-        ).alias("n_b"),
+        F.count_if(F.col("variant") == "A").alias("n_a"),
+        F.count_if(F.col("variant") == "B").alias("n_b"),
     )
     return counts.select(
         "n_a",
@@ -2270,20 +2265,13 @@ def events_conversion_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("timestampdiff(MICROSECOND, v_ts, p_ts)").alias("us")
     )
     tot = v.agg(F.count("*").alias("n"))
-    zero = F.lit(0).cast("long")
-    # coalesce: COUNT-FILTER semantics on zero converters (0, not NULL);
+    # count_if: COUNT-FILTER semantics on zero converters (0, not NULL);
     # nullif: zero viewers makes the permilles NULL, not an ANSI error
     agg = lat.agg(
         F.count("*").alias("n_converters"),
-        F.coalesce(
-            F.sum((F.col("us") <= 60_000_000).cast("long")), zero
-        ).alias("c1m"),
-        F.coalesce(
-            F.sum((F.col("us") <= 3_600_000_000).cast("long")), zero
-        ).alias("c1h"),
-        F.coalesce(
-            F.sum((F.col("us") <= 86_400_000_000).cast("long")), zero
-        ).alias("c1d"),
+        F.count_if(F.col("us") <= 60_000_000).alias("c1m"),
+        F.count_if(F.col("us") <= 3_600_000_000).alias("c1h"),
+        F.count_if(F.col("us") <= 86_400_000_000).alias("c1d"),
     )
     return agg.crossJoin(F.broadcast(tot)).select(
         F.col("n").alias("n_viewers"),

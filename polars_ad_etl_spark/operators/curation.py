@@ -651,25 +651,15 @@ def curation_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pass_dedup"
         ),
     )
-    zero = F.lit(0).cast("long")
-    # coalesce: an empty corpus reports 0 at every stage (COUNT-FILTER
-    # semantics), not NULL (SUM-over-empty)
+    # count_if: an empty corpus reports 0 at every stage (COUNT-FILTER
+    # semantics), not NULL (SUM-over-empty); NULL gate flags (NULL lang)
+    # are not counted, same as the oracle's FILTER predicates
     wide = flags.agg(
         F.count(F.lit(1)).alias("c1"),
-        F.coalesce(F.sum(F.col("pass_len").cast("long")), zero).alias("c2"),
-        F.coalesce(
-            F.sum((F.col("pass_len") & F.col("pass_lang")).cast("long")),
-            zero,
-        ).alias("c3"),
-        F.coalesce(
-            F.sum(
-                (
-                    F.col("pass_len")
-                    & F.col("pass_lang")
-                    & F.col("pass_dedup")
-                ).cast("long")
-            ),
-            zero,
+        F.count_if(F.col("pass_len")).alias("c2"),
+        F.count_if(F.col("pass_len") & F.col("pass_lang")).alias("c3"),
+        F.count_if(
+            F.col("pass_len") & F.col("pass_lang") & F.col("pass_dedup")
         ).alias("c4"),
     )
     return (

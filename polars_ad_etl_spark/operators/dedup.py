@@ -43,6 +43,7 @@ from polars_ad_etl_spark.functions.hashing import (
     tokens_sql,
 )
 from polars_ad_etl_spark.operators.registry import ORACLES, register
+from polars_ad_etl_spark.sources.star import load_embeddings
 
 K = 16  # MinHash signature length
 BANDS = 4  # 4 bands x 4 rows
@@ -650,7 +651,7 @@ COSINE_DUP_THRESHOLD = 0.35
     WITH bucketed AS (
         SELECT vec_id, embedding::DOUBLE[] AS e,
                {_bucket_sql('embedding')} AS bucket
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings
+        FROM embeddings
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_dot_product(a.e, b.e) /
@@ -680,7 +681,7 @@ def dedup_embedding_cosine_pairs(
     size table broadcasts); dropped buckets are never silent —
     :func:`embedding_bucket_overflow` reports each with its forgone
     candidate count. Default ``None`` keeps the oracle-exact behavior."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
+    e = load_embeddings(spark, sf_dir)
     b = e.select(
         "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
     )
@@ -720,7 +721,7 @@ def embedding_bucket_overflow(
     DUPLICATE pairs — candidates below the cosine threshold were never
     duplicates). Tiny by construction: the sign-bucket universe is at most
     2^planes rows before the cap filter."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
+    e = load_embeddings(spark, sf_dir)
     return (
         e.select(_bucket_expr(F.col("embedding")).alias("bucket"))
         .groupBy("bucket")
@@ -742,7 +743,7 @@ def embedding_bucket_overflow(
     WITH bucketed AS (
         SELECT vec_id, embedding::DOUBLE[] AS e,
                {_bucket_sql('embedding')} AS bucket
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings
+        FROM embeddings
     ),
     bsize AS (SELECT bucket, COUNT(*) AS n FROM bucketed GROUP BY bucket),
     keep AS (
@@ -774,7 +775,7 @@ def dedup_cosine_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cosine_overflow_report",
     oracle=f"""
     WITH bucketed AS (
-        SELECT {_bucket_sql('embedding')} AS bucket FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings
+        SELECT {_bucket_sql('embedding')} AS bucket FROM embeddings
     )
     SELECT bucket,
            CAST(COUNT(*) AS BIGINT) AS bucket_size,
@@ -834,7 +835,7 @@ def _vec_incr_oracle(cap: int | None = None) -> str:
                {_bucket_sql('embedding')} AS bucket,
                ({portable_hash32_sql(f"'{_VEC_INCR_SALT}' || CAST(vec_id AS VARCHAR)")}
                 % 1000) >= {INCR_SPLIT_PERMILLE} AS is_batch
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings
+        FROM embeddings
     ),{capped_ctes}
     nc AS (
         SELECT DISTINCT a.vec_id
@@ -890,7 +891,7 @@ def dedup_incremental_embedding_keep(
     2^planes wide, so the right cap scales with corpus size per bucket —
     size it from the overflow report (or add planes) rather than a fixed
     constant. Default ``None`` is the oracle-checked registry behavior."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
+    e = load_embeddings(spark, sf_dir)
     b_full = e.select(
         "vec_id",
         "embedding",

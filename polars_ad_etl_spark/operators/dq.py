@@ -260,18 +260,12 @@ def dq_linenumber_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_linenumber").alias("min_ln"),
         F.count_distinct("l_linenumber").alias("n_distinct"),
     )
-    zero = F.lit(0).cast("long")
+    # count_if: COUNT-FILTER semantics (0 on empty input), not SUM (NULL)
     return per_order.agg(
         F.count("*").alias("n_orders"),
-        # coalesce: COUNT-FILTER semantics (0 on empty), not SUM (NULL)
-        F.coalesce(
-            F.sum((F.col("min_ln") != 1).cast("long")), zero
-        ).alias("n_bad_start"),
-        F.coalesce(
-            F.sum((F.col("n_distinct") != F.col("n_lines")).cast("long")),
-            zero,
-        ).alias("n_duplicate_linenums"),
-        F.coalesce(
-            F.sum((F.col("max_ln") != F.col("n_lines")).cast("long")), zero
-        ).alias("n_gapped"),
+        F.count_if(F.col("min_ln") != 1).alias("n_bad_start"),
+        F.count_if(F.col("n_distinct") != F.col("n_lines")).alias(
+            "n_duplicate_linenums"
+        ),
+        F.count_if(F.col("max_ln") != F.col("n_lines")).alias("n_gapped"),
     )

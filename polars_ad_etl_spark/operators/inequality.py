@@ -366,7 +366,11 @@ def events_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "n_top_users",
         F.expr("(1000 * n_top_users) div n_users").alias("users_permille"),
-        F.expr("(1000 * min_cum) div total").alias("spend_permille"),
+        # nullif: an all-zero-cents corpus has total 0 with a crossing row
+        # (5*0 >= 4*0) -> NULL share, matching DuckDB // 0
+        F.expr("(1000 * min_cum) div nullif(total, 0)").alias(
+            "spend_permille"
+        ),
     )
 
 

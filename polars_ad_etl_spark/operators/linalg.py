@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polars_ad_etl_spark.operators.registry import register
+from polars_ad_etl_spark.sources.star import load_embeddings
 
 DIM = 64
 Q_SCALE = 1 << 16  # power of two: float*scale is exact in double arithmetic
@@ -93,7 +94,7 @@ def quantized(e: DataFrame) -> DataFrame:
 @register(
     "embedding_covariance",
     oracle=f"""
-    WITH q AS (SELECT {_QUANT_DUCK} AS qv FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings),
+    WITH q AS (SELECT {_QUANT_DUCK} AS qv FROM embeddings),
     p AS (
         SELECT a.i AS dim_i, b.i AS dim_j,
                q.qv[a.i + 1] AS qi, q.qv[b.i + 1] AS qj
@@ -119,7 +120,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact integer covariance accumulation over the embedding corpus —
     the distributed half of PCA (the D×D eigensolve on the result is a
     driver-side epilogue; see :func:`top_principal_component`)."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
+    e = load_embeddings(spark, sf_dir)
     return covariance_pairs(quantized(e))
 
 
@@ -200,7 +201,7 @@ def top_principal_component(
         SELECT vec_id,
                CAST(list_sum(list_transform({_QUANT_DUCK},
                     x -> x * x)) AS BIGINT) AS sqnorm_fp
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings
+        FROM embeddings
     ),
     m AS (SELECT CAST(SUM(sqnorm_fp) AS BIGINT) AS total,
                  CAST(COUNT(*) AS BIGINT) AS n FROM q)
@@ -218,7 +219,7 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings before they poison an ANN index. One projection + one
     broadcast 1-row mean; comparisons stay in integer cross-multiplied
     form (no division, no floats)."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
+    e = load_embeddings(spark, sf_dir)
     q = e.select(
         "vec_id",
         F.expr(
@@ -243,7 +244,7 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_variance_by_dim",
     oracle=f"""
-    WITH q AS (SELECT {_QUANT_DUCK} AS qv FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings),
+    WITH q AS (SELECT {_QUANT_DUCK} AS qv FROM embeddings),
     d AS (
         SELECT i.i AS dim, q.qv[i.i + 1] AS qx
         FROM q, generate_series(0, {DIM - 1}) i(i)
@@ -271,7 +272,7 @@ def embedding_variance_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     which matryoshka prefix keeps how much signal and whether any
     dimension is dead (share 0) or dominant. One explode to (dim, value),
     map-side-combinable sums, a broadcast 1-row total."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
+    e = load_embeddings(spark, sf_dir)
     d = e.select(
         F.posexplode(F.expr(_QUANT)).alias("dim", "qx")
     ).withColumn("dim", F.col("dim").cast("long"))
@@ -314,8 +315,8 @@ _DOT_BUCKET = 1 << 28
 @register(
     "embedding_dot_histogram",
     oracle=f"""
-    WITH n AS (SELECT COUNT(*) AS n FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings),
-    q AS (SELECT vec_id, {_QUANT_DUCK} AS qv FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings),
+    WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+    q AS (SELECT vec_id, {_QUANT_DUCK} AS qv FROM embeddings),
     pairs AS (
         SELECT a.vec_id AS id_a, a.qv AS qa, b.qv AS qb
         FROM q a
@@ -337,7 +338,7 @@ def embedding_dot_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     modular-derangement pair sample — the anisotropy diagnostic. See the
     section comment; the join key is the computed partner id (hash-join
     shuffle on a uniform key), the fold is JVM-side zip_with/aggregate."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
+    e = load_embeddings(spark, sf_dir)
     # the modulus enters as a broadcast 1-row aggregate, not a collected
     # literal (the scalar-subquery rule from the TPC-H family)
     n_row = e.agg(F.count("*").alias("n"))
@@ -368,7 +369,7 @@ def embedding_dot_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_participation_ratio",
     oracle=f"""
-    WITH q AS (SELECT {_QUANT_DUCK} AS qv FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings),
+    WITH q AS (SELECT {_QUANT_DUCK} AS qv FROM embeddings),
     d AS (
         SELECT i.i AS dim, q.qv[i.i + 1] AS qx
         FROM q, generate_series(0, {DIM - 1}) i(i)
@@ -402,7 +403,7 @@ def embedding_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame
     dims participate) on the same integer variance numerators as
     [[embedding_variance_by_dim]]; squares ride DECIMAL(38,0)/HUGEINT
     (int64 would overflow), output stays BIGINT.""".replace("{D}", str(DIM))
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
+    e = load_embeddings(spark, sf_dir)
     d = e.select(
         F.posexplode(F.expr(_QUANT)).alias("dim", "qx")
     )
@@ -437,7 +438,7 @@ def embedding_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame
     "embedding_label_confusion",
     oracle=f"""
     WITH q AS (
-        SELECT vec_id, label, {_QUANT_DUCK} AS qv FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings
+        SELECT vec_id, label, {_QUANT_DUCK} AS qv FROM embeddings
     ), d AS (
         SELECT vec_id, label, i.i AS dim, qv[i.i + 1] AS qx
         FROM q, generate_series(0, {DIM - 1}) i(i)
@@ -474,7 +475,7 @@ def embedding_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines. The |labels|-wide expansion makes this the exact
     verifier; at corpus scale the same question routes through the
     verified k-means/ANN ladder."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
+    e = load_embeddings(spark, sf_dir)
     d = e.select(
         "vec_id", "label", F.posexplode(F.expr(_QUANT)).alias("dim", "qx")
     )
@@ -524,7 +525,7 @@ def _coreset_oracle() -> str:
         " p -> (p[1] - p[2]) * (p[1] - p[2])))"
     )
     sql = f"""
-    WITH q AS (SELECT vec_id, {_QUANT_DUCK} AS qv FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings),
+    WITH q AS (SELECT vec_id, {_QUANT_DUCK} AS qv FROM embeddings),
     c0 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
     d0 AS (
         SELECT v.vec_id, v.qv,
@@ -561,7 +562,7 @@ def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     value bounds how well {K} exemplars cover the space. See the section
     comment for the sequential-step/driver-round structure; the oracle
     unrolls the same selection.""".replace("{K}", str(CORESET_K))
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
+    e = load_embeddings(spark, sf_dir)
     q = e.select("vec_id", F.expr(_QUANT).alias("qv"))
     picks, _ = kcenter_greedy(q, CORESET_K)
     return spark.createDataFrame(
@@ -607,7 +608,7 @@ def kcenter_greedy(
     "embedding_triplet_accuracy",
     oracle=f"""
     WITH q AS (
-        SELECT vec_id, label, {_QUANT_DUCK} AS qv FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings
+        SELECT vec_id, label, {_QUANT_DUCK} AS qv FROM embeddings
     ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
     anchors AS (
         SELECT vec_id, label, qv,
@@ -649,7 +650,7 @@ def embedding_triplet_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     space respects the labels; near 500 means it's no better than chance.
     One label-partitioned window + two id joins, negatives deterministic
     with no RNG."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
+    e = load_embeddings(spark, sf_dir)
     q = e.select("vec_id", "label", F.expr(_QUANT).alias("qv"))
     from pyspark.sql import Window as W
 

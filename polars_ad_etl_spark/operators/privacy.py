@@ -89,14 +89,15 @@ def privacy_suppression_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("gs")
     )
     small = F.col("gs") < K_ANON
-    zero = F.lit(0).cast("long")
     return sizes.agg(
         F.count("*").alias("n_groups"),
-        # coalesce: COUNT-FILTER/COALESCE-SUM oracle semantics on 0 groups
-        F.coalesce(F.sum(small.cast("long")), zero).alias("n_small_groups"),
+        # count_if / coalesce: COUNT-FILTER / COALESCE-SUM oracle
+        # semantics on 0 groups (0, not NULL)
+        F.count_if(small).alias("n_small_groups"),
         F.sum("gs").alias("n_rows"),
         F.coalesce(
-            F.sum(F.when(small, F.col("gs")).otherwise(0)), zero
+            F.sum(F.when(small, F.col("gs")).otherwise(0)),
+            F.lit(0).cast("long"),
         ).alias("n_suppressed_rows"),
     ).select(
         "n_groups",

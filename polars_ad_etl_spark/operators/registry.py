@@ -28,39 +28,50 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-# Event-time data contract: a row without a timestamp cannot be placed on
-# the timeline, so the events surface excludes it everywhere — declared
-# ONCE on each engine. Spark side: sources/star.py::load_events filters
-# ts IS NOT NULL (every events query goes through it). Oracle side: this
-# rewrite routes every events reference through the same predicate, so the
-# two engines keep seeing the same relation on NULL-carrying inputs
-# (exercised by scripts/edge_sweep.py's `nulls` variant). The rewrite is
-# alias-safe (`FROM events e` -> `FROM __events e`) and CTE-safe (the
-# shadow name differs from the view name, so there is no circular
-# reference and no schema-qualification assumption about the driver's
-# DuckDB catalog).
-_EVENTS_REF = re.compile(r"\b(FROM|JOIN)(\s+)events\b")
-_EVENTS_CTE = "__events AS (SELECT * FROM events WHERE ts IS NOT NULL)"
+# Data contracts, declared ONCE per engine. Spark side: the loaders in
+# sources/star.py (load_events filters ts IS NOT NULL — a row without a
+# timestamp cannot be placed on the timeline; load_embeddings filters
+# embedding IS NOT NULL — a vector-less row has nothing to hash, bucket,
+# or compare). Oracle side: this rewrite routes every reference to a
+# contracted table through the same predicate, so the two engines keep
+# seeing the same relation on NULL-carrying inputs (exercised by
+# scripts/edge_sweep.py's `nulls` variant). The rewrite is alias-safe
+# (`FROM events e` -> `FROM __events e`) and CTE-safe (the shadow name
+# differs from the view name, so there is no circular reference and no
+# schema-qualification assumption about the driver's DuckDB catalog).
+_TABLE_CONTRACTS: dict[str, str] = {
+    "events": "ts IS NOT NULL",
+    "embeddings": "embedding IS NOT NULL",
+}
+_CONTRACT_REFS = {
+    t: re.compile(rf"\b(FROM|JOIN)(\s+){t}\b", re.IGNORECASE)
+    for t in _TABLE_CONTRACTS
+}
 
 
-def _apply_events_contract(sql: str) -> str:
-    rewritten, n = _EVENTS_REF.subn(r"\1\2__events", sql)
-    if n == 0:
+def _apply_table_contracts(sql: str) -> str:
+    ctes = []
+    for t, pred in _TABLE_CONTRACTS.items():
+        sql, n = _CONTRACT_REFS[t].subn(rf"\1\2__{t}", sql)
+        if n:
+            ctes.append(f"__{t} AS (SELECT * FROM {t} WHERE {pred})")
+    if not ctes:
         return sql
-    s = rewritten.lstrip()
+    cte = ", ".join(ctes)
+    s = sql.lstrip()
     low = s[:20].upper()
     if low.startswith("WITH RECURSIVE"):
-        return "WITH RECURSIVE " + _EVENTS_CTE + ", " + s[len("WITH RECURSIVE") :].lstrip()
+        return "WITH RECURSIVE " + cte + ", " + s[len("WITH RECURSIVE") :].lstrip()
     if low.startswith("WITH"):
-        return "WITH " + _EVENTS_CTE + ", " + s[len("WITH") :].lstrip()
-    return "WITH " + _EVENTS_CTE + " " + s
+        return "WITH " + cte + ", " + s[len("WITH") :].lstrip()
+    return "WITH " + cte + " " + s
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLES[name] = _apply_events_contract(oracle)
+            ORACLES[name] = _apply_table_contracts(oracle)
         return fn
 
     return deco

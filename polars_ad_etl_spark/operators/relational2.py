@@ -1111,11 +1111,9 @@ def orders_quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.groupBy("qtr")
         .agg(
             F.count("*").alias("n_orders"),
-            # coalesce: the NULL-date quarter group has COUNT-FILTER
+            # count_if: the NULL-date quarter group has COUNT-FILTER
             # semantics (0), not SUM-over-all-NULL (NULL)
-            F.coalesce(
-                F.sum(in_final.cast("long")), F.lit(0).cast("long")
-            ).alias("n_final_week"),
+            F.count_if(in_final).alias("n_final_week"),
         )
         .select(
             "qtr",

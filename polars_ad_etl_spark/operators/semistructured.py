@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from polars_ad_etl_spark.functions.exact import dsum, dsum_sql
 from polars_ad_etl_spark.operators.registry import register
-from polars_ad_etl_spark.sources.star import load_events
+from polars_ad_etl_spark.sources.star import load_embeddings, load_events
 
 
 # ------------------------------------------------------------------- JSON
@@ -165,7 +165,7 @@ def events_json_kv_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS l2_norm,
            CAST(list_max(embedding::DOUBLE[]) AS DOUBLE) AS max_elem,
            len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_positive
-    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings
+    FROM embeddings
     """,
 )
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,7 +174,7 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     no explode, no shuffle."""
     from polars_ad_etl_spark.functions.vectors import norm
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
+    e = load_embeddings(spark, sf_dir)
     as_double = F.transform("embedding", lambda x: x.cast("double"))
     return e.select(
         "vec_id",

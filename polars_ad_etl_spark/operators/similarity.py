@@ -30,6 +30,7 @@ from polars_ad_etl_spark.functions.vectors import (
     signed_projection,
 )
 from polars_ad_etl_spark.operators.registry import register
+from polars_ad_etl_spark.sources.star import load_embeddings
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 10
@@ -47,9 +48,9 @@ _COS_SQL = (
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings WHERE vec_id < {N_QUERIES}
+        FROM embeddings WHERE vec_id < {N_QUERIES}
     ),
-    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings),
+    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
     scored AS (
         SELECT qid, cid, {_COS_SQL} AS cos
         FROM q CROSS JOIN c
@@ -65,7 +66,7 @@ _COS_SQL = (
 )
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for each query vector, query side broadcast."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
+    e = load_embeddings(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -116,7 +117,7 @@ def _bucket_sql(col: str) -> str:
     WITH bucketed AS (
         SELECT vec_id, embedding::DOUBLE[] AS e,
                {_bucket_sql('embedding')} AS bucket
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings
+        FROM embeddings
     ),
     q AS (SELECT vec_id AS qid, e AS qe, bucket FROM bucketed WHERE vec_id < {N_QUERIES}),
     c AS (SELECT vec_id AS cid, e AS ce, bucket FROM bucketed),
@@ -139,7 +140,7 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
     The bucket id is computed in one projection (no shuffle), and the
     candidate join is a plain equi-join on a small int key."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
+    e = load_embeddings(spark, sf_dir)
     bucketed = e.select(
         "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
     )
@@ -177,7 +178,7 @@ _CENT_SQL = """
         SELECT label, i - 1 AS dim,
                CAST(SUM(CAST(FLOOR(embedding[i]::DOUBLE * 1e9) AS BIGINT)) AS DOUBLE)
                    / 1e9 / COUNT(*) AS c
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings, generate_series(1, 64) AS t(i)
+        FROM embeddings, generate_series(1, 64) AS t(i)
         GROUP BY label, i
     ) GROUP BY label
 """
@@ -197,7 +198,7 @@ _QCAND_COS_SQL = (
     oracle=f"""
     WITH cent AS ({_CENT_SQL}),
     q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
-          FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings WHERE vec_id < {N_QUERIES}),
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
     probe AS (
         SELECT qid, label,
                ROW_NUMBER() OVER (PARTITION BY qid
@@ -206,7 +207,7 @@ _QCAND_COS_SQL = (
     ),
     probed AS (SELECT qid, label FROM probe WHERE pr <= {NPROBE}),
     cand AS (SELECT label, vec_id AS cid, embedding::DOUBLE[] AS ce2
-             FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings),
+             FROM embeddings),
     scored AS (
         SELECT qid, cid, {_QCAND_COS_SQL} AS cos
         FROM probed JOIN q USING (qid) JOIN cand USING (label)
@@ -234,7 +235,7 @@ def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Centroids use the same exact floor-quantized mean as
     ``embedding_label_centroids`` so both engines agree bit-for-bit."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
+    e = load_embeddings(spark, sf_dir)
     # coarse quantizer: per-label centroid as array<double>, dims ascending
     cent = (
         e.select("label", F.posexplode("embedding").alias("dim", "v"))
@@ -292,7 +293,7 @@ def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label, i - 1 AS dim,
            CAST(SUM(CAST(FLOOR(embedding[i]::DOUBLE * 1e9) AS BIGINT)) AS DOUBLE)
                / 1e9 / COUNT(*) AS centroid
-    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings, generate_series(1, 64) AS t(i)
+    FROM embeddings, generate_series(1, 64) AS t(i)
     GROUP BY label, i
     """,
 )
@@ -304,7 +305,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     round half-up in one engine and half-even in the other at tie values,
     but floor is identical everywhere — so the centroid is independent of
     both row order and engine."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
+    e = load_embeddings(spark, sf_dir)
     scaled = F.floor(F.col("v").cast("double") * 1e9).cast("long")
     return (
         e.select("label", F.posexplode("embedding").alias("dim", "v"))
@@ -405,7 +406,7 @@ def kmeans_train(
     stops on relative SSE improvement < tol."""
     from polars_ad_etl_spark.functions.hashing import portable_hash32
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL").select(
+    e = load_embeddings(spark, sf_dir).select(
         "vec_id", "embedding"
     )
     init = (
@@ -527,7 +528,7 @@ def kmeans_fixed(
     the production path; this is its verification twin with identical
     structure. Returns (final integer centroids, quantized DataFrame)."""
     q = _quantized(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL").select(
+        load_embeddings(spark, sf_dir).select(
             "vec_id", "embedding"
         )
     )
@@ -593,7 +594,7 @@ def _kmeans_oracle_sql(
                list_transform({emb},
                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * {KMEANS_Q_SCALE}) AS BIGINT)
                         + {KMEANS_Q_OFFSET}) AS qe
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings
+        FROM embeddings
     ),
     c0 AS (
         SELECT cluster, t.dim - 1 AS dim, qe[t.dim] AS cq
@@ -708,7 +709,7 @@ def _semdedup_oracle_sql() -> str:
                list_transform(embedding,
                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * {KMEANS_Q_SCALE}) AS BIGINT)
                ) AS v
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings
+        FROM embeddings
     ),
     norms AS (
         SELECT vec_id, CAST(list_dot_product(v, v) AS BIGINT) AS n2 FROM qv
@@ -799,7 +800,7 @@ SQ_LEVELS = 255
         SELECT vec_id, t.d - 1 AS dim,
                CAST(FLOOR(CAST(embedding[t.d] AS DOUBLE) * {KMEANS_Q_SCALE})
                     AS BIGINT) AS qx
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings, generate_series(1, {DIM}) AS t(d)
+        FROM embeddings, generate_series(1, {DIM}) AS t(d)
     ),
     r AS (SELECT dim, MIN(qx) AS qmin, MAX(qx) AS qmax FROM q GROUP BY dim)
     SELECT q.vec_id, CAST(q.dim AS INTEGER) AS dim,
@@ -811,7 +812,7 @@ SQ_LEVELS = 255
 def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, dim) -> int8-range quantization code from global per-dim
     ranges; see the section comment."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
+    e = load_embeddings(spark, sf_dir)
     q = e.select(
         "vec_id",
         F.posexplode(
@@ -888,7 +889,7 @@ def _pq_train(
     existing quantized (vec_id, qe) frame via ``q_full`` to share the
     scan/quantize subplan with a caller that already built it (IVF-PQ)."""
     if q_full is None:
-        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL").select(
+        e = load_embeddings(spark, sf_dir).select(
             "vec_id", "embedding"
         )
         q_full = _quantized(e)
@@ -1002,7 +1003,7 @@ def _pq_adc_oracle_sql() -> str:
         SELECT vec_id AS qid, t.d - 1 AS dim,
                CAST(FLOOR(CAST(embedding[t.d] AS DOUBLE) * {KMEANS_Q_SCALE})
                     AS BIGINT) + {KMEANS_Q_OFFSET} AS qv
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings, generate_series(1, {DIM}) AS t(d)
+        FROM embeddings, generate_series(1, {DIM}) AS t(d)
         WHERE vec_id < {N_QUERIES}
     ),
     {dms},
@@ -1113,7 +1114,7 @@ def _ivfpq_oracle_sql() -> str:
         SELECT vec_id AS qid, t.d - 1 AS dim,
                CAST(FLOOR(CAST(embedding[t.d] AS DOUBLE) * {KMEANS_Q_SCALE})
                     AS BIGINT) + {KMEANS_Q_OFFSET} AS qv
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings, generate_series(1, {DIM}) AS t(d)
+        FROM embeddings, generate_series(1, {DIM}) AS t(d)
         WHERE vec_id < {N_QUERIES}
     ),
     dcoarse AS (
@@ -1259,7 +1260,7 @@ def _mt_bucket_sql(col: str, t: int) -> str:
     WITH b AS (
         SELECT vec_id, embedding::DOUBLE[] AS e, t.t,
                CASE t.t {' '.join(f"WHEN {t} THEN {_mt_bucket_sql('embedding', t)}" for t in range(MT_TABLES))} END AS bucket
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings, generate_series(0, {MT_TABLES - 1}) AS t(t)
+        FROM embeddings, generate_series(0, {MT_TABLES - 1}) AS t(t)
     ),
     q AS (SELECT vec_id AS qid, e AS qe, t, bucket FROM b
           WHERE vec_id < {N_QUERIES}),
@@ -1285,7 +1286,7 @@ def _mt_bucket_sql(col: str, t: int) -> str:
 def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table sign-LSH top-k; see the section comment for the recall
     argument and the (table, bucket) composite-key join shape."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
+    e = load_embeddings(spark, sf_dir)
     b = e.select(
         "vec_id",
         "embedding",
@@ -1388,9 +1389,9 @@ def _prefix_ranking(e: DataFrame, dim: int | None) -> DataFrame:
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings WHERE vec_id < {N_QUERIES}
+        FROM embeddings WHERE vec_id < {N_QUERIES}
     ),
-    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings),
+    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
     full_rank AS ({_ranking_sql('')}),
     trunc_rank AS ({_ranking_sql(f'[1:{_MATRYOSHKA_DIM}]')}),
     f AS (SELECT query_id, neighbor_id FROM full_rank WHERE rnk <= {TOP_K}),
@@ -1406,7 +1407,7 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@{TOP_K} of the {_MATRYOSHKA_DIM}-dim-prefix cosine
     ranking vs the exact full-dim ranking — the offline eval that prices a
     matryoshka truncation before deployment (see section comment)."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL")
+    e = load_embeddings(spark, sf_dir)
     full = _prefix_ranking(e, None)
     trunc = _prefix_ranking(e, _MATRYOSHKA_DIM).withColumn("hit", F.lit(1))
     return (
@@ -1452,7 +1453,7 @@ def sim_kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     stacked aggregates and a min_by/max_by-style majority pick (ties to
     the smaller label in both engines)."""
     assign = sim_kmeans_clusters(spark, sf_dir)
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("embedding IS NOT NULL").select(
+    e = load_embeddings(spark, sf_dir).select(
         "vec_id", "label"
     )
     cl = (

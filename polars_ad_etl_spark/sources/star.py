@@ -33,8 +33,20 @@ def load_events(spark: SparkSession, sf_dir: str | Path) -> DataFrame:
     # Event-time contract: a row without a timestamp cannot be placed on
     # the timeline, so it is excluded at the loader (quarantine upstream).
     # The oracle side applies the identical predicate via
-    # operators/registry.py::_apply_events_contract.
+    # operators/registry.py::_apply_table_contracts.
     return df.where(F.col("ts").isNotNull())
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str | Path) -> DataFrame:
+    """The embeddings table with its NULL-vector contract applied: a row
+    without a vector (a failed encoder batch ships these) is excluded from
+    every vector operator — there is nothing to hash, bucket, quantize, or
+    compare. Declared ONCE here for the Spark side; the oracle side gets
+    the identical predicate via
+    operators/registry.py::_apply_table_contracts."""
+    return spark.read.parquet(str(Path(sf_dir) / "embeddings.parquet")).where(
+        F.col("embedding").isNotNull()
+    )
 
 
 TABLES = (

@@ -167,6 +167,31 @@ def test_null_heavy_input_matches_oracle(spark, nulls_dir, name):
     _check(spark, nulls_dir, name)
 
 
+def test_table_contract_rewrite():
+    """The oracle-side data-contract rewrite must catch any reference
+    form (case-insensitive, aliased, joined) and leave non-references
+    (column names containing the table name) alone — a silently skipped
+    rewrite would diverge the engines only on NULL-carrying data."""
+    from polars_ad_etl_spark.operators.registry import _apply_table_contracts
+
+    out = _apply_table_contracts(
+        "select count(*) from events e join embeddings on true"
+    )
+    assert "__events e" in out and "__embeddings" in out
+    assert "__events AS (SELECT * FROM events WHERE ts IS NOT NULL)" in out
+    assert (
+        "__embeddings AS (SELECT * FROM embeddings"
+        " WHERE embedding IS NOT NULL)" in out
+    )
+    assert out.lstrip().startswith("WITH ")
+    # a WITH-query gets the contract CTEs prepended to its list
+    w = _apply_table_contracts("WITH x AS (SELECT 1) SELECT * FROM events")
+    assert w.startswith("WITH __events AS") and ", x AS (SELECT 1)" in w
+    # column names that merely contain the table name are not references
+    sql = "SELECT n_events FROM documents"
+    assert _apply_table_contracts(sql) == sql
+
+
 def test_grand_total_guard_is_limit1_not_rescan(spark, empty_dir):
     """The empty-input grand-total guard must probe the source via
     limit(1) — a near-free early-terminating scan — not re-aggregate the
