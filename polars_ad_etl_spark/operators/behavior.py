@@ -136,20 +136,23 @@ def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "events_value_anomalies",
     oracle="""
-    WITH s AS (
+    WITH m AS (
+      SELECT event_id, event_type, value,
+             CAST(round(value * 1000000) AS BIGINT) AS mu
+      FROM events),
+    s AS (
       SELECT event_type,
-             COUNT(value) AS n_v,
-             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s_v,
-             CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
-                  AS DOUBLE) AS ss_v
-      FROM events GROUP BY event_type)
+             COUNT(mu) AS n_v,
+             SUM(CAST(mu AS HUGEINT)) AS s_mu,
+             SUM(CAST(mu AS HUGEINT) * mu) AS ss_mu
+      FROM m GROUP BY event_type)
     SELECT e.event_id, e.event_type, e.value
-    FROM events e JOIN s ON e.event_type = s.event_type
-    WHERE 4.0 * (CAST(s.n_v AS DOUBLE) * e.value - s.s_v)
-              * (CAST(s.n_v AS DOUBLE) * e.value - s.s_v)
+    FROM m e JOIN s ON e.event_type = s.event_type
+    WHERE 4.0 * CAST(s.n_v * e.mu - s.s_mu AS DOUBLE)
+              * CAST(s.n_v * e.mu - s.s_mu AS DOUBLE)
               * (CAST(s.n_v AS DOUBLE) - 1.0)
           > 25.0 * CAST(s.n_v AS DOUBLE)
-               * (CAST(s.n_v AS DOUBLE) * s.ss_v - s.s_v * s.s_v)
+               * CAST(s.n_v * s.ss_mu - s.s_mu * s.s_mu AS DOUBLE)
     """,
 )
 def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,9 +161,12 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the test |x - mean| > 2.5*stddev is evaluated with no
     division or sqrt — squared and multiplied through to
-    ``4(nx-S)^2(n-1) > 25n(nSS - S^2)`` over exact-decimal power sums S, SS.
-    Spark and DuckDB compute the identical double expression tree on
-    identical inputs, so the boundary cannot flip between engines.
+    ``4(nx-S)^2(n-1) > 25n(nSS - S^2)``. The moments are EXACT integer
+    sums of micro-unit values (decimal(38,0)/HUGEINT — a 1e8-magnitude
+    value squares to ~1.5e28, far past int64 and the previous
+    DECIMAL(18,6) squares, caught by the fuzz edge sweep); only the final
+    comparison converts the exact integers to double, and both engines
+    round the identical integer to the identical double.
 
     Scale shape: per-type moments are a 5-row aggregate broadcast back into
     the scan — two passes over events, zero wide shuffles of event rows
@@ -168,20 +174,29 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partition).
     """
     e = load_events(spark, sf_dir)
-    v6 = F.col("value").cast("decimal(18,6)")
-    stats = e.groupBy("event_type").agg(
-        F.count("value").alias("n_v"),
-        dsum("value").alias("s_v"),
-        F.sum(v6 * v6).cast("double").alias("ss_v"),
+    m = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("mu"),
     )
+    mu38 = F.col("mu").cast("decimal(38,0)")
+    stats = m.groupBy("event_type").agg(
+        F.count("mu").alias("n_v"),
+        F.sum(mu38).alias("s_mu"),
+        F.sum(mu38 * F.col("mu")).alias("ss_mu"),
+    )
+    nx_s = (
+        F.col("n_v") * F.col("mu").cast("decimal(38,0)") - F.col("s_mu")
+    ).cast("double")
     n = F.col("n_v").cast("double")
-    nx_s = n * F.col("value") - F.col("s_v")
     lhs = F.lit(4.0) * nx_s * nx_s * (n - F.lit(1.0))
-    rhs = (
-        F.lit(25.0) * n * (n * F.col("ss_v") - F.col("s_v") * F.col("s_v"))
-    )
+    var_num = (
+        F.col("n_v") * F.col("ss_mu") - F.col("s_mu") * F.col("s_mu")
+    ).cast("double")
+    rhs = F.lit(25.0) * n * var_num
     return (
-        e.join(F.broadcast(stats), "event_type")
+        m.join(F.broadcast(stats), "event_type")
         .filter(lhs > rhs)
         .select("event_id", "event_type", "value")
     )

@@ -166,12 +166,13 @@ def curation_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, source, 'low' AS mix_group,
                {_bucket_sql('doc_id', 'mix1')} AS b
         FROM documents
-        WHERE CAST(REPLACE(source, 'src', '') AS BIGINT) < 10
+        WHERE TRY_CAST(REPLACE(source, 'src', '') AS BIGINT) < 10
         UNION ALL
         SELECT doc_id, source, 'high' AS mix_group,
                0 AS b
         FROM documents
-        WHERE CAST(REPLACE(source, 'src', '') AS BIGINT) >= 10
+        WHERE COALESCE(TRY_CAST(REPLACE(source, 'src', '') AS BIGINT) >= 10,
+                       TRUE)
     )
     WHERE (mix_group = 'high') OR b < 3000
     """,
@@ -180,15 +181,20 @@ def curation_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted dataset interleave: each source group gets its own
     deterministic keep-rate, then the groups union. At scale every branch
     is an independent pushed-down scan+filter — mixing N corpora never
-    synchronizes them."""
+    synchronizes them. Sources outside the srcN naming scheme default to
+    the keep-all 'high' group (try_cast, declared in the oracle too):
+    an unknown domain must be mixed in visibly, not crash the job or be
+    dropped silently."""
     d = _docs(spark, sf_dir)
-    src_num = F.replace(F.col("source"), F.lit("src"), F.lit("")).cast("long")
+    src_num = F.replace(
+        F.col("source"), F.lit("src"), F.lit("")
+    ).try_cast("long")
     low = (
         d.filter(src_num < 10)
         .filter(_bucket(F.col("doc_id"), "mix1") < 3000)
         .select("doc_id", "source", F.lit("low").alias("mix_group"))
     )
-    high = d.filter(src_num >= 10).select(
+    high = d.filter(src_num.isNull() | (src_num >= 10)).select(
         "doc_id", "source", F.lit("high").alias("mix_group")
     )
     return low.unionByName(high)

@@ -220,7 +220,8 @@ def events_max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFra
     )
     SELECT user_id,
            CAST(SUM(dur_us) AS BIGINT) AS held_us,
-           CAST(SUM(cents * dur_us) // SUM(dur_us) AS BIGINT) AS twa_cents
+           CAST(SUM(CAST(cents AS HUGEINT) * dur_us) // SUM(dur_us)
+                AS BIGINT) AS twa_cents
     FROM held
     WHERE dur_us IS NOT NULL
     GROUP BY user_id
@@ -231,10 +232,12 @@ def events_max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFra
 def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user time-weighted average event value (TWAP): each event's value
     is "held" until the user's next event; the average weights value-cents
-    by exact holding microseconds. Integer arithmetic end-to-end
-    (cents × µs sums stay far inside int64 at per-user scale) so the oracle
-    hash-matches. One user-partitioned window + one aggregation — a single
-    shuffle on the high-cardinality user key; same scale shape as
+    by exact holding microseconds. Integer arithmetic end-to-end, with the
+    cents × µs products accumulated in DECIMAL(38,0)/HUGEINT — a
+    1e8-magnitude value held for an hour is ~4e19, past int64 (caught by
+    the fuzz edge sweep) — so the oracle hash-matches at any value scale.
+    One user-partitioned window + one aggregation — a single shuffle on
+    the high-cardinality user key; same scale shape as
     events_interarrival_stats."""
     e = load_events(spark, sf_dir)
     held = e.select(
@@ -249,7 +252,10 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         held.groupBy("user_id")
         .agg(
             F.sum("dur_us").alias("held_us"),
-            F.expr("sum(cents * dur_us) div sum(dur_us)").alias("twa_cents"),
+            F.expr(
+                "CAST(sum(CAST(cents AS DECIMAL(38,0)) * dur_us)"
+                " div sum(dur_us) AS BIGINT)"
+            ).alias("twa_cents"),
         )
         .filter(F.col("held_us") > 0)
         .orderBy("user_id")

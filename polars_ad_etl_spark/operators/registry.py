@@ -39,9 +39,22 @@ ORACLES: dict[str, str] = {}
 # (`FROM events e` -> `FROM __events e`) and CTE-safe (the shadow name
 # differs from the view name, so there is no circular reference and no
 # schema-qualification assumption about the driver's DuckDB catalog).
+# The embeddings contract also bounds the component domain: vectors must
+# be finite, non-zero, and have max |x| <= 16 (real corpus components are
+# < 0.6; the bound is the exact-integer envelope -- at KMEANS_Q_SCALE=1e6
+# a component quantizes to <= 1.8e7, its square to <= 3.3e14, a 64-dim
+# distance to <= 2.1e16, all int64-safe). A zero vector has no cosine
+# direction and a NaN/Inf/overflowing one would poison exact arithmetic;
+# both engines treat NaN as the largest float, so `max <= 16` excludes it
+# identically. The fuzz edge sweep (gen_edge_data.py) planted zero, 1e6-
+# component, and denormal vectors to prove the two predicates agree.
 _TABLE_CONTRACTS: dict[str, str] = {
     "events": "ts IS NOT NULL",
-    "embeddings": "embedding IS NOT NULL",
+    "embeddings": (
+        "embedding IS NOT NULL"
+        " AND list_max(list_transform(embedding, x -> abs(x))) > 0"
+        " AND list_max(list_transform(embedding, x -> abs(x))) <= 16"
+    ),
 }
 _CONTRACT_REFS = {
     t: re.compile(rf"\b(FROM|JOIN)(\s+){t}\b", re.IGNORECASE)

@@ -517,8 +517,12 @@ def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_char_simpson",
     oracle="""
     WITH chars AS (
-        SELECT doc_id, UNNEST(string_split(text, '')) AS ch
-        FROM documents
+        -- ch <> '': DuckDB string_split('', '') yields [''] where Spark's
+        -- split yields nothing — an empty document has no characters
+        SELECT doc_id, ch FROM (
+            SELECT doc_id, UNNEST(string_split(text, '')) AS ch
+            FROM documents
+        ) WHERE ch <> ''
     ), per_char AS (
         SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2
     ), per_doc AS (

@@ -17,21 +17,25 @@ from polars_ad_etl_spark.sources.star import load_embeddings, load_events
 @register(
     "events_json_props",
     oracle=f"""
-    SELECT json_extract(props, '$.k')::BIGINT // 10 AS k_decile,
+    SELECT TRY_CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,
            event_type,
            COUNT(*) AS n,
            {dsum_sql('value')} AS total_value
     FROM events
-    WHERE json_extract(props, '$.k') IS NOT NULL
+    WHERE props IS NOT NULL AND json_valid(props)
+      AND TRY_CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
     GROUP BY 1, 2
     """,
 )
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extract a typed property out of the JSON ``props`` column and roll up
     by its decile — schema-on-read over semi-structured payloads, JVM-side
-    (get_json_object, no Python)."""
+    (get_json_object, no Python). Malformed-payload policy (declared on
+    both engines, exercised by the fuzz sweep): unparseable JSON or a
+    non-numeric ``k`` contributes nothing — try_cast, never a crash, since
+    schema drift in a metadata column must not abort a 100-TB job."""
     e = load_events(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
     return (
         e.filter(k.isNotNull())
         .groupBy(
@@ -133,7 +137,7 @@ def window_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT event_type) AS n_types
     FROM (
         SELECT event_type, unnest(json_keys(props)) AS prop_key
-        FROM events WHERE props IS NOT NULL
+        FROM events WHERE props IS NOT NULL AND json_valid(props)
     )
     GROUP BY prop_key
     """,
@@ -192,11 +196,15 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+           CAST(MIN(TRY_CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(MAX(TRY_CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(SUM(TRY_CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
     FROM events
-    WHERE json_extract(props, '$.k') IS NOT NULL
+    WHERE props IS NOT NULL AND json_valid(props)
+      AND TRY_CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
     GROUP BY event_type
     """,
 )
@@ -208,9 +216,11 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     stores a binary tree, so N path extractions cost N tree walks, not N
     re-parses — at 100 TB with wide metadata payloads that is the scan-time
     difference that pays for the type. The DuckDB oracle reads the same
-    paths with its JSON extraction."""
+    paths with its JSON extraction. Malformed-payload policy (see
+    events_json_props): try_parse_json / try_variant_get — unparseable or
+    non-numeric payloads contribute nothing, never a crash."""
     e = load_events(spark, sf_dir)
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     k = F.try_variant_get(v, "$.k", "long")
     return (
         e.select("event_type", k.alias("k"))

@@ -620,7 +620,12 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
     )
     SELECT doc_id,
-           array_to_string(keep, ' ') AS cleaned_text,
+           -- an EMPTY document cleans to '' (DuckDB's array_to_string([])
+           -- is NULL where Spark's array_join([]) is ''), but a NULL
+           -- document stays NULL — the CASE keeps the two distinct
+           CASE WHEN keep IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(keep, ' '), '') END
+               AS cleaned_text,
            CAST(len(toks) - len(keep) AS BIGINT) AS n_removed
     FROM kept
     """,

@@ -38,14 +38,19 @@ def load_events(spark: SparkSession, sf_dir: str | Path) -> DataFrame:
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str | Path) -> DataFrame:
-    """The embeddings table with its NULL-vector contract applied: a row
-    without a vector (a failed encoder batch ships these) is excluded from
-    every vector operator — there is nothing to hash, bucket, quantize, or
-    compare. Declared ONCE here for the Spark side; the oracle side gets
-    the identical predicate via
-    operators/registry.py::_apply_table_contracts."""
-    return spark.read.parquet(str(Path(sf_dir) / "embeddings.parquet")).where(
-        F.col("embedding").isNotNull()
+    """The embeddings table with its vector contract applied: a row is
+    excluded when it has no vector (failed encoder batch), a zero vector
+    (no cosine direction), or components outside (0, 16] in magnitude
+    (NaN/Inf/overflow would poison the exact-integer distance arithmetic;
+    real corpus components are < 0.6 — see the envelope math at
+    operators/registry.py::_TABLE_CONTRACTS). Declared ONCE here for the
+    Spark side; the oracle side gets the equivalent predicate via
+    _apply_table_contracts. Both engines compare NaN as the largest
+    float, so `max(|x|) <= 16` excludes non-finite vectors identically."""
+    df = spark.read.parquet(str(Path(sf_dir) / "embeddings.parquet"))
+    amax = F.array_max(F.transform(F.col("embedding"), F.abs))
+    return df.where(
+        F.col("embedding").isNotNull() & (amax > 0) & (amax <= 16.0)
     )
 
 

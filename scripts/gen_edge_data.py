@@ -19,6 +19,13 @@ Variants:
            embedding vectors, NULL measures — the shapes a failed
            extractor or encoder batch actually ships. The differential
            gate stays fair because Spark and DuckDB read the same file.
+  fuzz   — seeded value-domain perturbations on the same strides:
+           negative/zero/huge monetary values, empty strings, tab/newline
+           whitespace and non-ASCII text, zero and large-component
+           embedding vectors, unseen enum values. The nulls variant
+           changes NULL-ness but never values; this variant probes the
+           value edges (sign handling in integer div, tokenizer
+           whitespace dialects, unicode hashing, overflow headroom).
 
 Usage:  python scripts/gen_edge_data.py <variant> <out_dir> [src_dir]
 """
@@ -76,6 +83,89 @@ NULL_PLAN: dict[str, dict[str, tuple[int, int]]] = {
 }
 
 
+# fuzz plan: column -> list of (modulus, remainder, replacement-or-callable).
+# Deterministic strides (no RNG), values chosen to probe a specific edge:
+# sign handling in integer div, sub-cent rounding, the 12.5-cent half-way
+# point (exactly representable in double -> exposes HALF_UP vs banker's),
+# empty/whitespace/unicode strings through tokenizers and hashes, unseen
+# enum values, zero-norm / large-component vectors.
+_FUZZ_TEXTS = [
+    "",
+    "hello\tworld\nnewline  double-space",
+    "café 北京 Ωμέγα \U0001f389 mixed unicode",
+    "spam " * 500,
+    "x",
+    "   ",
+]
+FUZZ_PLAN: dict[str, dict[str, list]] = {
+    "documents": {
+        "text": [(17, k, t) for k, t in enumerate(_FUZZ_TEXTS)],
+        "lang": [(13, 0, "xx"), (13, 1, "")],
+        "source": [(11, 0, "weird source/with:punct")],
+    },
+    "events": {
+        "value": [
+            (7, 0, -123.456),
+            (7, 1, 0.0),
+            (7, 2, 123456789.99),
+            (7, 3, 1e-9),
+            (7, 4, 0.125),
+        ],
+        "event_type": [(19, 0, ""), (19, 1, "UNKNOWN_TYPE"), (19, 2, "click ")],
+        "props": [
+            (23, 0, ""),
+            (23, 1, "not json"),
+            (23, 2, '{"k":"v","nested":{"a":[1,2]}}'),
+        ],
+    },
+    "orders": {
+        "o_totalprice": [
+            (7, 0, -500.25),
+            (7, 1, 0.0),
+            (7, 2, 99999999.99),
+            (7, 3, 0.125),
+        ],
+        "o_orderstatus": [(13, 0, "Z")],
+        "o_orderpriority": [(11, 0, "9-EXPERIMENTAL")],
+    },
+    "lineitem": {
+        "l_quantity": [(19, 0, 0.0), (19, 1, -5.0)],
+        "l_discount": [(23, 0, 1.5)],
+        "l_returnflag": [(29, 0, "")],
+        "l_extendedprice": [(31, 0, 0.008)],
+    },
+    "customer": {
+        "c_acctbal": [(7, 0, -999.99), (7, 1, 0.0)],
+        "c_mktsegment": [(11, 0, "")],
+        "c_name": [(13, 0, "O'Brien \"quote\" \\ backslash")],
+    },
+    "embeddings": {
+        "embedding": [
+            (17, 0, lambda v: [0.0] * len(v)),
+            (17, 1, lambda v: [1e6] * len(v)),
+            (17, 2, lambda v: [1e-9] * len(v)),
+        ],
+        "label": [(13, 0, -1)],
+    },
+}
+
+
+def _with_fuzz(tbl: pa.Table, plan: dict[str, list]) -> pa.Table:
+    tbl = tbl.combine_chunks()
+    n = tbl.num_rows
+    for col, rules in plan.items():
+        i = tbl.schema.get_field_index(col)
+        vals = tbl.column(i).to_pylist()
+        for m, r, repl in rules:
+            for j in range(r % m, n, m):
+                if vals[j] is None:
+                    continue
+                vals[j] = repl(vals[j]) if callable(repl) else repl
+        arr = pa.array(vals, type=tbl.column(i).type)
+        tbl = tbl.set_column(i, tbl.schema.field(i), arr)
+    return tbl
+
+
 def _with_nulls(tbl: pa.Table, plan: dict[str, tuple[int, int]]) -> pa.Table:
     tbl = tbl.combine_chunks()
     n = tbl.num_rows
@@ -99,6 +189,8 @@ def generate(variant: str, out_dir: str | Path, src_dir: str | Path = "/root/tes
             tbl = tbl.slice(0, 1)
         elif variant == "nulls":
             tbl = _with_nulls(tbl, NULL_PLAN.get(t, {}))
+        elif variant == "fuzz":
+            tbl = _with_fuzz(tbl, FUZZ_PLAN.get(t, {}))
         else:
             raise ValueError(f"unknown variant {variant!r}")
         pq.write_table(tbl, out / f"{t}.parquet")

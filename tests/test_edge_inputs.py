@@ -120,6 +120,9 @@ NULLS_ONCE_BROKEN = [
     "orders_quarter_end_loading",
     "orders_yoy_growth",
     "text_token_fertility",
+    # regressed once during the fuzz fixes (COALESCE conflated NULL-text
+    # docs with empty docs) — pinned on this variant too
+    "text_collapse_repeats",
     "events_session_windows",  # event-time contract representative
     "sim_bruteforce_topk",  # NULL-vector contract representative
     "dedup_embedding_cosine_pairs",
@@ -135,6 +138,35 @@ def empty_dir(tmp_path_factory):
 @pytest.fixture(scope="module")
 def nulls_dir(tmp_path_factory):
     return str(generate("nulls", tmp_path_factory.mktemp("edge_nulls")))
+
+
+# Queries the value-domain fuzz sweep broke (28 failures): the vector
+# domain contract (zero/1e6-component vectors overflowing the exact-
+# integer envelope -- now excluded by the bounded embeddings contract),
+# exact-moment arithmetic width (1e8-magnitude values), the malformed-JSON
+# policy (try_cast / json_valid on both engines), the srcN-scheme default
+# group, and two engine-dialect artifacts (DuckDB array_to_string([]) is
+# NULL; string_split('','') is ['']).
+FUZZ_ONCE_BROKEN = [
+    "sim_bruteforce_topk",
+    "sim_kmeans_clusters",
+    "embedding_covariance",
+    "embedding_participation_ratio",
+    "dedup_embedding_cosine_pairs",
+    "events_value_anomalies",
+    "events_time_weighted_value",
+    "events_json_props",
+    "events_json_kv_counts",
+    "events_props_variant",
+    "curation_dataset_mix",
+    "text_collapse_repeats",
+    "text_char_simpson",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(tmp_path_factory):
+    return str(generate("fuzz", tmp_path_factory.mktemp("edge_fuzz")))
 
 
 @pytest.fixture(scope="module")
@@ -167,6 +199,11 @@ def test_null_heavy_input_matches_oracle(spark, nulls_dir, name):
     _check(spark, nulls_dir, name)
 
 
+@pytest.mark.parametrize("name", FUZZ_ONCE_BROKEN)
+def test_fuzz_input_matches_oracle(spark, fuzz_dir, name):
+    _check(spark, fuzz_dir, name)
+
+
 def test_table_contract_rewrite():
     """The oracle-side data-contract rewrite must catch any reference
     form (case-insensitive, aliased, joined) and leave non-references
@@ -179,10 +216,11 @@ def test_table_contract_rewrite():
     )
     assert "__events e" in out and "__embeddings" in out
     assert "__events AS (SELECT * FROM events WHERE ts IS NOT NULL)" in out
-    assert (
-        "__embeddings AS (SELECT * FROM embeddings"
-        " WHERE embedding IS NOT NULL)" in out
-    )
+    assert "__embeddings AS (SELECT * FROM embeddings" in out
+    assert "embedding IS NOT NULL" in out
+    # the vector domain bound (finite, non-zero, max |x| <= 16) rides the
+    # same contract
+    assert "list_max(list_transform(embedding, x -> abs(x))) <= 16" in out
     assert out.lstrip().startswith("WITH ")
     # a WITH-query gets the contract CTEs prepended to its list
     w = _apply_table_contracts("WITH x AS (SELECT 1) SELECT * FROM events")
