@@ -76,7 +76,16 @@ def perm_constants(k: int, seed: int = 7) -> list[tuple[int, int]]:
 def tokens(col: Column) -> Column:
     """Whitespace tokenization of lowercased text, empty tokens dropped.
     Chosen over ``\\W+`` because whitespace semantics agree across engines for
-    non-Latin scripts (SURVEY-era gotcha: ASCII-only ``\\w`` would erase CJK)."""
+    non-Latin scripts (SURVEY-era gotcha: ASCII-only ``\\w`` would erase CJK).
+
+    Known case-folding dialect boundary (probed, round 6): the JVM applies
+    Unicode FULL case mapping — Turkish ``İ`` lowers to ``i`` + combining
+    dot, capital sigma takes the contextual final form ``ς`` at word end —
+    while DuckDB's ``lower()`` applies simple 1:1 mappings (``İ``→``i``,
+    ``Σ``→``σ`` everywhere). The engines agree on every other script
+    probed (fullwidth, Cherokee, Deseret, ligatures, digraphs). Pinned in
+    tests/test_edge_inputs.py::test_case_folding_dialect_boundary so a
+    change in either engine is noticed."""
     return F.filter(
         F.split(F.lower(F.trim(col)), r"\s+"), lambda x: x != F.lit("")
     )

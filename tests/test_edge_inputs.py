@@ -230,6 +230,74 @@ def test_table_contract_rewrite():
     assert _apply_table_contracts(sql) == sql
 
 
+@pytest.mark.parametrize("variant_fixture", ["nulls_dir", "fuzz_dir"])
+def test_streaming_contract_matches_batch_on_edge_inputs(
+    spark, variant_fixture, request
+):
+    """The streaming reader carries the same event-time contract as the
+    batch loader: on NULL-timestamp / fuzzed input the streamed hourly
+    rollup must agree with its batch twin (itself oracle-checked on these
+    variants), not crash in the watermark/window machinery."""
+    from polars_ad_etl_spark.streaming import (
+        hourly_rollup_stream,
+        read_events_stream,
+    )
+
+    sf_dir = request.getfixturevalue(variant_fixture)
+    name = f"edge_hourly_{variant_fixture}"
+    q = (
+        hourly_rollup_stream(read_events_stream(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    def _key(t):  # rows carry NULL event_type on these variants
+        return tuple((v is None, v) for v in t)
+
+    got = sorted(
+        (tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()),
+        key=_key,
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in QUERIES["events_hourly_rollup"](spark, sf_dir).collect()
+        ),
+        key=_key,
+    )
+    assert got == want and len(got) > 0
+
+
+def test_case_folding_dialect_boundary(spark):
+    """Record the known lower() dialect boundary between the engines (JVM
+    full case mapping vs DuckDB simple mapping) so a change in either is
+    noticed. Everything outside these two contexts agreed in the probe
+    battery (fullwidth, Cherokee, Deseret, ligatures, digraphs, dotless
+    i, sharp s)."""
+    import duckdb
+
+    chars = ["İ", "ΒΑΣ", "I", "ı", "ß", "ẞ", "Ａ", "Ꭰ", "𐐀", "Ĳ", "ǅ"]
+    rows = (
+        spark.createDataFrame([(c,) for c in chars], "s string")
+        .selectExpr("s", "lower(s) AS l")
+        .collect()
+    )
+    sp = {r.s: r.l for r in rows}
+    du = {c: duckdb.sql("select lower(?)", params=[c]).fetchone()[0] for c in chars}
+    # the two known divergences: full mapping adds the combining dot /
+    # contextual final sigma; simple mapping does not
+    assert sp["İ"] == "i̇" and du["İ"] == "i"
+    assert sp["ΒΑΣ"] == "βας" and du["ΒΑΣ"] == "βασ"
+    # everything else agrees
+    for c in chars[2:]:
+        assert sp[c] == du[c], f"lower({c!r}) newly diverged"
+
+
 def test_grand_total_guard_is_limit1_not_rescan(spark, empty_dir):
     """The empty-input grand-total guard must probe the source via
     limit(1) — a near-free early-terminating scan — not re-aggregate the
