@@ -148,8 +148,8 @@ def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFram
       FROM m GROUP BY event_type)
     SELECT e.event_id, e.event_type, e.value
     FROM m e JOIN s ON e.event_type = s.event_type
-    WHERE 4.0 * CAST(s.n_v * e.mu - s.s_mu AS DOUBLE)
-              * CAST(s.n_v * e.mu - s.s_mu AS DOUBLE)
+    WHERE 4.0 * CAST(CAST(s.n_v AS HUGEINT) * e.mu - s.s_mu AS DOUBLE)
+              * CAST(CAST(s.n_v AS HUGEINT) * e.mu - s.s_mu AS DOUBLE)
               * (CAST(s.n_v AS DOUBLE) - 1.0)
           > 25.0 * CAST(s.n_v AS DOUBLE)
                * CAST(s.n_v * s.ss_mu - s.s_mu * s.s_mu AS DOUBLE)
@@ -166,7 +166,11 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     value squares to ~1.5e28, far past int64 and the previous
     DECIMAL(18,6) squares, caught by the fuzz edge sweep); only the final
     comparison converts the exact integers to double, and both engines
-    round the identical integer to the identical double.
+    round the identical integer to the identical double. The oracle's
+    n*mu product is HUGEINT-cast too (n*1.2e14 passes int64 at ~75k
+    rows/type). Exactness envelope: s_mu**2 < 1e38 — |value| <= 1e8 up to
+    ~1e9 events per type; past that both engines overflow their 128-bit
+    integers together (symmetric failure, not a silent divergence).
 
     Scale shape: per-type moments are a 5-row aggregate broadcast back into
     the scan — two passes over events, zero wide shuffles of event rows

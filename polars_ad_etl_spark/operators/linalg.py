@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polars_ad_etl_spark.operators.registry import register
-from polars_ad_etl_spark.sources.star import load_embeddings
+from polars_ad_etl_spark.sources.star import EMBEDDING_MAX_ABS, load_embeddings
 
 DIM = 64
 Q_SCALE = 1 << 16  # power of two: float*scale is exact in double arithmetic
@@ -191,6 +191,62 @@ def top_principal_component(
             return w
         v = [x / norm for x in w]
     return v
+
+
+# --------------------------------------- embedding QC: contract quarantine
+@register(
+    "embedding_contract_quarantine",
+    oracle=f"""
+    WITH probe AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x))) AS amax
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CASE WHEN embedding IS NULL THEN 'null_vector'
+                WHEN amax IS NULL THEN 'empty_vector'
+                WHEN isnan(amax) OR amax = 'infinity'::DOUBLE
+                    THEN 'non_finite'
+                WHEN amax <= 0 THEN 'zero_vector'
+                ELSE 'out_of_bound' END AS reason
+    FROM probe
+    WHERE embedding IS NULL OR amax IS NULL
+       OR NOT (amax > 0 AND amax <= {EMBEDDING_MAX_ABS:g})
+    ORDER BY vec_id
+    """,
+    contracts=False,  # reads RAW: its purpose is to report the excluded rows
+)
+def embedding_contract_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector contract's quarantine report: every row
+    ``load_embeddings`` excludes, with its reason (NULL vector / empty
+    vector / NaN-or-Inf component / zero vector / component magnitude past
+    the envelope bound). The "dropped rows are never silent" side-channel
+    for the contract — run it next to any vector pipeline to audit what a
+    failed encoder batch shipped. Reads the RAW table (``contracts=False``
+    opts the oracle out of the rewrite); uses no distance arithmetic, so
+    it is safe on exactly the vectors the analytical operators cannot
+    touch."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    amax = F.array_max(F.transform(F.col("embedding"), F.abs))
+    probe = e.select("vec_id", "embedding", amax.alias("amax"))
+    reason = (
+        F.when(F.col("embedding").isNull(), "null_vector")
+        .when(F.col("amax").isNull(), "empty_vector")
+        .when(
+            F.isnan("amax") | (F.col("amax") == float("inf")), "non_finite"
+        )
+        .when(F.col("amax") <= 0, "zero_vector")
+        .otherwise("out_of_bound")
+    )
+    return (
+        probe.where(
+            F.col("embedding").isNull()
+            | F.col("amax").isNull()
+            | ~((F.col("amax") > 0) & (F.col("amax") <= EMBEDDING_MAX_ABS))
+        )
+        .select("vec_id", reason.alias("reason"))
+        .orderBy("vec_id")
+    )
 
 
 # ------------------------------------------------- embedding QC: norms

@@ -48,12 +48,15 @@ ORACLES: dict[str, str] = {}
 # both engines treat NaN as the largest float, so `max <= 16` excludes it
 # identically. The fuzz edge sweep (gen_edge_data.py) planted zero, 1e6-
 # component, and denormal vectors to prove the two predicates agree.
+from polars_ad_etl_spark.sources.star import EMBEDDING_MAX_ABS  # noqa: E402
+
 _TABLE_CONTRACTS: dict[str, str] = {
     "events": "ts IS NOT NULL",
     "embeddings": (
         "embedding IS NOT NULL"
         " AND list_max(list_transform(embedding, x -> abs(x))) > 0"
-        " AND list_max(list_transform(embedding, x -> abs(x))) <= 16"
+        " AND list_max(list_transform(embedding, x -> abs(x)))"
+        f" <= {EMBEDDING_MAX_ABS:g}"
     ),
 }
 _CONTRACT_REFS = {
@@ -80,11 +83,20 @@ def _apply_table_contracts(sql: str) -> str:
     return "WITH " + cte + " " + s
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str, oracle: str | None = None, contracts: bool = True
+) -> Callable[[QueryFn], QueryFn]:
+    """``contracts=False`` opts an oracle out of the table-contract
+    rewrite — reserved for quarantine/QC queries whose very purpose is to
+    REPORT the rows the contracts exclude (their Spark side must read the
+    raw table to match)."""
+
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLES[name] = _apply_table_contracts(oracle)
+            ORACLES[name] = (
+                _apply_table_contracts(oracle) if contracts else oracle
+            )
         return fn
 
     return deco

@@ -17,13 +17,18 @@ from polars_ad_etl_spark.sources.star import load_embeddings, load_events
 @register(
     "events_json_props",
     oracle=f"""
-    SELECT TRY_CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,
+    WITH kx AS (
+        SELECT event_type, value,
+               TRY_CAST(json_extract(props, '$.k') AS DOUBLE) AS kd
+        FROM events
+        WHERE props IS NOT NULL AND json_valid(props)
+    )
+    SELECT CAST(FLOOR(kd) AS BIGINT) // 10 AS k_decile,
            event_type,
            COUNT(*) AS n,
            {dsum_sql('value')} AS total_value
-    FROM events
-    WHERE props IS NOT NULL AND json_valid(props)
-      AND TRY_CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+    FROM kx
+    WHERE kd IS NOT NULL AND abs(kd) <= 1e15
     GROUP BY 1, 2
     """,
 )
@@ -33,9 +38,16 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     (get_json_object, no Python). Malformed-payload policy (declared on
     both engines, exercised by the fuzz sweep): unparseable JSON or a
     non-numeric ``k`` contributes nothing — try_cast, never a crash, since
-    schema drift in a metadata column must not abort a 100-TB job."""
+    schema drift in a metadata column must not abort a 100-TB job. Numeric
+    ``k`` is FLOORED to an integer (the engines' direct to-BIGINT casts
+    disagree: DuckDB rounds 3.7 to 4, Spark's try_cast rejects it); the
+    |k| <= 1e15 guard keeps an adversarial '1e400' payload from
+    overflowing the integer cast."""
     e = load_events(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    kd = F.get_json_object("props", "$.k").try_cast("double")
+    k = F.when(kd.isNotNull() & (F.abs(kd) <= 1e15), F.floor(kd)).cast(
+        "long"
+    )
     return (
         e.filter(k.isNotNull())
         .groupBy(
@@ -194,17 +206,19 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_props_variant",
     oracle=f"""
+    WITH kx AS (
+        SELECT event_type,
+               TRY_CAST(json_extract(props, '$.k') AS DOUBLE) AS kd
+        FROM events
+        WHERE props IS NOT NULL AND json_valid(props)
+    )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(MIN(TRY_CAST(json_extract(props, '$.k') AS BIGINT))
-                AS BIGINT) AS min_k,
-           CAST(MAX(TRY_CAST(json_extract(props, '$.k') AS BIGINT))
-                AS BIGINT) AS max_k,
-           CAST(SUM(TRY_CAST(json_extract(props, '$.k') AS BIGINT))
-                AS BIGINT) AS sum_k
-    FROM events
-    WHERE props IS NOT NULL AND json_valid(props)
-      AND TRY_CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+           CAST(MIN(CAST(FLOOR(kd) AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(FLOOR(kd) AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(SUM(CAST(FLOOR(kd) AS BIGINT)) AS BIGINT) AS sum_k
+    FROM kx
+    WHERE kd IS NOT NULL AND abs(kd) <= 1e15
     GROUP BY event_type
     """,
 )
@@ -218,10 +232,16 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference that pays for the type. The DuckDB oracle reads the same
     paths with its JSON extraction. Malformed-payload policy (see
     events_json_props): try_parse_json / try_variant_get — unparseable or
-    non-numeric payloads contribute nothing, never a crash."""
+    non-numeric payloads contribute nothing, never a crash; numeric k is
+    floored (variant-get 'long' truncates 3.7 to 3 toward zero while
+    DuckDB's direct BIGINT cast rounds to 4 — extracting as double and
+    flooring makes the engines agree, negative fractions included)."""
     e = load_events(spark, sf_dir)
     v = F.try_parse_json("props")
-    k = F.try_variant_get(v, "$.k", "long")
+    kd = F.try_variant_get(v, "$.k", "double")
+    k = F.when(kd.isNotNull() & (F.abs(kd) <= 1e15), F.floor(kd)).cast(
+        "long"
+    )
     return (
         e.select("event_type", k.alias("k"))
         .filter(F.col("k").isNotNull())

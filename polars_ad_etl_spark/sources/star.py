@@ -37,6 +37,15 @@ def load_events(spark: SparkSession, sf_dir: str | Path) -> DataFrame:
     return df.where(F.col("ts").isNotNull())
 
 
+# Vector-domain bound shared by BOTH engines' contract predicates (the
+# Spark filter below and the oracle rewrite in
+# operators/registry.py::_TABLE_CONTRACTS) — the single source of truth
+# for the exact-integer envelope. test_edge_inputs.py asserts the
+# envelope arithmetic against the quantization scales, so raising either
+# side without the other fails loudly.
+EMBEDDING_MAX_ABS = 16.0
+
+
 def load_embeddings(spark: SparkSession, sf_dir: str | Path) -> DataFrame:
     """The embeddings table with its vector contract applied: a row is
     excluded when it has no vector (failed encoder batch), a zero vector
@@ -50,7 +59,9 @@ def load_embeddings(spark: SparkSession, sf_dir: str | Path) -> DataFrame:
     df = spark.read.parquet(str(Path(sf_dir) / "embeddings.parquet"))
     amax = F.array_max(F.transform(F.col("embedding"), F.abs))
     return df.where(
-        F.col("embedding").isNotNull() & (amax > 0) & (amax <= 16.0)
+        F.col("embedding").isNotNull()
+        & (amax > 0)
+        & (amax <= EMBEDDING_MAX_ABS)
     )
 
 

@@ -116,6 +116,13 @@ FUZZ_PLAN: dict[str, dict[str, list]] = {
             (23, 0, ""),
             (23, 1, "not json"),
             (23, 2, '{"k":"v","nested":{"a":[1,2]}}'),
+            # fractional / negative-fractional / overflowing numeric k:
+            # exercises the floored-numeric policy (engines' direct
+            # to-BIGINT casts disagree on 3.7) and the finite-magnitude
+            # guard (1e400 parses to +inf)
+            (23, 3, '{"k": 3.7}'),
+            (23, 4, '{"k": -2.5}'),
+            (23, 5, '{"k": 1e400}'),
         ],
     },
     "orders": {
@@ -144,6 +151,11 @@ FUZZ_PLAN: dict[str, dict[str, list]] = {
             (17, 0, lambda v: [0.0] * len(v)),
             (17, 1, lambda v: [1e6] * len(v)),
             (17, 2, lambda v: [1e-9] * len(v)),
+            # a NaN component and a zero-length vector: the contract must
+            # exclude both identically on both engines, and the quarantine
+            # report must label them
+            (17, 3, lambda v: [float("nan")] + [0.1] * (len(v) - 1)),
+            (17, 4, lambda v: []),
         ],
         "label": [(13, 0, -1)],
     },

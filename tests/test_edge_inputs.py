@@ -127,6 +127,7 @@ NULLS_ONCE_BROKEN = [
     "sim_bruteforce_topk",  # NULL-vector contract representative
     "dedup_embedding_cosine_pairs",
     "dedup_incremental_keep_list",  # NULL-text handling (pre-existing)
+    "embedding_contract_quarantine",  # must label NULL vectors here
 ]
 
 
@@ -161,6 +162,9 @@ FUZZ_ONCE_BROKEN = [
     "curation_dataset_mix",
     "text_collapse_repeats",
     "text_char_simpson",
+    # the contract's quarantine report: labels every excluded vector
+    # (zero / out-of-bound / NaN / empty) on this variant
+    "embedding_contract_quarantine",
 ]
 
 
@@ -271,6 +275,31 @@ def test_streaming_contract_matches_batch_on_edge_inputs(
         key=_key,
     )
     assert got == want and len(got) > 0
+
+
+def test_embedding_bound_envelope():
+    """The shared vector-domain bound must keep every quantized distance
+    computation inside int64 — the invariant that justifies the contract's
+    magnitude cut. Asserted from the live constants so raising any of
+    them without the others fails here, not in a fuzz run."""
+    from polars_ad_etl_spark.operators.linalg import DIM, Q_SCALE
+    from polars_ad_etl_spark.operators.similarity import (
+        KMEANS_Q_OFFSET,
+        KMEANS_Q_SCALE,
+    )
+    from polars_ad_etl_spark.sources.star import EMBEDDING_MAX_ABS
+
+    # integer-Lloyd path: q <= |x|*scale + offset; a 64-dim squared
+    # distance sums DIM terms of (2q)^2
+    q = EMBEDDING_MAX_ABS * KMEANS_Q_SCALE + KMEANS_Q_OFFSET
+    assert DIM * (2 * q) ** 2 < 2**63
+    # linalg fixed-point path: pairwise products q_i*q_j
+    q2 = EMBEDDING_MAX_ABS * Q_SCALE
+    assert q2 * q2 < 2**63
+    # the oracle predicate interpolates the same constant
+    from polars_ad_etl_spark.operators.registry import _TABLE_CONTRACTS
+
+    assert f"<= {EMBEDDING_MAX_ABS:g}" in _TABLE_CONTRACTS["embeddings"]
 
 
 def test_case_folding_dialect_boundary(spark):
