@@ -157,6 +157,81 @@ def dq_duplicate_payment_suspects(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# primary-key map of the star schema: the key-uniqueness PRECONDITION the
+# key-join operators assume. Parquet enforces no constraints, and deduping
+# at load would put a full shuffle in front of every query at 100 TB — so
+# the contract is: verify with THIS detector (a double-load shows up as
+# n_duplicate_keys > 0), quarantine upstream, and only then trust
+# key-equi-joins. (A duplicate-rows edge probe confirmed that violating
+# the precondition makes key-join fan-out engine-visible — by design this
+# detector is the gate, not silent per-query dedup.)
+_PK_MAP: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    # lineitem intentionally absent: the driver's synthetic data does NOT
+    # keep (l_orderkey, l_linenumber) unique (~23% duplicated as shipped),
+    # no registry join relies on lineitem row-keys (l_orderkey is an FK),
+    # and its sequence integrity has its own report (dq_linenumber_density)
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def _pk_oracle() -> str:
+    selects = []
+    for t, keys in _PK_MAP.items():
+        k = ", ".join(keys)
+        selects.append(
+            f"""
+            SELECT '{t}' AS table_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT ({k})) AS BIGINT) AS n_keys,
+                   CAST(COUNT(*) - COUNT(DISTINCT ({k})) AS BIGINT)
+                       AS n_duplicate_rows
+            FROM {t}
+            """
+        )
+    return " UNION ALL ".join(selects) + " ORDER BY table_name"
+
+
+@register("dq_pk_uniqueness", oracle=_pk_oracle(), contracts=False)
+def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit for every table in the star schema —
+    the detector behind the key-uniqueness precondition (see ``_PK_MAP``).
+    One count-distinct aggregate per table over only its key columns
+    (column-pruned scans; map-side partial aggregation); reads each RAW
+    table (``contracts=False``) because a double-loaded row excluded by
+    another contract is still a double-load. Zero everywhere means every
+    key-equi-join in the registry is fan-out-free."""
+    import functools
+
+    frames = []
+    for t, keys in _PK_MAP.items():
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        key_struct = F.struct(*[F.col(c) for c in keys])
+        frames.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct(key_struct).alias("n_keys"),
+            ).select(
+                F.lit(t).alias("table_name"),
+                "n_rows",
+                "n_keys",
+                (F.col("n_rows") - F.col("n_keys")).alias(
+                    "n_duplicate_rows"
+                ),
+            )
+        )
+    return functools.reduce(
+        lambda a, b: a.unionByName(b), frames
+    ).orderBy("table_name")
+
+
 @register(
     "dq_referential_orphans",
     oracle="""

@@ -19,6 +19,11 @@ Variants:
            embedding vectors, NULL measures — the shapes a failed
            extractor or encoder batch actually ships. The differential
            gate stays fair because Spark and DuckDB read the same file.
+  dupkeys — every 13th row re-appended wholesale (a double-load): used to
+           probe the key-uniqueness PRECONDITION (see
+           operators/dq.py::dq_pk_uniqueness). The registry's key-join
+           operators assume unique PKs and are NOT oracle-compared on
+           this variant; the detector query is the gate.
   fuzz   — seeded value-domain perturbations on the same strides:
            negative/zero/huge monetary values, empty strings, tab/newline
            whitespace and non-ASCII text, zero and large-component
@@ -203,6 +208,12 @@ def generate(variant: str, out_dir: str | Path, src_dir: str | Path = "/root/tes
             tbl = _with_nulls(tbl, NULL_PLAN.get(t, {}))
         elif variant == "fuzz":
             tbl = _with_fuzz(tbl, FUZZ_PLAN.get(t, {}))
+        elif variant == "dupkeys":
+            tbl = tbl.combine_chunks()
+            idx = list(range(tbl.num_rows)) + list(
+                range(0, tbl.num_rows, 13)
+            )
+            tbl = tbl.take(pa.array(idx, type=pa.int64()))
         else:
             raise ValueError(f"unknown variant {variant!r}")
         pq.write_table(tbl, out / f"{t}.parquet")

@@ -277,6 +277,32 @@ def test_streaming_contract_matches_batch_on_edge_inputs(
     assert got == want and len(got) > 0
 
 
+def test_pk_uniqueness_detector_catches_double_load(spark, tmp_path):
+    """The key-uniqueness precondition's detector must (a) oracle-match on
+    a double-loaded dataset, and (b) report the exact planted duplicate
+    counts — the gate a pipeline runs before trusting key-equi-joins
+    (deduping at load would shuffle every query at scale; the detector is
+    the declared alternative)."""
+    d = str(generate("dupkeys", tmp_path / "dup"))
+    _check(spark, d, "dq_pk_uniqueness")
+    rows = {
+        r.table_name: r
+        for r in QUERIES["dq_pk_uniqueness"](spark, d).collect()
+    }
+    # every 13th of 500 docs re-appended -> ceil(500/13) = 39 duplicates
+    assert rows["documents"].n_duplicate_rows == 39
+    assert rows["events"].n_duplicate_rows == 77
+    assert rows["region"].n_duplicate_rows == 1
+    # and on pristine data the report is all-zero
+    clean = {
+        r.table_name: r.n_duplicate_rows
+        for r in QUERIES["dq_pk_uniqueness"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(clean.values()) == {0}
+
+
 def test_embedding_bound_envelope():
     """The shared vector-domain bound must keep every quantized distance
     computation inside int64 — the invariant that justifies the contract's
