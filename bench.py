@@ -232,6 +232,46 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
+    # Per-query regression bounds (round-7 protocol addition): compare each
+    # query against its trailing-best budget (bench_budgets.json, committed)
+    # and flag anything >1.5x — a per-query ratchet so a regression can't
+    # hide inside an improving total. Budgets only move DOWN, and only when
+    # explicitly asked (SPARK_GRAFT_BENCH_UPDATE_BUDGETS=1 on an idle run),
+    # so a busy host can't loosen the bar.
+    budget_check = None
+    budgets_path = Path(__file__).resolve().parent / "bench_budgets.json"
+    if budgets_path.is_file():
+        bud = json.loads(budgets_path.read_text())
+        if out["sf"] == bud.get("sf"):
+            flagged = {}
+            for name, t in times.items():
+                b = bud["budgets"].get(name)
+                if b and t > 1.5 * b:
+                    flagged[name] = {
+                        "sec": t, "budget": b, "ratio": round(t / b, 2)
+                    }
+            budget_check = {
+                "threshold": 1.5,
+                "n_checked": sum(1 for n in times if n in bud["budgets"]),
+                "n_flagged": len(flagged),
+                "flagged": flagged,
+            }
+            if flagged:
+                print(
+                    "WARNING: queries over 1.5x their trailing-best budget: "
+                    + ", ".join(
+                        f"{n} {v['ratio']}x" for n, v in flagged.items()
+                    ),
+                    file=sys.stderr,
+                )
+            if os.environ.get("SPARK_GRAFT_BENCH_UPDATE_BUDGETS"):
+                for name, t in times.items():
+                    old = bud["budgets"].get(name)
+                    bud["budgets"][name] = min(old, t) if old else t
+                bud["budgets"] = dict(sorted(bud["budgets"].items()))
+                budgets_path.write_text(json.dumps(bud, indent=1) + "\n")
+                print("updated bench_budgets.json (trailing best)",
+                      file=sys.stderr)
     # Sidecar: everything that would bloat the stdout line beyond the
     # driver's bounded tail capture (round-5 post-mortem: query_metrics on
     # the stdout line pushed the JSON start outside a 2000-char tail and
@@ -245,6 +285,8 @@ def main() -> None:
         },
         "headline": out,
     }
+    if budget_check is not None:
+        sidecar["budget_check"] = budget_check
     if metrics:
         sidecar["query_metrics"] = metrics
         sidecar["shuffle_read_bytes_total"] = sum(

@@ -183,15 +183,29 @@ _PK_MAP: dict[str, tuple[str, ...]] = {
 
 
 def _pk_oracle() -> str:
+    # NULL-key semantics, declared once and applied to BOTH engines: a row
+    # with any NULL key component violates the PK on its own and is counted
+    # in n_null_key_rows; n_keys/n_duplicate_rows are computed over the
+    # remaining (fully keyed) rows only. Without the explicit split, Spark's
+    # count_distinct(struct(keys)) would count a NULL-bearing key tuple as a
+    # distinct key while SQL's COUNT(DISTINCT k) skips it — the engines
+    # would diverge exactly when the detector matters most.
     selects = []
     for t, keys in _PK_MAP.items():
         k = ", ".join(keys)
+        anynull = " OR ".join(f"{c} IS NULL" for c in keys)
         selects.append(
             f"""
             SELECT '{t}' AS table_name,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
-                   CAST(COUNT(DISTINCT ({k})) AS BIGINT) AS n_keys,
-                   CAST(COUNT(*) - COUNT(DISTINCT ({k})) AS BIGINT)
+                   CAST(COUNT(*) FILTER (WHERE {anynull}) AS BIGINT)
+                       AS n_null_key_rows,
+                   CAST(COUNT(DISTINCT ({k}))
+                            FILTER (WHERE NOT ({anynull})) AS BIGINT)
+                       AS n_keys,
+                   CAST(COUNT(*) FILTER (WHERE NOT ({anynull}))
+                        - COUNT(DISTINCT ({k}))
+                              FILTER (WHERE NOT ({anynull})) AS BIGINT)
                        AS n_duplicate_rows
             FROM {t}
             """
@@ -207,24 +221,39 @@ def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (column-pruned scans; map-side partial aggregation); reads each RAW
     table (``contracts=False``) because a double-loaded row excluded by
     another contract is still a double-load. Zero everywhere means every
-    key-equi-join in the registry is fan-out-free."""
+    key-equi-join in the registry is fan-out-free.
+
+    NULL keys are split out explicitly (``n_null_key_rows``) and excluded
+    from ``n_keys``/``n_duplicate_rows`` on BOTH engines — see
+    ``_pk_oracle`` for the declared semantics."""
     import functools
 
     frames = []
     for t, keys in _PK_MAP.items():
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        key_struct = F.struct(*[F.col(c) for c in keys])
+        any_null = functools.reduce(
+            lambda a, b: a | b, [F.col(c).isNull() for c in keys]
+        )
+        # when(no-null, struct) is NULL for null-keyed rows, which
+        # count_distinct skips — one pruned scan, one aggregate per table.
+        keyed = F.when(~any_null, F.struct(*[F.col(c) for c in keys]))
         frames.append(
             df.agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.count_distinct(key_struct).alias("n_keys"),
+                F.count(F.when(any_null, F.lit(1))).alias(
+                    "n_null_key_rows"
+                ),
+                F.count_distinct(keyed).alias("n_keys"),
             ).select(
                 F.lit(t).alias("table_name"),
                 "n_rows",
+                "n_null_key_rows",
                 "n_keys",
-                (F.col("n_rows") - F.col("n_keys")).alias(
-                    "n_duplicate_rows"
-                ),
+                (
+                    F.col("n_rows")
+                    - F.col("n_null_key_rows")
+                    - F.col("n_keys")
+                ).alias("n_duplicate_rows"),
             )
         )
     return functools.reduce(

@@ -65,21 +65,41 @@ _CONTRACT_REFS = {
 }
 
 
+_WITH_RECURSIVE = re.compile(r"^\s*WITH\s+RECURSIVE\b", re.IGNORECASE)
+_WITH = re.compile(r"^\s*WITH\b", re.IGNORECASE)
+
+
 def _apply_table_contracts(sql: str) -> str:
     ctes = []
     for t, pred in _TABLE_CONTRACTS.items():
         sql, n = _CONTRACT_REFS[t].subn(rf"\1\2__{t}", sql)
+        # Registration-time guard: if the contracted table name still
+        # appears as a word after the rewrite, the regex missed a reference
+        # (comma-style join `FROM x, events`, a derived-table alias, a
+        # quoted identifier...) and the oracle would silently read the RAW
+        # table — an engine divergence that only shows on NULL-carrying
+        # data, the hardest kind to notice. Fail loudly at import instead.
+        if re.search(rf"\b{t}\b", sql):
+            raise ValueError(
+                f"table contract for {t!r} left unrewritten reference(s); "
+                f"rewrote {n} FROM/JOIN site(s) but the name still appears "
+                f"as a word in: {sql[:300]!r}... — use FROM/JOIN syntax "
+                "(no comma joins) and don't shadow contracted table names"
+            )
         if n:
             ctes.append(f"__{t} AS (SELECT * FROM {t} WHERE {pred})")
     if not ctes:
         return sql
     cte = ", ".join(ctes)
     s = sql.lstrip()
-    low = s[:20].upper()
-    if low.startswith("WITH RECURSIVE"):
-        return "WITH RECURSIVE " + cte + ", " + s[len("WITH RECURSIVE") :].lstrip()
-    if low.startswith("WITH"):
-        return "WITH " + cte + ", " + s[len("WITH") :].lstrip()
+    m = _WITH_RECURSIVE.match(s)
+    if m:
+        # splice after the RECURSIVE keyword (whitespace-flexible): DuckDB
+        # accepts non-recursive CTEs in a WITH RECURSIVE list.
+        return "WITH RECURSIVE " + cte + ", " + s[m.end() :].lstrip()
+    m = _WITH.match(s)
+    if m:
+        return "WITH " + cte + ", " + s[m.end() :].lstrip()
     return "WITH " + cte + " " + s
 
 

@@ -127,7 +127,20 @@ def incremental_ingest_stream(
        null-keys-are-equal grouping cannot collapse them (the batch layer
        treats NULL content as equal to nothing). State is one 16-byte key
        per distinct document ever seen — the same index the corpus side
-       keeps anyway.
+       keeps anyway — and it is UNBOUNDED: it grows with the distinct-
+       document count for the stream's lifetime. For a forever-running
+       ingest, either restart per compaction window (the checkpoint-
+       restart test's model: the admitted hashes fold into the corpus
+       index, state resets) or swap in
+       ``dropDuplicatesWithinWatermark(["ck2"])`` after a
+       ``withWatermark`` to bound state at the cost of readmitting twins
+       that arrive farther apart than the horizon.
+       Batch-equivalence caveat: the batch twin keeps the MIN doc_id of
+       an exact-twin group while this layer keeps the FIRST ARRIVAL; the
+       two agree on which doc_id is admitted only when arrival order
+       follows doc_id order (true for the replay sources here). The SET
+       of admitted content is identical either way — only the surviving
+       representative's id can differ.
     2. exact-vs-corpus: stream-static LEFT ANTI join on the hash index.
     3. near-vs-corpus: the row's banded signature minima against the
        static bucket-key index, one stream-static left join per band

@@ -386,11 +386,16 @@ def spend_alerts_stream(events: DataFrame, threshold: float = 100.0) -> DataFram
     ``ttlDurationMs`` on the ValueState to expire idle users on an
     unbounded keyspace.
 
-    Environment gate: the TWS state-server protocol imports
-    ``google.protobuf`` at runtime, which this container does not ship —
-    plan construction and schema are tested everywhere; end-to-end
-    execution is protobuf-gated in tests/test_streaming.py (the
-    ``user_totals_stream`` legacy-API twin runs end-to-end here)."""
+    Runtime requirements (the two things TWS needs that the legacy API
+    doesn't): (1) the ``google.protobuf`` runtime in driver AND workers —
+    ``streaming.pbcompat.ensure_protobuf()`` resolves a real install or
+    the vendored public runtime and must run before the session starts;
+    (2) the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``), because typed
+    state variables map to state-store column families the default HDFS
+    provider doesn't support. Execution is tested end-to-end in
+    tests/test_streaming.py and rate-source benched next to the
+    ``user_totals_stream`` legacy twin in scripts/streaming_bench.py."""
     proc = _SpendAlertProcessor(threshold)
     return (
         events.filter(F.col("event_type") == "purchase")

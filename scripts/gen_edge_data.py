@@ -24,6 +24,13 @@ Variants:
            operators/dq.py::dq_pk_uniqueness). The registry's key-join
            operators assume unique PKs and are NOT oracle-compared on
            this variant; the detector query is the gate.
+  nullkeys — dupkeys PLUS the primary-key column nulled on every 17th
+           row: probes the detector's declared NULL-key semantics (a
+           NULL key violates the PK on its own; it must be counted in
+           n_null_key_rows and excluded from n_keys/n_duplicate_rows
+           IDENTICALLY on both engines — Spark's count_distinct(struct)
+           and SQL's COUNT(DISTINCT) disagree on NULLs by default).
+           Only the detector is oracle-compared on this variant.
   fuzz   — seeded value-domain perturbations on the same strides:
            negative/zero/huge monetary values, empty strings, tab/newline
            whitespace and non-ASCII text, zero and large-component
@@ -183,6 +190,22 @@ def _with_fuzz(tbl: pa.Table, plan: dict[str, list]) -> pa.Table:
     return tbl
 
 
+# primary-key columns for the nullkeys variant — mirrors
+# operators/dq.py::_PK_MAP (kept literal here so the generator stays
+# importable without a Spark session; test_dq pins the two in sync)
+PK_COLS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
 def _with_nulls(tbl: pa.Table, plan: dict[str, tuple[int, int]]) -> pa.Table:
     tbl = tbl.combine_chunks()
     n = tbl.num_rows
@@ -208,12 +231,16 @@ def generate(variant: str, out_dir: str | Path, src_dir: str | Path = "/root/tes
             tbl = _with_nulls(tbl, NULL_PLAN.get(t, {}))
         elif variant == "fuzz":
             tbl = _with_fuzz(tbl, FUZZ_PLAN.get(t, {}))
-        elif variant == "dupkeys":
+        elif variant in ("dupkeys", "nullkeys"):
             tbl = tbl.combine_chunks()
             idx = list(range(tbl.num_rows)) + list(
                 range(0, tbl.num_rows, 13)
             )
             tbl = tbl.take(pa.array(idx, type=pa.int64()))
+            if variant == "nullkeys" and t in PK_COLS:
+                tbl = _with_nulls(
+                    tbl, {k: (17, 5) for k in PK_COLS[t]}
+                )
         else:
             raise ValueError(f"unknown variant {variant!r}")
         pq.write_table(tbl, out / f"{t}.parquet")

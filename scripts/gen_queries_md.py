@@ -31,7 +31,10 @@ regenerate with `python scripts/gen_queries_md.py`.
 """
 
 
-def main() -> None:
+def render() -> str:
+    """The exact QUERIES.md content for the live registry — also used by
+    tests/test_docs_drift.py to fail the suite when a registry change is
+    committed without regenerating the index."""
     rows = []
     for name in sorted(QUERIES):
         fn = QUERIES[name]
@@ -41,8 +44,11 @@ def main() -> None:
         line = inspect.getsourcelines(fn)[1]
         oracle = SPECIAL.get(name, "yes" if name in ORACLES else "rows-only")
         rows.append(f"| `{name}` | `{src}:{line}` | {oracle} |")
-    out = HEADER.format(n=len(QUERIES), m=len(ORACLES)) + "\n".join(rows) + "\n"
-    (_ROOT / "QUERIES.md").write_text(out)
+    return HEADER.format(n=len(QUERIES), m=len(ORACLES)) + "\n".join(rows) + "\n"
+
+
+def main() -> None:
+    (_ROOT / "QUERIES.md").write_text(render())
     print(f"wrote QUERIES.md: {len(QUERIES)} queries, {len(ORACLES)} oracles")
 
 

@@ -39,6 +39,14 @@ from polars_ad_etl_spark.streaming.events import (  # noqa: E402
     hourly_rollup_stream,
     read_events_stream,
     sessionize_stream,
+    spend_alerts_stream,
+    user_totals_stream,
+)
+from polars_ad_etl_spark.streaming.pbcompat import ensure_protobuf  # noqa: E402
+
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
 )
 
 PIPELINES = {
@@ -115,6 +123,7 @@ def run_rate_stress(
     rows_per_sec: int = 2_000_000,
     n_users: int = 5_000,
     duration_s: int = 30,
+    mode: str = "append",
 ) -> dict:
     """Rows/s ceiling for a stateful pipeline using the in-JVM ``rate``
     source, which generates rows for free — so unlike the file-source runs
@@ -147,6 +156,7 @@ def run_rate_stress(
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_rate_{name}_")
     q = (
         df.writeStream.format("noop")
+        .outputMode(mode)
         .option("checkpointLocation", ckpt)
         .trigger(processingTime="1 second")
         .start()
@@ -198,6 +208,9 @@ def main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     n_files = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     fpt = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    # before the JVM starts: workers inherit PYTHONPATH now, and the TWS
+    # state-server client needs the (possibly vendored) protobuf runtime
+    have_protobuf = ensure_protobuf()
     spark = get_spark("streaming-bench")
     src = prepare_source(spark, sf_dir, n_files)
     # JIT warmup on a tiny slice: one throwaway run per pipeline shape
@@ -224,6 +237,34 @@ def main() -> None:
             f"{r['batch_ms_p50']}ms, max_state {r['max_state_rows']} rows",
             flush=True,
         )
+    # Custom-stateful API twins, same rate source: the legacy
+    # applyInPandasWithState rollup vs the modern transformWithStateInPandas
+    # alert processor (Spark 4 state-server protocol; needs protobuf —
+    # pbcompat resolves it — and the RocksDB store for column families).
+    PIPELINES["user_totals_legacy_api"] = user_totals_stream
+    r = run_rate_stress(spark, "user_totals_legacy_api", mode="update")
+    result["rate_stress_user_totals_legacy_api"] = r
+    print(
+        f"rate_stress_user_totals_legacy_api: ceiling p50 "
+        f"{r['ceiling_rows_per_sec_p50']} rows/s", flush=True,
+    )
+    if have_protobuf:
+        key = "spark.sql.streaming.stateStore.providerClass"
+        spark.conf.set(key, _ROCKSDB)
+        try:
+            PIPELINES["spend_alerts_tws"] = spend_alerts_stream
+            r = run_rate_stress(spark, "spend_alerts_tws", mode="update")
+            result["rate_stress_spend_alerts_tws"] = r
+            print(
+                f"rate_stress_spend_alerts_tws: ceiling p50 "
+                f"{r['ceiling_rows_per_sec_p50']} rows/s", flush=True,
+            )
+        finally:
+            spark.conf.unset(key)
+    else:
+        result["rate_stress_spend_alerts_tws"] = {
+            "skipped": "no protobuf runtime resolvable"
+        }
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(warm, ignore_errors=True)
     Path(out_path).write_text(json.dumps(result, indent=1))

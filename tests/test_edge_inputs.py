@@ -232,6 +232,21 @@ def test_table_contract_rewrite():
     # column names that merely contain the table name are not references
     sql = "SELECT n_events FROM documents"
     assert _apply_table_contracts(sql) == sql
+    # WITH RECURSIVE splice is whitespace-flexible (WITH<newline>RECURSIVE)
+    r = _apply_table_contracts(
+        "WITH\n  RECURSIVE x AS (SELECT 1) SELECT * FROM events"
+    )
+    assert r.startswith("WITH RECURSIVE __events AS")
+    assert ", x AS (SELECT 1)" in r
+    # a reference form the rewrite can't handle must FAIL registration,
+    # not silently read the raw (contract-free) table
+    with pytest.raises(ValueError, match="unrewritten"):
+        _apply_table_contracts("SELECT * FROM documents, events")
+    with pytest.raises(ValueError, match="unrewritten"):
+        # an oracle-local CTE shadowing a contracted table name
+        _apply_table_contracts(
+            "WITH events AS (SELECT 1 AS ts) SELECT * FROM events"
+        )
 
 
 @pytest.mark.parametrize("variant_fixture", ["nulls_dir", "fuzz_dir"])
@@ -301,6 +316,39 @@ def test_pk_uniqueness_detector_catches_double_load(spark, tmp_path):
         ).collect()
     }
     assert set(clean.values()) == {0}
+
+
+def test_pk_uniqueness_detector_null_keys(spark, tmp_path):
+    """NULL primary keys: the declared semantics (a NULL key violates
+    the PK on its own — counted in n_null_key_rows, excluded from
+    n_keys/n_duplicate_rows) must hold IDENTICALLY on both engines.
+    Spark's count_distinct(struct(k)) counts a NULL-bearing tuple as a
+    key while SQL's COUNT(DISTINCT k) skips it, so without the explicit
+    split the two engines diverge precisely when keys go bad."""
+    from gen_edge_data import PK_COLS
+
+    from polars_ad_etl_spark.operators.dq import _PK_MAP
+
+    # the generator's literal key map must not drift from the detector's
+    assert PK_COLS == _PK_MAP
+
+    d = str(generate("nullkeys", tmp_path / "nk"))
+    _check(spark, d, "dq_pk_uniqueness")
+    rows = {
+        r.table_name: r
+        for r in QUERIES["dq_pk_uniqueness"](spark, d).collect()
+    }
+    for t, r in rows.items():
+        # nulls planted on stride 17 -> present in every table
+        assert r.n_null_key_rows > 0, t
+        # declared identity: fully-keyed duplicates only
+        assert (
+            r.n_duplicate_rows == r.n_rows - r.n_null_key_rows - r.n_keys
+        ), t
+    # documents: 500 rows + 39 dups = 539; every 17th (i%17==5) nulled
+    assert rows["documents"].n_null_key_rows == len(
+        [i for i in range(539) if i % 17 == 5]
+    )
 
 
 def test_embedding_bound_envelope():

@@ -254,10 +254,11 @@ def test_spend_alerts_stream_modern_state_api(spark):
     user whose total purchase value crosses the threshold, at the final
     level, matching a batch computation.
 
-    The state-server protocol needs google.protobuf, which this container
-    does not ship — plan construction is always verified; execution runs
-    only where protobuf exists (same environment-gating pattern as the
-    Sheets network path)."""
+    The state-server protocol needs google.protobuf; pbcompat resolves it
+    (site-packages, else the vendored public runtime) and conftest exports
+    it to the workers before the session starts. transformWithState also
+    needs the RocksDB state store (multiple column families), set per-query
+    here via the runtime conf."""
     from polars_ad_etl_spark.sources.star import load_events
     from polars_ad_etl_spark.streaming import read_events_stream, spend_alerts_stream
 
@@ -273,12 +274,25 @@ def test_spend_alerts_stream_modern_state_api(spark):
         "total_value": "double",
     }
 
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError:
-        pytest.skip("transformWithState needs protobuf (absent in container)")
+    from conftest import HAVE_PROTOBUF
 
-    _run_to_completion(alerts, "alerts_out", mode="update")
+    if not HAVE_PROTOBUF:
+        pytest.skip("transformWithState needs protobuf (none resolvable)")
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocksdb)
+    try:
+        _run_to_completion(alerts, "alerts_out", mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     got = {
         r.user_id: (r.alert_level, round(r.total_value, 6))
         for r in spark.sql("SELECT * FROM alerts_out").collect()
