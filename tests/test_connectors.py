@@ -350,6 +350,93 @@ def test_xlsx_python_datasource_distributed_scan(spark, tmp_path):
     assert any(q == 23 for _, q, _p in rows)  # max qty: k=2, i=3
 
 
+def test_xlsx_datasource_thousand_file_parallel_ingest(spark, tmp_path):
+    """The S3-at-scale connector claim, measured: a ~1k-workbook directory
+    reads as one task per file, the parse work is distributed across
+    MULTIPLE Python worker processes (not funneled through the driver),
+    and every file's rows arrive. Also records a files/sec figure for the
+    round notes (printed; informational, not asserted — CI hosts vary)."""
+    import shutil
+    import time
+
+    import pandas as pd
+
+    import pyspark.sql.functions as F
+
+    from polars_ad_etl_spark.sinks.xlsx import write_xlsx
+    from polars_ad_etl_spark.sources.xlsx_datasource import (
+        XlsxDataSource,
+        XlsxReader,
+        register_xlsx_source,
+    )
+
+    n_files, rows_per_file = 1000, 4
+    d = tmp_path / "books1k"
+    d.mkdir()
+    seed = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "name": [f"r{i}" for i in range(rows_per_file)],
+                "qty": list(range(rows_per_file)),
+                "price": [1.5 * i for i in range(rows_per_file)],
+            }
+        )
+    )
+    write_xlsx(seed, str(d / "book0000.xlsx"))
+    for k in range(1, n_files):
+        shutil.copy(d / "book0000.xlsx", d / f"book{k:04d}.xlsx")
+
+    register_xlsx_source(spark)
+    t0 = time.perf_counter()
+    df = spark.read.format("xlsx").load(str(d))
+    n = df.count()
+    wall = time.perf_counter() - t0
+    assert n == n_files * rows_per_file
+    assert df.rdd.getNumPartitions() == n_files  # one task per workbook
+    print(
+        f"\nxlsx 1k-file ingest: {n_files} files in {wall:.1f}s "
+        f"({n_files / wall:.0f} files/s) on local[{spark.sparkContext.defaultParallelism}]"
+    )
+
+    # executor-parallel proof: a pid-tagging subclass of the same reader
+    # shows the parse ran in MULTIPLE worker processes
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class _PidReader(XlsxReader):
+        def read(self, partition):
+            import os
+
+            pid = os.getpid()
+            for row in super().read(partition):
+                yield row + (pid,)
+
+    class _PidXlsxSource(XlsxDataSource):
+        @classmethod
+        def name(cls):
+            return "xlsx_pidprobe"
+
+        def schema(self):
+            base = super().schema()
+            return StructType(
+                list(base.fields) + [StructField("worker_pid", LongType())]
+            )
+
+        def reader(self, schema):
+            inner = StructType(schema.fields[:-1])
+            return _PidReader(inner, self.options)
+
+    spark.dataSource.register(_PidXlsxSource)
+    pids = (
+        spark.read.format("xlsx_pidprobe")
+        .load(str(d))
+        .select(F.countDistinct("worker_pid").alias("n"))
+        .first()
+        .n
+    )
+    assert pids > 1, "all workbooks parsed in a single process"
+    print(f"xlsx 1k-file ingest: parsed across {pids} worker processes")
+
+
 def test_bucketed_join_no_shuffle(spark, tmp_path):
     """Bucketed layout pays off at the plan level: a join of two tables
     bucketed+sorted on the join key runs with ZERO Exchange (no shuffle)

@@ -1,0 +1,72 @@
+"""Gates on the committed verification artifacts.
+
+The driver's CORRECTNESS gate samples ~50 registry queries per round; the
+committed ``CORRECTNESS_full_r*.json`` (written by ``scripts/full_sweep.py``)
+is the full-registry proof, and ``EDGE_r*.json`` (written by
+``scripts/edge_sweep.py``) is the robustness proof on empty/tiny/nulls/fuzz
+inputs. These tests make both artifacts load-bearing: they must exist, be
+all-green, and cover exactly the CURRENT registry — so adding or renaming a
+query without re-running the sweeps fails the suite instead of silently
+shipping an unverified query."""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _latest(pattern: str) -> Path:
+    cands = sorted(
+        ROOT.glob(pattern),
+        key=lambda p: int(re.search(r"_r(\d+)", p.stem).group(1)),
+    )
+    if not cands:
+        pytest.fail(
+            f"no committed {pattern} artifact — run the sweep script and "
+            "commit its output"
+        )
+    return cands[-1]
+
+
+def _registry_names() -> set[str]:
+    from polars_ad_etl_spark.operators import QUERIES
+
+    return set(QUERIES)
+
+
+def test_full_sweep_artifact_is_current_and_green():
+    p = _latest("CORRECTNESS_full_r*.json")
+    art = json.loads(p.read_text())
+    meta, results = art["meta"], art["results"]
+    names = _registry_names()
+    assert set(results) == names, (
+        f"{p.name} covers {len(results)} queries but the registry has "
+        f"{len(names)} — re-run scripts/full_sweep.py and commit"
+    )
+    bad = {n: r for n, r in results.items() if r["status"] != "match"}
+    assert not bad, f"{p.name} has non-green entries: {sorted(bad)[:10]}"
+    assert meta["mismatch"] == 0 and meta["crash"] == 0
+    assert meta["ok"] == len(names)
+
+
+def test_edge_sweep_artifact_is_current_and_green():
+    p = _latest("EDGE_r*.json")
+    art = json.loads(p.read_text())
+    names = _registry_names()
+    variants = art["variants"]
+    assert set(variants) >= {"empty", "tiny", "nulls", "fuzz"}, (
+        f"{p.name} missing variants: have {sorted(variants)}"
+    )
+    for v, block in variants.items():
+        assert block["total"] == len(names), (
+            f"{p.name} variant {v!r} swept {block['total']} queries but "
+            f"the registry has {len(names)} — re-run scripts/edge_sweep.py"
+        )
+        assert block["mismatch"] == 0 and block["crash"] == 0, (
+            f"{p.name} variant {v!r} not green: {block}"
+        )
