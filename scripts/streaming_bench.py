@@ -97,6 +97,9 @@ def run_pipeline(spark, src_dir: str, name: str, files_per_trigger: int) -> dict
             }
         )
     shutil.rmtree(ckpt, ignore_errors=True)
+    # drop cached state-store providers between pipelines (see the note in
+    # run_rate_stress — retained in-heap state distorts the next run)
+    spark.sparkContext._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     total_rows = sum(b["rows"] for b in batches)
     ms = sorted(b["ms"] for b in batches) or [0]
     max_state = max((b["state_rows"] for b in batches), default=0)
@@ -162,6 +165,9 @@ def run_rate_stress(
         .start()
     )
     time.sleep(duration_s)
+    # capture a mid-run failure BEFORE stop() masks it — a query that died
+    # during the sleep would otherwise read as "0 batches" with no cause
+    err = q.exception()
     # stop() aborts the in-flight micro-batch; the DataWritingSparkTask
     # "Aborting commit" ERROR lines at teardown are that abort, not a failure
     q.stop()
@@ -181,10 +187,18 @@ def run_rate_stress(
             }
         )
     shutil.rmtree(ckpt, ignore_errors=True)
+    # Unload every cached state-store provider: the heavy stresses leave
+    # tens of millions of rows pinned in the HDFS-backed provider cache
+    # AFTER their query stops (the checkpoint dir is gone but the in-heap
+    # maps are not), and the resulting GC pressure starved the next
+    # pipeline's micro-batches to zero completed batches (measured —
+    # that's why the Python-API rows read 0 rows/s on the first r7 run).
+    spark.sparkContext._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     # skip the first two batches (cold state store / codegen) for the ceiling
     steady = batches[2:] or batches
     rates = sorted(b["proc_rows_per_sec"] for b in steady) or [0]
     return {
+        "query_error": str(err)[:300] if err else None,
         "source": "rate",
         "offered_rows_per_sec": rows_per_sec,
         "n_users": n_users,
@@ -201,16 +215,65 @@ def run_rate_stress(
     }
 
 
+def _stress_cli(name: str, mode: str, rate: int, duration: int) -> None:
+    """Subprocess entry: one rate stress in a FRESH JVM, result as the
+    final stdout line. Isolation is the point — a shared session carries
+    the previous stress's heap garbage and state-store provider cache,
+    which measurably starves the next query's micro-batches (first r7 run:
+    two rows read 0 rows/s purely from ordering)."""
+    have_protobuf = ensure_protobuf()
+    extra = {}
+    if name == "spend_alerts_tws":
+        if not have_protobuf:
+            print(json.dumps({"skipped": "no protobuf runtime resolvable"}))
+            return
+        extra["spark.sql.streaming.stateStore.providerClass"] = _ROCKSDB
+    spark = get_spark(f"stress-{name}", extra_conf=extra)
+    if name == "user_totals_legacy_api":
+        PIPELINES[name] = user_totals_stream
+    elif name == "spend_alerts_tws":
+        PIPELINES[name] = spend_alerts_stream
+    # cold-JVM warmup, discarded: compile the streaming plan + C2 the hot
+    # loops at a trivially sustainable rate — without this the measured
+    # run's first (backlogged) micro-batch can outlive the whole window
+    # and record zero completed batches (measured on session_windows)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    run_rate_stress(spark, name, rows_per_sec=10_000, duration_s=8, mode=mode)
+    r = run_rate_stress(
+        spark, name, rows_per_sec=rate, duration_s=duration, mode=mode
+    )
+    spark.stop()
+    print(json.dumps(r))
+
+
+# (name, output mode, offered rows/s, duration s). JVM-side pipelines get
+# a saturating 2M offered; Python custom-state pipelines get 300k — at 2M
+# the backlogged first micro-batch outlives the window and nothing
+# completes (measured), so 300k/40s is what actually yields a ceiling.
+STRESSES = [
+    ("session_windows", "append", 2_000_000, 45),
+    ("stateful_dedup", "append", 2_000_000, 45),
+    ("user_totals_legacy_api", "update", 300_000, 40),
+    ("spend_alerts_tws", "update", 300_000, 40),
+]
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--stress":
+        name, mode, rate, duration = (
+            sys.argv[2], sys.argv[3], int(sys.argv[4]), int(sys.argv[5])
+        )
+        _stress_cli(name, mode, rate, duration)
+        return
     # round-neutral default so a no-arg run can't clobber a committed
     # BENCH_r{N}_streaming.json artifact
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_streaming.json"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     n_files = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     fpt = int(sys.argv[4]) if len(sys.argv) > 4 else 2
-    # before the JVM starts: workers inherit PYTHONPATH now, and the TWS
-    # state-server client needs the (possibly vendored) protobuf runtime
-    have_protobuf = ensure_protobuf()
+    # before the JVM starts: workers inherit PYTHONPATH now (the stress
+    # subprocesses re-resolve protobuf themselves in _stress_cli)
+    ensure_protobuf()
     spark = get_spark("streaming-bench")
     src = prepare_source(spark, sf_dir, n_files)
     # JIT warmup on a tiny slice: one throwaway run per pipeline shape
@@ -226,45 +289,34 @@ def main() -> None:
             f"{name}: {r['rows_per_sec']} rows/s, p50 {r['batch_ms_p50']}ms, "
             f"max_state {r['max_state_rows']} rows", flush=True,
         )
-    # rate-source stress: state-store rows/s ceiling with zero source cost
-    for name in ("session_windows", "stateful_dedup"):
-        r = run_rate_stress(spark, name)
+    spark.stop()
+    # Rate-source stresses (state-store rows/s ceiling with zero source
+    # cost), each in its OWN subprocess/JVM via --stress — see _stress_cli
+    # for why isolation is required. The last two rows are the
+    # custom-stateful API twins: legacy applyInPandasWithState vs the
+    # modern transformWithStateInPandas (Spark 4 state-server protocol;
+    # protobuf via pbcompat, RocksDB store for column families).
+    import subprocess
+
+    for name, mode, rate, duration in STRESSES:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--stress", name, mode,
+             str(rate), str(duration)],
+            capture_output=True, text=True, timeout=900,
+        )
+        try:
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+        except Exception:
+            r = {"error": (proc.stderr or proc.stdout)[-400:]}
         result[f"rate_stress_{name}"] = r
         print(
             f"rate_stress_{name}: ceiling p50 "
-            f"{r['ceiling_rows_per_sec_p50']} rows/s (max "
-            f"{r['ceiling_rows_per_sec_max']}), batch p50 "
-            f"{r['batch_ms_p50']}ms, max_state {r['max_state_rows']} rows",
+            f"{r.get('ceiling_rows_per_sec_p50')} rows/s (max "
+            f"{r.get('ceiling_rows_per_sec_max')}), batch p50 "
+            f"{r.get('batch_ms_p50')}ms, max_state "
+            f"{r.get('max_state_rows')} rows",
             flush=True,
         )
-    # Custom-stateful API twins, same rate source: the legacy
-    # applyInPandasWithState rollup vs the modern transformWithStateInPandas
-    # alert processor (Spark 4 state-server protocol; needs protobuf —
-    # pbcompat resolves it — and the RocksDB store for column families).
-    PIPELINES["user_totals_legacy_api"] = user_totals_stream
-    r = run_rate_stress(spark, "user_totals_legacy_api", mode="update")
-    result["rate_stress_user_totals_legacy_api"] = r
-    print(
-        f"rate_stress_user_totals_legacy_api: ceiling p50 "
-        f"{r['ceiling_rows_per_sec_p50']} rows/s", flush=True,
-    )
-    if have_protobuf:
-        key = "spark.sql.streaming.stateStore.providerClass"
-        spark.conf.set(key, _ROCKSDB)
-        try:
-            PIPELINES["spend_alerts_tws"] = spend_alerts_stream
-            r = run_rate_stress(spark, "spend_alerts_tws", mode="update")
-            result["rate_stress_spend_alerts_tws"] = r
-            print(
-                f"rate_stress_spend_alerts_tws: ceiling p50 "
-                f"{r['ceiling_rows_per_sec_p50']} rows/s", flush=True,
-            )
-        finally:
-            spark.conf.unset(key)
-    else:
-        result["rate_stress_spend_alerts_tws"] = {
-            "skipped": "no protobuf runtime resolvable"
-        }
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(warm, ignore_errors=True)
     Path(out_path).write_text(json.dumps(result, indent=1))

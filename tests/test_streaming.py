@@ -315,6 +315,41 @@ def test_spend_alerts_stream_modern_state_api(spark):
         assert abs(got[uid][1] - total) < 1e-4, uid
 
 
+def test_pbcompat_statemessage_roundtrip():
+    """The (possibly vendored) protobuf runtime must serialize/parse
+    Spark's own TWS state-server messages correctly: scalar fields, a
+    nested oneof, and the HandleState enum. This pins the wire behavior
+    the alias package promises, without needing a streaming query."""
+    from conftest import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
+        pytest.skip("no protobuf runtime resolvable")
+
+    from pyspark.sql.streaming.proto import StateMessage_pb2 as sm
+
+    req = sm.StateRequest(
+        version=2,
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            getValueState=sm.StateCallCommand(
+                stateName="totals", schema="v DOUBLE"
+            )
+        ),
+    )
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    assert back.version == 2
+    assert back.WhichOneof("method") == "statefulProcessorCall"
+    call = back.statefulProcessorCall
+    assert call.WhichOneof("method") == "getValueState"
+    assert call.getValueState.stateName == "totals"
+    assert call.getValueState.schema == "v DOUBLE"
+    resp = sm.StateResponse(statusCode=0, value=b"\x01\x02")
+    got = sm.StateResponse()
+    got.ParseFromString(resp.SerializeToString())
+    assert got.value == b"\x01\x02"
+    assert sm.HandleState.INITIALIZED == 2
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Watermark semantics end-to-end: rows arriving (in a later
     micro-batch) with event times older than the watermark horizon are
