@@ -54,6 +54,29 @@ def test_full_sweep_artifact_is_current_and_green():
     assert meta["ok"] == len(names)
 
 
+def test_streaming_bench_artifact_has_all_stateful_rows():
+    """The committed streaming bench must carry a measured (non-zero,
+    non-errored) row for every stateful pipeline INCLUDING both custom
+    stateful APIs — the TWS row silently skipping would reopen the
+    round-6 'one untested execution surface' gap."""
+    p = _latest("BENCH_r*_streaming.json")
+    art = json.loads(p.read_text())
+    for row in (
+        "rate_stress_session_windows",
+        "rate_stress_stateful_dedup",
+        "rate_stress_user_totals_legacy_api",
+        "rate_stress_spend_alerts_tws",
+    ):
+        block = art.get(row)
+        assert isinstance(block, dict) and not block.get("error"), (
+            f"{p.name} missing/errored {row}: {block}"
+        )
+        assert block.get("ceiling_rows_per_sec_p50", 0) > 0, (
+            f"{p.name} {row} recorded no completed batches"
+        )
+        assert not block.get("query_error"), f"{p.name} {row}: {block['query_error']}"
+
+
 def test_edge_sweep_artifact_is_current_and_green():
     p = _latest("EDGE_r*.json")
     art = json.loads(p.read_text())

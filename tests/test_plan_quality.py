@@ -62,9 +62,14 @@ def test_no_python_udfs_in_jvm_path_queries(spark):
         assert "ArrowEvalPython" not in plan, name
 
 
-def test_minhash_aggregates_map_side(spark):
+def test_minhash_signatures_pure_projection(spark):
+    """Round-7 shape: signatures are a single-stage projection — no explode,
+    no aggregate, no Exchange. Everything runs scan-local, so at 100 TB the
+    signature stage is embarrassingly parallel and shuffles nothing."""
     plan = formatted_plan(QUERIES["dedup_minhash_signatures"](spark, SF_DIR))
-    assert "partial_min" in plan  # signature mins combine before the shuffle
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
+    assert "Generate" not in plan  # no explode
 
 
 def test_q2_correlated_min_single_window_shuffle(spark):
