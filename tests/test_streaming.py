@@ -315,6 +315,38 @@ def test_spend_alerts_stream_modern_state_api(spark):
         assert abs(got[uid][1] - total) < 1e-4, uid
 
 
+def test_stream_and_batch_minhash_expressions_agree(spark):
+    """The streaming ingest path computes signatures with an inline array
+    expression (documents.py::_SIG_ARRAY_SQL) while the batch path builds
+    the same shape through DataFrame stages (dedup.minhash_signatures,
+    projection form since round 7). Both derive from the same PERMS
+    constants, but the expressions are maintained separately — pin them
+    element-for-element equal on real documents so neither can drift."""
+    import pyspark.sql.functions as F
+
+    from polars_ad_etl_spark.operators.dedup import K, minhash_signatures
+    from polars_ad_etl_spark.streaming.documents import _SIG_ARRAY_SQL
+
+    batch = {
+        r.doc_id: tuple(r[i + 1] for i in range(K))
+        for r in minhash_signatures(spark, SF_DIR).collect()
+    }
+    stream_expr = {
+        r.doc_id: tuple(r.mh)
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", F.expr(_SIG_ARRAY_SQL).alias("mh"))
+        .filter(F.expr("mh[0] IS NOT NULL"))
+        .collect()
+    }
+    assert len(batch) > 0
+    # the stream expr yields [NULL x K] for <3-token docs (array_min over
+    # an empty hash array), which the batch path drops entirely — compare
+    # on the docs both produce a real signature for
+    assert set(batch) == set(stream_expr)
+    for doc_id, sig in batch.items():
+        assert stream_expr[doc_id] == sig, doc_id
+
+
 def test_pbcompat_statemessage_roundtrip():
     """The (possibly vendored) protobuf runtime must serialize/parse
     Spark's own TWS state-server messages correctly: scalar fields, a
