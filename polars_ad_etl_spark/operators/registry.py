@@ -79,7 +79,11 @@ def _apply_table_contracts(sql: str) -> str:
         # quoted identifier...) and the oracle would silently read the RAW
         # table — an engine divergence that only shows on NULL-carrying
         # data, the hardest kind to notice. Fail loudly at import instead.
-        if re.search(rf"\b{t}\b", sql):
+        # Case-insensitive to match the rewrite above (an uppercase missed
+        # reference like `FROM x, EVENTS` must trip the guard too); a string
+        # literal containing the table name also trips it, which is
+        # acceptable for a fail-loud import-time check.
+        if re.search(rf"\b{t}\b", sql, re.IGNORECASE):
             raise ValueError(
                 f"table contract for {t!r} left unrewritten reference(s); "
                 f"rewrote {n} FROM/JOIN site(s) but the name still appears "

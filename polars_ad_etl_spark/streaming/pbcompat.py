@@ -43,7 +43,10 @@ def ensure_protobuf() -> bool:
     if mod.__name__.startswith("cloudsdk.") and not _exported():
         existing = os.environ.get("PYTHONPATH", "")
         v = str(_VENDOR)
-        os.environ["PYTHONPATH"] = f"{v}:{existing}" if existing else v
+        # APPEND (don't prepend): on a deployment where workers have a real
+        # protobuf install but the driver does not, site-packages must keep
+        # precedence in the workers — mirrors the sys.path.append above.
+        os.environ["PYTHONPATH"] = f"{existing}:{v}" if existing else v
     return True
 
 

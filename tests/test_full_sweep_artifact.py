@@ -21,14 +21,23 @@ ROOT = Path(__file__).resolve().parent.parent
 
 
 def _latest(pattern: str) -> Path:
+    # Keep only glob hits whose stem actually carries a round number — a
+    # stray file like CORRECTNESS_full_rc1.json matches the glob but not
+    # the regex, and must produce a clear failure rather than an
+    # AttributeError inside the sort key.
+    matched = [
+        (p, re.search(r"_r(\d+)", p.stem)) for p in ROOT.glob(pattern)
+    ]
     cands = sorted(
-        ROOT.glob(pattern),
+        (p for p, m in matched if m),
         key=lambda p: int(re.search(r"_r(\d+)", p.stem).group(1)),
     )
     if not cands:
+        stray = [p.name for p, m in matched if not m]
         pytest.fail(
-            f"no committed {pattern} artifact — run the sweep script and "
-            "commit its output"
+            f"no committed {pattern} artifact with a _r<N> round number — "
+            "run the sweep script and commit its output"
+            + (f" (ignored non-matching: {stray})" if stray else "")
         )
     return cands[-1]
 
