@@ -21,7 +21,11 @@ like-for-like without footnotes):
      SPARK_GRAFT_BENCH_ALLOW_BUSY=1 to silence);
   2. JVM warm-up + two compile-warmup passes (sf0.001 then sf0.01) so
      whole-stage-codegen compilation and C2 JIT are off the clock;
-  3. best-of-N wall per query (N = $SPARK_GRAFT_BENCH_RUNS, default 2).
+  3. best-of-N wall per query (N = $SPARK_GRAFT_BENCH_RUNS, default 2);
+  4. a pinned code-independent host-regime probe sampled at three points
+     across the timed section; the sidecar records regime_factor =
+     median(probe)/REGIME_PROBE_REF_SEC and budget flags compare
+     regime-normalized seconds (see the probe block below).
 """
 
 from __future__ import annotations
@@ -100,6 +104,53 @@ class _StageMetrics:
         except Exception:
             self.ok = False
             return None
+
+# --- Host-regime probe (round-8 protocol addition) -------------------------
+# The build VM's wall-clock swings ~2x between host regimes on identical code
+# (ROUND6/ROUND7: 20.9-31.4s same-day idle samples on near-identical code), so
+# a raw round-over-round bench delta cannot distinguish a code regression from
+# a regime change. Each bench run therefore times a PINNED, code-independent
+# probe — pure spark.range -> projection -> hash-agg shuffle, touching no repo
+# code, fixed 32-way partitioning — at three points across the timed section,
+# and records regime_factor = median(best-of-2 samples) / REGIME_PROBE_REF_SEC
+# in the sidecar. The probe is frozen by construction (changing it is a code
+# diff here, reviewed like any other); unlike a git-worktree snapshot A/B it
+# needs no git in the driver environment and samples the SAME JVM and the same
+# time window the timed queries ran in — regimes swing between consecutive
+# runs, so a separate process would measure a different window. Budget flags
+# compare regime-NORMALIZED seconds (raw / clamped factor); raw seconds stay
+# the headline number (the driver's record is untouched).
+REGIME_PROBE_REF_SEC = 2.25  # calibrated round 8: idle host (steal ~0, cpu
+                             # idle confirmed via /proc/stat deltas), two
+                             # back-to-back runs of median-of-3 best-of-2 gave
+                             # 2.30s and 2.76s with per-sample bests 2.15-2.8
+                             # (see ROUND8.md). factor 1.0 means "the
+                             # calibration regime"; slower regimes > 1.
+_REGIME_CLAMP = (0.5, 3.0)   # normalization guard against a pathological
+                             # sample; raw factor is recorded unclamped.
+
+
+def _regime_probe_once(spark) -> float:
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 48_000_000, 1, 32)
+        .selectExpr(
+            "id % 1048576 AS k",
+            "(id * 2654435761) % 1000003 AS v",
+        )
+        .groupBy("k")
+        .agg({"v": "sum"})
+        .selectExpr("count(*) AS c", "sum(`sum(v)`) AS s")
+        .collect()
+    )
+    return time.perf_counter() - t0
+
+
+def _regime_sample(spark) -> float:
+    """Best-of-2 wall for the pinned probe (min-of-N for the same reason as
+    the query timings: single shots at ~1s scale eat GC/scheduler noise)."""
+    return min(_regime_probe_once(spark) for _ in range(2))
+
 
 # Headline set: one per operator family (agg, joins, window, topk, setop,
 # dedup, similarity, text) — the queries a user would actually run repeatedly.
@@ -206,7 +257,15 @@ def main() -> None:
     metrics_src = _StageMetrics(spark)
     times: dict[str, float] = {}
     metrics: dict[str, dict] = {}
-    for name in HEADLINE:
+    # Warm the probe's query shape too (codegen compile off the clock), then
+    # sample the host regime at three points bracketing the timed section so
+    # the factor reflects the window the queries actually ran in.
+    _regime_probe_once(spark)
+    regime_samples: list[float] = [_regime_sample(spark)]
+    mid = len(HEADLINE) // 2
+    for i, name in enumerate(HEADLINE):
+        if i == mid:
+            regime_samples.append(_regime_sample(spark))
         fn = QUERIES[name]
         best = float("inf")
         metrics_src.snapshot()
@@ -223,6 +282,18 @@ def main() -> None:
             m = {k: (v // max(runs, 1) if k != "peak_execution_memory" else v)
                  for k, v in m.items()}
             metrics[name] = m
+    regime_samples.append(_regime_sample(spark))
+    probe_median = sorted(regime_samples)[len(regime_samples) // 2]
+    regime_factor_raw = probe_median / REGIME_PROBE_REF_SEC
+    regime_factor = min(max(regime_factor_raw, _REGIME_CLAMP[0]),
+                        _REGIME_CLAMP[1])
+    regime = {
+        "probe_samples_sec": [round(s, 3) for s in regime_samples],
+        "probe_median_sec": round(probe_median, 3),
+        "ref_sec": REGIME_PROBE_REF_SEC,
+        "regime_factor": round(regime_factor_raw, 3),
+        "regime_factor_clamped": round(regime_factor, 3),
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -238,6 +309,11 @@ def main() -> None:
     # hide inside an improving total. Budgets only move DOWN, and only when
     # explicitly asked (SPARK_GRAFT_BENCH_UPDATE_BUDGETS=1 on an idle run),
     # so a busy host can't loosen the bar.
+    # Round-8 change: flags fire on regime-NORMALIZED seconds (raw wall /
+    # clamped regime factor) so a slow host regime doesn't light every flag
+    # while a real code regression still does; both raw and normalized ratios
+    # are recorded so a flag can be audited either way. Budget updates store
+    # the normalized trailing best for the same reason.
     budget_check = None
     budgets_path = Path(__file__).resolve().parent / "bench_budgets.json"
     if budgets_path.is_file():
@@ -246,32 +322,40 @@ def main() -> None:
             flagged = {}
             for name, t in times.items():
                 b = bud["budgets"].get(name)
-                if b and t > 1.5 * b:
+                tn = round(t / regime_factor, 3)
+                if b and tn > 1.5 * b:
                     flagged[name] = {
-                        "sec": t, "budget": b, "ratio": round(t / b, 2)
+                        "sec": t, "sec_normalized": tn, "budget": b,
+                        "ratio_raw": round(t / b, 2),
+                        "ratio_normalized": round(tn / b, 2),
                     }
             budget_check = {
                 "threshold": 1.5,
+                "basis": "regime-normalized seconds",
+                "regime_factor": round(regime_factor, 3),
                 "n_checked": sum(1 for n in times if n in bud["budgets"]),
                 "n_flagged": len(flagged),
                 "flagged": flagged,
             }
             if flagged:
                 print(
-                    "WARNING: queries over 1.5x their trailing-best budget: "
+                    "WARNING: queries over 1.5x their trailing-best budget "
+                    f"(regime-normalized, factor {regime_factor:.2f}): "
                     + ", ".join(
-                        f"{n} {v['ratio']}x" for n, v in flagged.items()
+                        f"{n} {v['ratio_normalized']}x"
+                        for n, v in flagged.items()
                     ),
                     file=sys.stderr,
                 )
             if os.environ.get("SPARK_GRAFT_BENCH_UPDATE_BUDGETS"):
                 for name, t in times.items():
+                    tn = round(t / regime_factor, 3)
                     old = bud["budgets"].get(name)
-                    bud["budgets"][name] = min(old, t) if old else t
+                    bud["budgets"][name] = min(old, tn) if old else tn
                 bud["budgets"] = dict(sorted(bud["budgets"].items()))
                 budgets_path.write_text(json.dumps(bud, indent=1) + "\n")
-                print("updated bench_budgets.json (trailing best)",
-                      file=sys.stderr)
+                print("updated bench_budgets.json (regime-normalized "
+                      "trailing best)", file=sys.stderr)
     # Sidecar: everything that would bloat the stdout line beyond the
     # driver's bounded tail capture (round-5 post-mortem: query_metrics on
     # the stdout line pushed the JSON start outside a 2000-char tail and
@@ -284,6 +368,7 @@ def main() -> None:
             **idle_rec,
         },
         "headline": out,
+        "regime": regime,
     }
     if budget_check is not None:
         sidecar["budget_check"] = budget_check

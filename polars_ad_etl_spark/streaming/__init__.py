@@ -1,6 +1,7 @@
 from polars_ad_etl_spark.streaming.documents import (
     corpus_indexes,
     incremental_ingest_stream,
+    incremental_ingest_stream_bounded,
     read_documents_stream,
 )
 from polars_ad_etl_spark.streaming.events import (
@@ -21,6 +22,7 @@ from polars_ad_etl_spark.streaming.events import (
 __all__ = [
     "corpus_indexes",
     "incremental_ingest_stream",
+    "incremental_ingest_stream_bounded",
     "read_documents_stream",
     "daily_active_users_stream",
     "daily_active_users_approx_stream",

@@ -115,45 +115,26 @@ def corpus_indexes(
     return corpus_ck, corpus_bk
 
 
-def incremental_ingest_stream(
-    docs: DataFrame, corpus_ck: DataFrame, corpus_bk: DataFrame
-) -> DataFrame:
-    """New-batch documents that survive the three streamable drop layers —
-    the rows an ingest job appends to the corpus.
-
-    1. within-stream exact dedup: ``dropDuplicates`` on the content hash
-       (first arrival wins — the streaming analogue of the batch min-id
-       rule). NULL-text docs get a per-doc surrogate key so Spark's
-       null-keys-are-equal grouping cannot collapse them (the batch layer
-       treats NULL content as equal to nothing). State is one 16-byte key
-       per distinct document ever seen — the same index the corpus side
-       keeps anyway — and it is UNBOUNDED: it grows with the distinct-
-       document count for the stream's lifetime. For a forever-running
-       ingest, either restart per compaction window (the checkpoint-
-       restart test's model: the admitted hashes fold into the corpus
-       index, state resets) or swap in
-       ``dropDuplicatesWithinWatermark(["ck2"])`` after a
-       ``withWatermark`` to bound state at the cost of readmitting twins
-       that arrive farther apart than the horizon.
-       Batch-equivalence caveat: the batch twin keeps the MIN doc_id of
-       an exact-twin group while this layer keeps the FIRST ARRIVAL; the
-       two agree on which doc_id is admitted only when arrival order
-       follows doc_id order (true for the replay sources here). The SET
-       of admitted content is identical either way — only the surviving
-       representative's id can differ.
-    2. exact-vs-corpus: stream-static LEFT ANTI join on the hash index.
-    3. near-vs-corpus: the row's banded signature minima against the
-       static bucket-key index, one stream-static left join per band
-       (key-distinct, so no row multiplication), dropped if ANY band
-       collides. Docs under 3 tokens have NULL minima and join nothing.
-    """
+def _prep_ingest(docs: DataFrame) -> DataFrame:
+    """Shared layer-0 prep for both ingest twins: restrict to the new-batch
+    half of the split, derive the content hash, and give NULL-text docs a
+    per-doc surrogate key so Spark's null-keys-are-equal grouping cannot
+    collapse them (the batch layer treats NULL content as equal to
+    nothing)."""
     s = docs.filter(_incr_is_batch(F.col("doc_id"))).select(
         "*", F.md5(F.lower(F.trim("text"))).alias("ck")
     )
-    s = s.withColumn(
+    return s.withColumn(
         "ck2", F.coalesce("ck", F.concat(F.lit("∅"), F.col("doc_id")))
     )
-    s = s.dropDuplicates(["ck2"])
+
+
+def _corpus_drop_layers(
+    s: DataFrame, corpus_ck: DataFrame, corpus_bk: DataFrame
+) -> DataFrame:
+    """Shared layers 2-3 for both ingest twins: exact-vs-corpus anti join
+    on the hash index, then the per-band near-vs-corpus probe against the
+    static bucket-key index."""
     s = s.join(corpus_ck, "ck", "left_anti")
     # the md5-per-shingle signature projection comes AFTER the exact
     # layers on purpose: rows dropped on the 16-byte content key alone
@@ -183,3 +164,83 @@ def incremental_ingest_stream(
         s.filter(~near)
         .select("doc_id", "text", "lang", "source", "n_chars", "ck")
     )
+
+
+def incremental_ingest_stream(
+    docs: DataFrame, corpus_ck: DataFrame, corpus_bk: DataFrame
+) -> DataFrame:
+    """New-batch documents that survive the three streamable drop layers —
+    the rows an ingest job appends to the corpus.
+
+    1. within-stream exact dedup: ``dropDuplicates`` on the content hash
+       (first arrival wins — the streaming analogue of the batch min-id
+       rule). State is one 16-byte key per distinct document ever seen —
+       the same index the corpus side keeps anyway — and it is UNBOUNDED:
+       it grows with the distinct-document count for the stream's
+       lifetime. For a forever-running ingest, either restart per
+       compaction window (the checkpoint-restart test's model: the
+       admitted hashes fold into the corpus index, state resets) or use
+       :func:`incremental_ingest_stream_bounded` — the SHIPPED
+       watermarked twin whose ``dropDuplicatesWithinWatermark`` state is
+       bounded by horizon x arrival rate, at the cost of readmitting
+       twins that arrive farther apart than the horizon (both behaviors
+       pinned by tests/test_streaming.py).
+       Batch-equivalence caveat: the batch twin keeps the MIN doc_id of
+       an exact-twin group while this layer keeps the FIRST ARRIVAL; the
+       two agree on which doc_id is admitted only when arrival order
+       follows doc_id order (true for the replay sources here). The SET
+       of admitted content is identical either way — only the surviving
+       representative's id can differ.
+    2. exact-vs-corpus: stream-static LEFT ANTI join on the hash index.
+    3. near-vs-corpus: the row's banded signature minima against the
+       static bucket-key index, one stream-static left join per band
+       (key-distinct, so no row multiplication), dropped if ANY band
+       collides. Docs under 3 tokens have NULL minima and join nothing.
+    """
+    s = _prep_ingest(docs).dropDuplicates(["ck2"])
+    return _corpus_drop_layers(s, corpus_ck, corpus_bk)
+
+
+def incremental_ingest_stream_bounded(
+    docs: DataFrame,
+    corpus_ck: DataFrame,
+    corpus_bk: DataFrame,
+    horizon: str = "10 minutes",
+    event_time_col: str | None = None,
+) -> DataFrame:
+    """Bounded-state twin of :func:`incremental_ingest_stream` — the shape
+    a FOREVER-running ingest deploys at 100 TB/day.
+
+    Layer 1 becomes ``withWatermark(event_time, horizon)`` +
+    ``dropDuplicatesWithinWatermark(["ck2"])``: the state store holds one
+    16-byte key only until the watermark passes its first-seen event time
+    plus the horizon, so state is bounded by ``horizon x distinct-key
+    arrival rate`` instead of growing with the stream's lifetime (the
+    state-eviction plateau is asserted by
+    ``test_incremental_ingest_bounded_state_evicts`` and carried as a
+    streaming-bench row). Layers 2-3 (exact-vs-corpus anti join,
+    near-vs-corpus banded probe) are byte-identical to the unbounded twin
+    — shared helpers, not copies.
+
+    Semantics trade-off, explicit: an exact twin arriving WITHIN the
+    horizon of its first occurrence is dropped exactly as in the
+    unbounded twin; a twin arriving FARTHER apart is READMITTED (its key
+    has been evicted). That is the correct production contract when the
+    periodic batch compaction folds admitted hashes into the corpus index
+    faster than the horizon — from then on the corpus-side anti join
+    (layer 2, stateless) catches the late twin instead of the state
+    store. Choose ``horizon`` >= the compaction cadence.
+
+    ``event_time_col``: name of an existing event-time TIMESTAMP column;
+    when None (the documents replay source carries none) rows are stamped
+    with ``current_timestamp()`` at micro-batch evaluation — a
+    processing-time horizon, which is exactly the "time since first seen"
+    bound the compaction contract above needs.
+    """
+    s = _prep_ingest(docs)
+    ts = event_time_col
+    if ts is None:
+        ts = "arrival_ts"
+        s = s.withColumn(ts, F.current_timestamp())
+    s = s.withWatermark(ts, horizon).dropDuplicatesWithinWatermark(["ck2"])
+    return _corpus_drop_layers(s, corpus_ck, corpus_bk)

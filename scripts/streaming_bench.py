@@ -70,9 +70,25 @@ def prepare_source(spark, sf_dir: str, n_files: int) -> str:
     return work
 
 
-def run_pipeline(spark, src_dir: str, name: str, files_per_trigger: int) -> dict:
+def _provider_conf(spark, provider: str) -> None:
+    """Select the state-store provider for queries started AFTER this call
+    (the provider class is captured into each query's checkpoint at start).
+    'heap' = the default HDFSBackedStateStoreProvider; 'rocksdb' = the
+    production store at 100 TB (bounded heap, native memory + local SST)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if provider == "rocksdb":
+        spark.conf.set(key, _ROCKSDB)
+    else:
+        spark.conf.unset(key)
+
+
+def run_pipeline(
+    spark, src_dir: str, name: str, files_per_trigger: int,
+    provider: str = "heap",
+) -> dict:
     events = read_events_stream(spark, src_dir, max_files_per_trigger=files_per_trigger)
     df = PIPELINES[name](events)
+    _provider_conf(spark, provider)
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     t0 = time.perf_counter()
     q = (
@@ -117,6 +133,77 @@ def run_pipeline(spark, src_dir: str, name: str, files_per_trigger: int) -> dict
             batches[-1]["state_rows"] / max_state, 3
         ) if max_state else None,
         "batches": batches,
+    }
+
+
+def run_ingest_bench(spark, sf_dir: str, n_files: int, bounded: bool) -> dict:
+    """Documents-replay throughput for the incremental ingest twins
+    (streaming/documents.py). The bounded twin swaps layer-1's unbounded
+    ``dropDuplicates`` for ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` — this row measures what that
+    stateful-operator swap costs at ingest rate. A file replay finishes in
+    seconds, inside any sane horizon, so state eviction itself shows up in
+    the dedicated eviction test (tests/test_streaming.py), not here; the
+    state accounting columns still show both twins carrying one row per
+    distinct admitted key during the replay."""
+    from polars_ad_etl_spark.streaming.documents import (
+        corpus_indexes,
+        incremental_ingest_stream,
+        incremental_ingest_stream_bounded,
+        read_documents_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="ingest_bench_")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(f"{work}/documents.parquet")
+    )
+    ck, bk = corpus_indexes(spark, sf_dir)
+    docs = read_documents_stream(spark, work, max_files_per_trigger=2)
+    if bounded:
+        df = incremental_ingest_stream_bounded(docs, ck, bk, horizon="10 minutes")
+    else:
+        df = incremental_ingest_stream(docs, ck, bk)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ingest_")
+    t0 = time.perf_counter()
+    q = (
+        df.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    batches = []
+    for p in q.recentProgress:
+        if p["numInputRows"] == 0:
+            continue
+        state = p.get("stateOperators") or []
+        batches.append(
+            {
+                "rows": p["numInputRows"],
+                "ms": p["durationMs"].get("triggerExecution", 0),
+                "state_rows": sum(s.get("numRowsTotal", 0) for s in state),
+                "state_bytes": sum(s.get("memoryUsedBytes", 0) for s in state),
+            }
+        )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(work, ignore_errors=True)
+    spark.sparkContext._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    total_rows = sum(b["rows"] for b in batches)
+    ms = sorted(b["ms"] for b in batches) or [0]
+    max_state = max((b["state_rows"] for b in batches), default=0)
+    return {
+        "variant": "bounded" if bounded else "unbounded",
+        "wall_sec": round(wall, 2),
+        "total_rows": total_rows,
+        "n_batches": len(batches),
+        "rows_per_sec": round(total_rows / wall, 1) if wall else None,
+        "batch_ms_p50": statistics.median(ms),
+        "max_state_rows": max_state,
+        "final_state_rows": batches[-1]["state_rows"] if batches else 0,
     }
 
 
@@ -220,19 +307,29 @@ def _stress_cli(name: str, mode: str, rate: int, duration: int) -> None:
     final stdout line. Isolation is the point — a shared session carries
     the previous stress's heap garbage and state-store provider cache,
     which measurably starves the next query's micro-batches (first r7 run:
-    two rows read 0 rows/s purely from ordering)."""
+    two rows read 0 rows/s purely from ordering).
+
+    A ``_rocksdb`` suffix on the pipeline name runs the same pipeline
+    under RocksDBStateStoreProvider — the production store at 100 TB
+    (bounded heap; state lives in native memory + local SST files) —
+    so the committed artifact carries a heap-vs-rocksdb row pair for
+    every stateful pipeline. TWS always requires RocksDB (typed state
+    maps to state-store column families)."""
     have_protobuf = ensure_protobuf()
+    base = name.removesuffix("_rocksdb")
     extra = {}
-    if name == "spend_alerts_tws":
-        if not have_protobuf:
+    if base == "spend_alerts_tws" or name.endswith("_rocksdb"):
+        if base == "spend_alerts_tws" and not have_protobuf:
             print(json.dumps({"skipped": "no protobuf runtime resolvable"}))
             return
         extra["spark.sql.streaming.stateStore.providerClass"] = _ROCKSDB
     spark = get_spark(f"stress-{name}", extra_conf=extra)
-    if name == "user_totals_legacy_api":
+    if base == "user_totals_legacy_api":
         PIPELINES[name] = user_totals_stream
-    elif name == "spend_alerts_tws":
+    elif base == "spend_alerts_tws":
         PIPELINES[name] = spend_alerts_stream
+    elif name not in PIPELINES:
+        PIPELINES[name] = PIPELINES[base]
     # cold-JVM warmup, discarded: compile the streaming plan + C2 the hot
     # loops at a trivially sustainable rate — without this the measured
     # run's first (backlogged) micro-batch can outlive the whole window
@@ -250,10 +347,16 @@ def _stress_cli(name: str, mode: str, rate: int, duration: int) -> None:
 # a saturating 2M offered; Python custom-state pipelines get 300k — at 2M
 # the backlogged first micro-batch outlives the window and nothing
 # completes (measured), so 300k/40s is what actually yields a ceiling.
+# Each stateful pipeline appears twice — default heap provider and the
+# _rocksdb twin — so the artifact records what the production store costs
+# (spend_alerts_tws is RocksDB-only by API requirement).
 STRESSES = [
     ("session_windows", "append", 2_000_000, 45),
+    ("session_windows_rocksdb", "append", 2_000_000, 45),
     ("stateful_dedup", "append", 2_000_000, 45),
+    ("stateful_dedup_rocksdb", "append", 2_000_000, 45),
     ("user_totals_legacy_api", "update", 300_000, 40),
+    ("user_totals_legacy_api_rocksdb", "update", 300_000, 40),
     ("spend_alerts_tws", "update", 300_000, 40),
 ]
 
@@ -281,13 +384,27 @@ def main() -> None:
     for name in PIPELINES:
         run_pipeline(spark, warm, name, 1)
     result = {"sf_dir": sf_dir, "n_files": n_files, "files_per_trigger": fpt,
-              "pipelines": {}}
-    for name in PIPELINES:
-        r = run_pipeline(spark, src, name, fpt)
-        result["pipelines"][name] = r
+              "pipelines": {}, "pipelines_rocksdb": {}}
+    for provider, key in (("heap", "pipelines"), ("rocksdb", "pipelines_rocksdb")):
+        for name in list(PIPELINES):
+            r = run_pipeline(spark, src, name, fpt, provider=provider)
+            result[key][name] = r
+            print(
+                f"{name} [{provider}]: {r['rows_per_sec']} rows/s, "
+                f"p50 {r['batch_ms_p50']}ms, "
+                f"max_state {r['max_state_rows']} rows", flush=True,
+            )
+    # incremental ingest twins over the documents replay (heap provider;
+    # the bounded twin's dedupWithinWatermark also runs under RocksDB in
+    # the rate stresses' provider pairs above for the events pipelines —
+    # here the row pair isolates the watermarked-vs-plain operator cost)
+    for bounded in (False, True):
+        r = run_ingest_bench(spark, sf_dir, n_files, bounded)
+        result[f"ingest_{r['variant']}"] = r
         print(
-            f"{name}: {r['rows_per_sec']} rows/s, p50 {r['batch_ms_p50']}ms, "
-            f"max_state {r['max_state_rows']} rows", flush=True,
+            f"ingest_{r['variant']}: {r['rows_per_sec']} rows/s, "
+            f"p50 {r['batch_ms_p50']}ms, max_state {r['max_state_rows']} rows",
+            flush=True,
         )
     spark.stop()
     # Rate-source stresses (state-store rows/s ceiling with zero source

@@ -63,6 +63,26 @@ def test_full_sweep_artifact_is_current_and_green():
     assert meta["ok"] == len(names)
 
 
+def test_cluster_probe_artifact_is_current_and_green():
+    """The local-cluster probe (separate executor JVMs — the only sweep
+    that catches closure-serialization / executor-local-state bugs that
+    local[N]'s single JVM hides) must be a committed, all-green artifact
+    covering exactly the current registry."""
+    p = _latest("CLUSTER_r*.json")
+    art = json.loads(p.read_text())
+    meta, results = art["meta"], art["results"]
+    assert "local-cluster" in meta["session"]
+    names = _registry_names()
+    assert set(results) == names, (
+        f"{p.name} covers {len(results)} queries but the registry has "
+        f"{len(names)} — re-run scripts/local_cluster_probe.py and commit"
+    )
+    bad = {n: r for n, r in results.items() if r["status"] != "match"}
+    assert not bad, f"{p.name} has non-green entries: {sorted(bad)[:10]}"
+    assert meta["mismatch"] == 0 and meta["crash"] == 0
+    assert meta["ok"] == len(names)
+
+
 def test_streaming_bench_artifact_has_all_stateful_rows():
     """The committed streaming bench must carry a measured (non-zero,
     non-errored) row for every stateful pipeline INCLUDING both custom

@@ -818,3 +818,247 @@ def test_incremental_ingest_checkpoint_restart(spark, tmp_path):
     admitted = [r.doc_id for r in spark.read.parquet(out).collect()]
     assert sorted(admitted) == sorted([bids[0], bids[1], bids[3]])
     assert len(admitted) == len(set(admitted))  # exactly-once across restart
+
+
+def _split_ids(n: int, batch_side: bool):
+    """doc_ids on one side of the deterministic incremental split, in id
+    order (batch_side=True: the new-batch half the ingest stream keeps)."""
+    import hashlib
+
+    from polars_ad_etl_spark.operators.dedup import (
+        INCR_SPLIT_PERMILLE,
+        _INCR_SALT,
+    )
+
+    out = []
+    i = 1
+    while len(out) < n:
+        h = int(
+            hashlib.md5(f"{_INCR_SALT}{i}".encode()).hexdigest()[:8], 16
+        )
+        if (h % 1000 >= INCR_SPLIT_PERMILLE) == batch_side:
+            out.append(i)
+        i += 1
+    return out
+
+
+def _batch_ids(n: int):
+    return _split_ids(n, batch_side=True)
+
+
+def test_incremental_ingest_bounded_matches_unbounded_within_horizon(spark):
+    """With a horizon wider than the replay (everything arrives within
+    seconds), the bounded twin must admit EXACTLY the same doc set as the
+    unbounded twin's oracle-checked batch equivalent — the corpus layers
+    are shared code and the watermarked layer-1 must not change behavior
+    inside the horizon."""
+    from polars_ad_etl_spark.operators.dedup import (
+        dedup_incremental_ingest_admitted,
+    )
+    from polars_ad_etl_spark.streaming import (
+        corpus_indexes,
+        incremental_ingest_stream_bounded,
+        read_documents_stream,
+    )
+
+    ck, bk = corpus_indexes(spark, SF_DIR)
+    stream = read_documents_stream(spark, SF_DIR)
+    _run_to_completion(
+        incremental_ingest_stream_bounded(stream, ck, bk, horizon="60 minutes"),
+        "ingest_bounded_out",
+    )
+    got = {
+        r.doc_id
+        for r in spark.sql("SELECT doc_id FROM ingest_bounded_out").collect()
+    }
+    want = {
+        r.doc_id
+        for r in dedup_incremental_ingest_admitted(spark, SF_DIR).collect()
+    }
+    assert got == want and got
+
+
+def test_incremental_ingest_bounded_state_evicts(spark, tmp_path):
+    """The production claim of the bounded twin, asserted end-to-end:
+
+    - a twin arriving WITHIN the horizon of its first occurrence is
+      dropped (same as the unbounded twin);
+    - once the watermark passes first-seen + horizon the key is EVICTED:
+      state rows plateau below the total distinct-key count (the unbounded
+      twin's state is exactly that count), and a far-apart twin is
+      READMITTED — the documented trade-off the corpus-compaction contract
+      absorbs.
+
+    Event time is arrival (current_timestamp, pinned per micro-batch), so
+    the wall sleeps between file drops ARE the event-time gaps; all
+    margins are >2x the 2-second horizon to be regime-proof."""
+    import glob as _glob
+    import os
+    import shutil
+    import time
+
+    from polars_ad_etl_spark.streaming import (
+        corpus_indexes,
+        incremental_ingest_stream_bounded,
+        read_documents_stream,
+    )
+
+    ids = iter(_batch_ids(400))
+    t_twin = "seven silver ships sailing slowly southward tonight again"
+
+    def write_flat(rows, dst):
+        w = f"{tmp_path}/w_{os.path.basename(dst)}"
+        spark.createDataFrame(
+            [(i, t, "en", "synthetic", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(w)
+        shutil.copy(_glob.glob(f"{w}/part-*.parquet")[0], dst)
+
+    def fillers(n, tag):
+        return [
+            (next(ids), f"unique filler {tag} number {k} about topic {tag}{k}")
+            for k in range(n)
+        ]
+
+    src = f"{tmp_path}/bounded_src/documents.parquet"
+    os.makedirs(src)
+    corpus_dir = f"{tmp_path}/corpus"
+    os.makedirs(corpus_dir)
+    write_flat(
+        [(_split_ids(1, batch_side=False)[0],
+          "a corpus only story never repeated anywhere else at all")],
+        f"{corpus_dir}/documents.parquet",
+    )
+    ck, bk = corpus_indexes(spark, corpus_dir)
+
+    stream = read_documents_stream(
+        spark, f"{tmp_path}/bounded_src", max_files_per_trigger=1
+    )
+    q = (
+        incremental_ingest_stream_bounded(stream, ck, bk, horizon="2 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bounded_evict_out")
+        .start()
+    )
+    try:
+        a0 = next(ids)
+        write_flat([(a0, t_twin)] + fillers(50, "f0"), f"{src}/f0.parquet")
+        q.processAllAvailable()
+        # twin within horizon: the f1 batch's watermark derives from f0's
+        # event time, so a0's key is still live no matter the wall gap
+        a1 = next(ids)
+        write_flat([(a1, t_twin)] + fillers(50, "f1"), f"{src}/f1.parquet")
+        q.processAllAvailable()
+        # push the watermark past f0/f1 expiry (gap 5s >> horizon 2s),
+        # then once more so the eviction is applied and a far twin lands
+        time.sleep(5)
+        write_flat(fillers(50, "f2"), f"{src}/f2.parquet")
+        q.processAllAvailable()
+        time.sleep(5)
+        a3 = next(ids)
+        write_flat([(a3, t_twin)] + fillers(50, "f3"), f"{src}/f3.parquet")
+        q.processAllAvailable()
+        progresses = list(q.recentProgress)
+    finally:
+        q.stop()
+
+    got = {
+        r.doc_id
+        for r in spark.sql("SELECT doc_id FROM bounded_evict_out").collect()
+    }
+    assert a0 in got, "first occurrence admitted"
+    assert a1 not in got, "twin within horizon must be dropped"
+    assert a3 in got, "twin beyond horizon is readmitted (documented)"
+
+    # state plateau: distinct keys ever seen = 201 (50 fillers per file x4
+    # plus the shared twin key — a1/a3 share a0's content key); the
+    # unbounded twin's state would hold all 201 forever, the bounded store
+    # must sit well under that after eviction
+    state_rows = [
+        sum(s["numRowsTotal"] for s in (p.get("stateOperators") or []))
+        for p in progresses
+        if p.get("numInputRows", 0) > 0
+    ]
+    assert state_rows, "no data batches recorded"
+    total_distinct = 201
+    assert max(state_rows) < total_distinct, (
+        f"state never evicted: {state_rows}"
+    )
+    assert state_rows[-1] < total_distinct * 0.75, (
+        f"final state not bounded: {state_rows}"
+    )
+
+
+def test_incremental_ingest_bounded_checkpoint_restart(spark, tmp_path):
+    """Restart the BOUNDED ingest from its checkpoint mid-stream: the
+    watermarked dedup state must survive (a within-horizon twin delivered
+    after the restart stays dropped) and the sink holds each admitted doc
+    exactly once."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from polars_ad_etl_spark.streaming import (
+        corpus_indexes,
+        incremental_ingest_stream_bounded,
+        read_documents_stream,
+    )
+
+    ids = _batch_ids(6)
+    t_twin = "an entirely different batch story about seven silver ships sailing"
+
+    def write_flat(rows, dst):
+        w = f"{tmp_path}/w_{os.path.basename(dst)}"
+        spark.createDataFrame(
+            [(i, t, "en", "synthetic", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(w)
+        shutil.copy(_glob.glob(f"{w}/part-*.parquet")[0], dst)
+
+    src = f"{tmp_path}/restart_src/documents.parquet"
+    out = f"{tmp_path}/admitted"
+    ckpt = f"{tmp_path}/ckpt"
+    os.makedirs(src)
+    corpus_dir = f"{tmp_path}/corpus"
+    os.makedirs(corpus_dir)
+    write_flat(
+        [(_split_ids(1, batch_side=False)[0],
+          "a corpus only story never repeated anywhere else at all")],
+        f"{corpus_dir}/documents.parquet",
+    )
+    ck, bk = corpus_indexes(spark, corpus_dir)
+
+    def start():
+        stream = read_documents_stream(
+            spark, f"{tmp_path}/restart_src", max_files_per_trigger=1
+        )
+        return (
+            incremental_ingest_stream_bounded(
+                stream, ck, bk, horizon="10 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    write_flat(
+        [(ids[0], t_twin), (ids[1], "a first unique document here")],
+        f"{src}/f0.parquet",
+    )
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    write_flat(
+        [(ids[2], t_twin), (ids[3], "a second unique document arrives")],
+        f"{src}/f1.parquet",
+    )
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    admitted = [r.doc_id for r in spark.read.parquet(out).collect()]
+    assert sorted(admitted) == sorted([ids[0], ids[1], ids[3]])
+    assert len(admitted) == len(set(admitted))
