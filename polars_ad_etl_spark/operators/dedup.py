@@ -218,7 +218,8 @@ register("dedup_minhash_signatures", oracle=MINHASH_SIG_SQL)(minhash_signatures)
     """,
 )
 def dedup_minhash_lsh_pairs(
-    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Banded LSH: docs agreeing on all rows of any band become candidate
     pairs. One groupBy on the (band, h0..h3) bucket key collects each bucket's
@@ -231,15 +232,22 @@ def dedup_minhash_lsh_pairs(
     bucket costs O(cap^2) instead of O(b^2). Dropped buckets are never
     silent — ``lsh_bucket_overflow`` reports each one with its forgone pair
     count from the same bucket subplan. Default ``None`` expands everything
-    (the oracle-exact registry behavior)."""
-    buckets = _lsh_buckets(spark, sf_dir)
+    (the oracle-exact registry behavior).
+
+    ``buckets``: optional precomputed (ideally checkpointed) bucket frame
+    from :func:`_lsh_buckets` — lets a multi-consumer job (the summary
+    report) execute the signature/bucket subplan once for pairs, overflow,
+    and components alike."""
+    if buckets is None:
+        buckets = _lsh_buckets(spark, sf_dir)
     if bucket_cap is not None:
         buckets = buckets.filter(F.size("ids") <= int(bucket_cap))
     return _expand_bucket_pairs(buckets)
 
 
 def lsh_bucket_overflow(
-    spark: SparkSession, sf_dir: str, bucket_cap: int
+    spark: SparkSession, sf_dir: str, bucket_cap: int,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Side-channel for the capped LSH path: one row per dropped hot bucket
     with its size and the number of candidate pairs (b*(b-1)/2) it would have
@@ -251,9 +259,14 @@ def lsh_bucket_overflow(
     Note the cross-band SUM of ``dropped_pairs`` is an *upper bound* on
     distinct pairs lost: the same doc pair can collide in several bands (and
     a pair dropped in one band may still surface via another, uncapped
-    band), so per-band counts over-count at the pair level."""
+    band), so per-band counts over-count at the pair level.
+
+    ``buckets``: optional precomputed bucket frame, same contract as in
+    :func:`dedup_minhash_lsh_pairs`."""
+    if buckets is None:
+        buckets = _lsh_buckets(spark, sf_dir)
     return (
-        _lsh_buckets(spark, sf_dir)
+        buckets
         .withColumn("bucket_size", F.size("ids"))
         .filter(F.col("bucket_size") > int(bucket_cap))
         .select(
@@ -1209,7 +1222,8 @@ def connected_components_star(edges: DataFrame, max_iter: int = 64) -> DataFrame
 
 
 def dedup_connected_components(
-    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components over the LSH candidate graph: every document in
     a near-dup cluster gets the cluster's minimum doc_id as component_id.
@@ -1236,10 +1250,15 @@ def dedup_connected_components(
     iteration is a tiny join over a tiny lineage (~0.2s). Persisted-cache
     materialization additionally runs without AQE, losing the runtime
     broadcast conversion inside the LSH self-join. On a cluster, swap
-    `localCheckpoint` for a reliable `checkpoint` directory — same loop."""
-    pairs = dedup_minhash_lsh_pairs(
-        spark, sf_dir, bucket_cap=bucket_cap
-    ).localCheckpoint(eager=True)
+    `localCheckpoint` for a reliable `checkpoint` directory — same loop.
+
+    ``pairs``: optional precomputed (already-checkpointed) candidate pair
+    frame — the summary report passes its own so the LSH subplan executes
+    once across all its consumers."""
+    if pairs is None:
+        pairs = dedup_minhash_lsh_pairs(
+            spark, sf_dir, bucket_cap=bucket_cap
+        ).localCheckpoint(eager=True)
     return connected_components_propagate(
         pairs.selectExpr("doc_a AS a", "doc_b AS b")
     ).select(F.col("node").alias("doc_id"), "component_id")
@@ -1991,7 +2010,15 @@ def dedup_summary_report(
     registry oracle applies the same cap in SQL, so the default shape is
     differential-checked as-is. The overflow columns are present in every
     mode; pass ``bucket_cap=None`` for an exhaustive uncapped run (both
-    overflow columns are then 0 by construction)."""
+    overflow columns are then 0 by construction).
+
+    Single-subplan discipline (round-8): the signature -> banded -> bucket
+    frame feeds THREE consumers here (pair count, component graph, hot-
+    bucket overflow) and used to be built — and executed — once per
+    consumer. It is now materialized once with ``localCheckpoint`` and
+    shared, so the report's cost is one signature scan + three tiny
+    aggregates (the executed plan carries exactly one parquet scan,
+    pinned by tests/test_plan_quality.py)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs = d.agg(
         F.count("*").alias("n_docs"),
@@ -1999,12 +2026,16 @@ def dedup_summary_report(
             F.count("*") - F.countDistinct(F.md5(F.lower(F.trim("text"))))
         ).alias("n_exact_dup_docs"),
     )
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir, bucket_cap=bucket_cap).agg(
-        F.count("*").alias("n_lsh_pairs")
-    )
+    buckets = _lsh_buckets(spark, sf_dir).localCheckpoint(eager=True)
+    pair_df = dedup_minhash_lsh_pairs(
+        spark, sf_dir, bucket_cap=bucket_cap, buckets=buckets
+    ).localCheckpoint(eager=True)
+    pairs = pair_df.agg(F.count("*").alias("n_lsh_pairs"))
     # the cap flows into the component graph too: a capped report's
     # cluster counts describe the same (capped) pair set as its pair count
-    comp = dedup_connected_components(spark, sf_dir, bucket_cap=bucket_cap).agg(
+    comp = dedup_connected_components(
+        spark, sf_dir, bucket_cap=bucket_cap, pairs=pair_df
+    ).agg(
         F.countDistinct("component_id").alias("n_clusters"),
         F.count("*").alias("n_clustered_docs"),
     )
@@ -2014,7 +2045,9 @@ def dedup_summary_report(
             F.lit(0).cast("long").alias("dropped_pairs_upper_bound"),
         )
     else:
-        overflow = lsh_bucket_overflow(spark, sf_dir, bucket_cap).agg(
+        overflow = lsh_bucket_overflow(
+            spark, sf_dir, bucket_cap, buckets=buckets
+        ).agg(
             F.count("*").alias("n_dropped_buckets"),
             F.coalesce(F.sum("dropped_pairs"), F.lit(0)).alias(
                 "dropped_pairs_upper_bound"

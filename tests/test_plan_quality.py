@@ -674,6 +674,42 @@ def test_aqe_splits_planted_skew_join(spark):
                 conf.set(k, v)
 
 
+def _parquet_scan_count(df) -> int:
+    """Number of parquet file scans in the EXECUTED plan — subplans already
+    materialized via localCheckpoint appear as RDD leaves, not scans, so
+    this counts how many times the final action re-reads source data."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Scan parquet")
+
+
+def test_near_dup_keep_list_single_scan(spark):
+    """The keep-list's final action must touch the documents parquet exactly
+    once (the doc_id projection for the left join); the whole signature ->
+    bucket -> pair -> component pipeline is materialized behind a
+    checkpointed leaf during construction and must NOT re-execute."""
+    df = QUERIES["dedup_near_dup_keep_list"](spark, SF_DIR)
+    assert _parquet_scan_count(df) == 1
+
+
+def test_connected_components_no_rescan(spark):
+    """The component labels are joins over checkpointed leaves only — zero
+    parquet scans in the final plan (the LSH subplan ran once, at the
+    eager checkpoint)."""
+    df = QUERIES["dedup_connected_components"](spark, SF_DIR)
+    assert _parquet_scan_count(df) == 0
+
+
+def test_summary_report_single_scan(spark):
+    """Round-8 single-subplan discipline: the summary report's three LSH
+    consumers (pair count, component graph, overflow accounting) share ONE
+    materialized bucket frame, so the final plan scans parquet exactly once
+    (the n_docs/exact-dup aggregate) instead of re-running the signature
+    pipeline per consumer."""
+    for name in ("dedup_summary_report", "dedup_summary_report_capped"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert _parquet_scan_count(df) == 1, name
+
+
 def test_shingle_tokenizer_is_let_bound(spark):
     """Catalyst's CollapseProject inlines the tokenizer into the shingle
     lambda (lambda bodies hide the reference count from the cheap-to-copy
