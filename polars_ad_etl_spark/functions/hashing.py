@@ -78,6 +78,17 @@ def tokens(col: Column) -> Column:
     Chosen over ``\\W+`` because whitespace semantics agree across engines for
     non-Latin scripts (SURVEY-era gotcha: ASCII-only ``\\w`` would erase CJK).
 
+    Separator CONTRACT (declared here, both engines): Java's ``\\s`` =
+    ``[ \\t\\n\\x0B\\f\\r]`` — ASCII whitespace including vertical tab.
+    The Spark side uses ``\\s+`` literally; the DuckDB mirror spells the
+    SAME class out explicitly, because RE2's ``\\s`` is ``[ \\t\\n\\f\\r]``
+    — it excludes VT, the one character the dialects disagree on (probed
+    round 8; a VT-separated doc tokenized differently per engine before).
+    Unicode spaces (NBSP, NEL, thin/ideographic space, ZWSP, LS/PS) are
+    NOT separators in either engine — consistent, and relied on by the
+    textfuzz edge variant. Pinned by
+    tests/test_edge_inputs.py::test_whitespace_dialect_agreement.
+
     Known case-folding dialect boundary (probed, round 6): the JVM applies
     Unicode FULL case mapping — Turkish ``İ`` lowers to ``i`` + combining
     dot, capital sigma takes the contextual final form ``ς`` at word end —
@@ -92,7 +103,8 @@ def tokens(col: Column) -> Column:
 
 
 TOKENS_SQL = (
-    "list_filter(regexp_split_to_array(lower(trim({expr})), '\\s+'), x -> x != '')"
+    "list_filter(regexp_split_to_array(lower(trim({expr})),"
+    " '[ \\t\\n\\v\\f\\r]+'), x -> x != '')"
 )
 
 

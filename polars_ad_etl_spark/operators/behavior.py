@@ -522,7 +522,9 @@ def user_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- TABLE function would not), so the series is exact for any
         -- sequence length — no fixed cap to silently overflow when the
         -- driver regenerates testdata with heavier users
-        SELECT array_to_string(types[i:i+2], '>') AS path
+        -- indexed, not types[i:i+2]: the slice costs O(offset) per row in
+        -- DuckDB, quadratic in a heavy user's event count
+        SELECT concat(types[i], '>', types[i+1], '>', types[i+2]) AS path
         FROM (SELECT types, unnest(generate_series(1, len(types) - 2)) AS i
               FROM seq)
     )

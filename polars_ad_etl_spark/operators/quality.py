@@ -69,7 +69,9 @@ _DUP_TOKEN_MAX = 0.80
     ),
     bg AS (
         SELECT doc_id,
-               unnest([array_to_string(toks[i:i+1], ' ')
+               -- indexed, not toks[i:i+1]: a slice in a comprehension is
+               -- O(offset) per element in DuckDB -> quadratic on long docs
+               unnest([concat(toks[i], ' ', toks[i+1])
                        for i in generate_series(1, len(toks) - 1)]) AS g
         FROM t
     ),
@@ -161,9 +163,11 @@ _GRAMS_SPARK = (
     " ELSE array() END"
 )
 
+# indexed elements, not a list slice (O(offset)/element in a comprehension)
 _GRAMS_DUCK = (
-    f"list_distinct([array_to_string(toks[i:i+{_NGRAM - 1}], ' ') "
-    f"for i in generate_series(1, len(toks) - {_NGRAM - 1})])"
+    "list_distinct([concat_ws(' ', "
+    + ", ".join(f"toks[i+{k}]" if k else "toks[i]" for k in range(_NGRAM))
+    + f") for i in generate_series(1, len(toks) - {_NGRAM - 1})])"
 )
 
 

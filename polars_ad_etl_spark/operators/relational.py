@@ -571,6 +571,86 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Date-bounded twins of the rollup queries — the shape a day/week-scoped
+# production job actually runs over a date-partitioned events layout. The
+# bounds route through load_events(since=, until=), which applies them to
+# BOTH ts and (when present) the event_date partition column, so on the
+# partitioned layout the scan prunes at the catalog (plan-pinned in
+# tests/test_scale_layout.py) while on the driver's flat layout the same
+# query is a plain pushed-down ts range — which is exactly what these
+# oracles differential-check.
+EVENTS_WINDOW_SINCE = "2024-01-08"
+EVENTS_WINDOW_UNTIL = "2024-01-15"
+_EVENTS_BOUND_SQL = (
+    f"ts >= TIMESTAMP '{EVENTS_WINDOW_SINCE} 00:00:00' AND "
+    f"ts < TIMESTAMP '{EVENTS_WINDOW_UNTIL} 00:00:00'"
+)
+
+
+@register(
+    "events_hourly_rollup_bounded",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM events
+    WHERE {_EVENTS_BOUND_SQL}
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`events_hourly_rollup` scoped to one week of event time via
+    the loader's date bounds — flat layouts push the range to the parquet
+    scan; date-partitioned layouts additionally prune whole daily
+    directories."""
+    e = load_events(
+        spark, sf_dir, since=EVENTS_WINDOW_SINCE, until=EVENTS_WINDOW_UNTIL
+    )
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_windows_bounded",
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                          - k * 900000000) AS window_start,
+           event_type,
+           COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM events, generate_series(0, 3) AS t(k)
+    WHERE {_EVENTS_BOUND_SQL}
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_windows_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`events_sliding_windows` under the same one-week loader
+    bounds as the hourly twin."""
+    e = load_events(
+        spark, sf_dir, since=EVENTS_WINDOW_SINCE, until=EVENTS_WINDOW_UNTIL
+    )
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 @register(
     "events_enriched_purchases",
     oracle="""

@@ -455,7 +455,9 @@ _BOILERPLATE_MIN_DOCS = 2
     ),
     spans AS (
         SELECT doc_id,
-               unnest([array_to_string(toks[i:i+2], ' ')
+               -- indexed, not toks[i:i+2]: slice-in-comprehension is
+               -- O(offset) per element in DuckDB -> quadratic on long docs
+               unnest([concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])
                        for i in generate_series(1, len(toks) - 2)]) AS span
         FROM tokarr
     ),

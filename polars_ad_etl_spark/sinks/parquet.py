@@ -77,6 +77,36 @@ def read_partitioned(spark: SparkSession, path: str | Path) -> DataFrame:
     return spark.read.parquet(str(path))
 
 
+def write_events_date_partitioned(
+    events: DataFrame, path: str | Path, files_per_day: int = 1
+) -> str:
+    """The production layout for the events table: hive-style daily
+    partitions (``event_date=YYYY-MM-DD/``) derived from ``ts``.
+
+    At 100 TB an events table is ALWAYS laid out like this — a day-bounded
+    query must be able to skip every other day's directories at planning
+    time (``PartitionFilters`` on the scan), because filtering rows after
+    reading a year of parquet is 2 orders of magnitude of wasted I/O.
+    ``sources/star.py::load_events(since=, until=)`` routes date bounds to
+    the partition column and then drops it, so query code is identical
+    over flat and partitioned layouts (plan-pinned by
+    tests/test_scale_layout.py).
+
+    ``repartitionByRange`` on (event_date, ts) gives each writer task a
+    contiguous time slice, so every daily directory gets ~``files_per_day``
+    sorted files instead of one shard from every task (the small-files
+    explosion ``partitionBy`` produces under hash layout)."""
+    n_days = events.select(
+        F.countDistinct(F.to_date("ts")).alias("n")
+    ).first().n
+    out = events.withColumn("event_date", F.to_date("ts"))
+    out = out.repartitionByRange(
+        max(int(n_days) * files_per_day, 1), "event_date", "ts"
+    )
+    out.write.mode("overwrite").partitionBy("event_date").parquet(str(path))
+    return str(path)
+
+
 def with_date_partition(df: DataFrame, ts_col: str, name: str = "dt") -> DataFrame:
     """Standard daily-partition derivation from an event-time column."""
     return df.withColumn(name, F.to_date(F.col(ts_col)))

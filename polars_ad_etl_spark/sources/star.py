@@ -6,17 +6,42 @@ documents embeddings — one parquet each under an sf directory.
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-def load_events(spark: SparkSession, sf_dir: str | Path) -> DataFrame:
+_DATE_BOUND = re.compile(r"\d{4}-\d{2}-\d{2}")
+
+
+def load_events(
+    spark: SparkSession,
+    sf_dir: str | Path,
+    since: str | None = None,
+    until: str | None = None,
+) -> DataFrame:
     """The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which the
     vectorized Spark reader rejects. Read nanos as long (runtime-settable
     legacy conf) and floor to microseconds as ``timestamp_ntz`` — naive, so
     the result is independent of the session timezone, matching DuckDB's
-    TIMESTAMP_NS semantics (truncated to micros)."""
+    TIMESTAMP_NS semantics (truncated to micros).
+
+    ``since``/``until``: optional ``YYYY-MM-DD`` date bounds (since
+    inclusive, until exclusive) applied as an event-time filter. When the
+    layout is date-partitioned (an ``event_date`` partition column, the
+    100-TB layout :func:`polars_ad_etl_spark.sinks.parquet.
+    write_events_date_partitioned` produces), the equivalent predicate is
+    ALSO applied to the partition column — parquet partition pruning only
+    fires on the partition column itself (Spark does not infer
+    ``event_date`` bounds from ``ts`` bounds), so a day-bounded query on a
+    year of data must skip the other ~358 directories at the catalog, not
+    filter rows after scanning them. ``event_date`` is then dropped, so
+    the returned schema is identical across flat and partitioned layouts
+    (pinned by tests/test_scale_layout.py)."""
+    for b in (since, until):
+        if b is not None and not _DATE_BOUND.fullmatch(b):
+            raise ValueError(f"date bound must be YYYY-MM-DD, got {b!r}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(str(Path(sf_dir) / "events.parquet"))
     if dict(df.dtypes)["ts"] == "bigint":
@@ -29,6 +54,20 @@ def load_events(spark: SparkSession, sf_dir: str | Path) -> DataFrame:
                 "timestampadd(MICROSECOND, ts div 1000,"
                 " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ),
+        )
+    if "event_date" in df.columns:
+        if since is not None:
+            df = df.where(F.col("event_date") >= F.lit(since).cast("date"))
+        if until is not None:
+            df = df.where(F.col("event_date") < F.lit(until).cast("date"))
+        df = df.drop("event_date")
+    if since is not None:
+        df = df.where(
+            F.col("ts") >= F.expr(f"TIMESTAMP_NTZ '{since} 00:00:00'")
+        )
+    if until is not None:
+        df = df.where(
+            F.col("ts") < F.expr(f"TIMESTAMP_NTZ '{until} 00:00:00'")
         )
     # Event-time contract: a row without a timestamp cannot be placed on
     # the timeline, so it is excluded at the loader (quarantine upstream).

@@ -8,7 +8,7 @@ exercise them. The first run of this sweep found 20 real defects in 5
 classes (see tests/test_edge_inputs.py's docstring for the taxonomy and
 fixes). Round-6 result after fixes: empty 283/283, tiny 283/283.
 
-Usage: python scripts/edge_sweep.py [empty|tiny|nulls|fuzz|all] [out.json]
+Usage: python scripts/edge_sweep.py [empty|tiny|nulls|fuzz|textfuzz|all] [out.json]
 
 With ``all`` (+ an output path) every variant runs in one Spark session and
 the per-variant verdict blocks are written as a JSON artifact
@@ -35,7 +35,7 @@ from gen_edge_data import generate  # noqa: E402
 from oracle_util import compare, duckdb_conn  # noqa: E402
 from polars_ad_etl_spark.operators import ORACLES, QUERIES  # noqa: E402
 
-ALL_VARIANTS = ("empty", "tiny", "nulls", "fuzz")
+ALL_VARIANTS = ("empty", "tiny", "nulls", "fuzz", "textfuzz")
 
 
 def sweep_variant(spark, variant: str) -> dict:
@@ -93,6 +93,11 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[8]")
         .appName(f"edge-{variant}")
+        # local mode: driver heap IS the executor heap. The default 1g
+        # OOMed on the textfuzz variant's heavy documents (100k tokens ->
+        # ~100k shingle rows per doc across 8 concurrent tasks); 4g models
+        # a small production executor, which is the right robustness bar.
+        .config("spark.driver.memory", "4g")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.ui.enabled", "false")

@@ -38,6 +38,16 @@ Variants:
            changes NULL-ness but never values; this variant probes the
            value edges (sign handling in integer div, tokenizer
            whitespace dialects, unicode hashing, overflow headroom).
+  textfuzz — adversarial TEXT domain on the documents table: astral-plane
+           codepoints (surrogate pairs / 4-byte UTF-8), combining marks
+           vs precomposed forms, zero-width + bidi controls inside words,
+           C0 control characters, whitespace-only docs, Unicode spaces
+           (non-separators under the tokenizer contract), a 100k-token
+           document, a 200 KB single token, 50k repetitions of one token,
+           spaceless CJK/Hangul, and quasi-PII strings — the tokenizer /
+           shingle / regex / hashing surface at its extremes. Heavy
+           payloads sit on wide strides (a few rows each) so the sweep
+           stays minutes, not hours.
 
 Usage:  python scripts/gen_edge_data.py <variant> <out_dir> [src_dir]
 """
@@ -174,6 +184,49 @@ FUZZ_PLAN: dict[str, dict[str, list]] = {
 }
 
 
+# textfuzz plan: documents.text only, deterministic strides. Light texts on
+# stride 17 (~30 rows each at sf0.001's 500 docs); heavy texts (100k tokens,
+# 200 KB token, 50k repetitions) on stride 167 (~3 rows each) so the
+# quadratic-ish consumers (shingle explode in the jaccard oracle, inverted
+# index) stay bounded while still exercising the extreme.
+_TEXTFUZZ_LIGHT = [
+    # astral-plane codepoints: math alphanumerics, Deseret, emoji with ZWJ
+    # and skin-tone modifiers — every one a surrogate pair in the JVM
+    "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝒜ℬ𝒞 𐐷𐑊 😀 👨‍👩‍👧‍👦 👍🏽 end of astral plane",
+    # combining marks: NFD sequences alongside their precomposed twins
+    # (NOT equal under either engine — no implicit normalization)
+    "café noël ångström vs café noël ångström",
+    # zero-width and bidi controls INSIDE words: token bytes, not breaks
+    "zero​width‌non‍joiner bidi ‮reversed‬ tail",
+    # C0 controls + DEL are token bytes; VT and FF are SEPARATORS under
+    # the tokenizer contract (Java \\s class, pinned round 8)
+    "ctrl\x01\x02\x03chars\x7fdel\x0bvtab\x0cffeed tail",
+    # whitespace-only: trims/tokenizes to nothing without being NULL
+    " \t\n\x0b\f\r \t ",
+    # Unicode spaces are NOT separators: this is ONE token
+    "nbsp\xa0thin ideo　nel\x85line para joined",
+    # spaceless CJK/Hangul with fullwidth punctuation: one giant token,
+    # plus an ascii tail so the doc still has >= 3 tokens for shingles
+    "한국어텍스트와中文文本が混ざった文。全角！？＃ ascii tail here",
+    # quasi-PII through the redaction/regex surface
+    "mail a.b+c@ex-ample.co.uk ip 192.168.001.255 card 4111 1111 1111 1111",
+]
+_TEXTFUZZ_HEAVY = [
+    " ".join(f"tok{i % 997}x{i % 31}" for i in range(100_000)),
+    "y" * 200_000,
+    "spam " * 50_000,
+]
+TEXTFUZZ_PLAN: dict[str, dict[str, list]] = {
+    "documents": {
+        "text": (
+            [(17, k, t) for k, t in enumerate(_TEXTFUZZ_LIGHT)]
+            + [(167, 11 + k, t) for k, t in enumerate(_TEXTFUZZ_HEAVY)]
+        ),
+        "lang": [(29, 0, "und"), (29, 1, "")],
+    },
+}
+
+
 def _with_fuzz(tbl: pa.Table, plan: dict[str, list]) -> pa.Table:
     tbl = tbl.combine_chunks()
     n = tbl.num_rows
@@ -231,6 +284,8 @@ def generate(variant: str, out_dir: str | Path, src_dir: str | Path = "/root/tes
             tbl = _with_nulls(tbl, NULL_PLAN.get(t, {}))
         elif variant == "fuzz":
             tbl = _with_fuzz(tbl, FUZZ_PLAN.get(t, {}))
+        elif variant == "textfuzz":
+            tbl = _with_fuzz(tbl, TEXTFUZZ_PLAN.get(t, {}))
         elif variant in ("dupkeys", "nullkeys"):
             tbl = tbl.combine_chunks()
             idx = list(range(tbl.num_rows)) + list(

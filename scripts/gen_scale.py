@@ -27,14 +27,22 @@ Dimension tables (region, nation) are copied unchanged: at any real
 scale, dims stay small — that is what makes the broadcast-join strategy
 hold at 100 TB.
 
-Usage: python scripts/gen_scale.py SRC_DIR OUT_DIR FACTOR
+Usage: python scripts/gen_scale.py SRC_DIR OUT_DIR FACTOR [--partition-events]
 e.g.   python scripts/gen_scale.py /root/testdata/sf0.1 .localdata/sf1.0 10
+
+``--partition-events`` writes the events table in the production
+date-partitioned layout (``event_date=YYYY-MM-DD/`` directories via
+sinks/parquet.py::write_events_date_partitioned) instead of flat files —
+the layout that lets date-bounded registry queries
+(events_*_bounded) prune whole days at the catalog.
 """
 
 from __future__ import annotations
 
 import sys
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -103,6 +111,7 @@ def scale_table(
 
 def main() -> None:
     src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    partition_events = "--partition-events" in sys.argv[4:]
     spark = (
         SparkSession.builder.master("local[16]")
         .appName("gen-scale")
@@ -132,9 +141,26 @@ def main() -> None:
         # measured, a single-file 3x table made half the suite SLOWER at
         # 3x than at 10x data. Layout is part of the scaling design.
         n_files = factor if name not in DIMS else 1
-        out.repartition(n_files).write.mode("overwrite").parquet(
-            f"{dst}/{name}.parquet"
-        )
+        if name == "events" and partition_events:
+            from polars_ad_etl_spark.sinks.parquet import (
+                write_events_date_partitioned,
+            )
+
+            if dict(out.dtypes)["ts"] == "bigint":
+                out = out.withColumn(
+                    "ts",
+                    F.expr(
+                        "timestampadd(MICROSECOND, ts div 1000,"
+                        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                    ),
+                )
+            write_events_date_partitioned(
+                out, f"{dst}/{name}.parquet", files_per_day=max(factor // 10, 1)
+            )
+        else:
+            out.repartition(n_files).write.mode("overwrite").parquet(
+                f"{dst}/{name}.parquet"
+            )
         print(f"{name}: {spark.read.parquet(f'{dst}/{name}.parquet').count()} rows")
     spark.stop()
 

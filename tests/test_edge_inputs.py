@@ -401,6 +401,47 @@ def test_case_folding_dialect_boundary(spark):
         assert sp[c] == du[c], f"lower({c!r}) newly diverged"
 
 
+def test_whitespace_dialect_agreement(spark):
+    """The tokenizer contract (functions/hashing.py::tokens): separators
+    are exactly Java's \\s = [ \\t\\n\\x0B\\f\\r]. The Spark side says \\s+;
+    the DuckDB mirror spells the class out because RE2's \\s excludes VT.
+    This pin runs BOTH tokenizers over every separator candidate — the
+    five shared ASCII separators, VT (the dialect divergence the explicit
+    class closes), and the Unicode spaces that are separators in NEITHER
+    engine — and asserts identical token arrays."""
+    import duckdb
+
+    from polars_ad_etl_spark.functions.hashing import tokens, tokens_sql
+
+    seps = ["\t", "\n", "\x0b", "\f", "\r", " ",
+            "\x1f", "\xa0", " ", "　", "​", " ",
+            " ", "\x85"]
+    docs = [f"alpha{ch}beta" for ch in seps] + [
+        " \t\n\x0b\f\r ",          # whitespace-only doc -> zero tokens
+        "\x0bleading and trailing\x0b",
+        "a\x0b\x0b\t b",           # runs of mixed separators collapse
+    ]
+    from pyspark.sql import functions as F
+
+    sp = [
+        r.t
+        for r in spark.createDataFrame([(d,) for d in docs], "s string")
+        .select(tokens(F.col("s")).alias("t"))
+        .collect()
+    ]
+    du = [
+        duckdb.sql(
+            f"SELECT {tokens_sql('?')} AS t", params=[d]
+        ).fetchone()[0]
+        for d in docs
+    ]
+    for d, a, b in zip(docs, sp, du):
+        assert a == b, f"tokenizers diverge on {d!r}: spark={a} duckdb={b}"
+    # VT is a separator (the class the contract pins), Unicode spaces not
+    assert sp[seps.index("\x0b")] == ["alpha", "beta"]
+    assert sp[seps.index("\xa0")] == ["alpha\xa0beta"]
+
+
 def test_grand_total_guard_is_limit1_not_rescan(spark, empty_dir):
     """The empty-input grand-total guard must probe the source via
     limit(1) — a near-free early-terminating scan — not re-aggregate the

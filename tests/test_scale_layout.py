@@ -36,6 +36,63 @@ def test_partition_pruning(spark, tmp_path):
     assert pruned.count() == want > 0
 
 
+def test_events_bounded_queries_prune_partitions(spark, tmp_path):
+    """The REGISTRY's date-bounded rollup queries, run over the production
+    date-partitioned events layout, must prune whole daily directories at
+    the catalog: the scan carries PartitionFilters on event_date with both
+    bounds, reads only the in-window files, and returns byte-identical
+    results to the same query on the flat driver layout."""
+    from polars_ad_etl_spark.operators.relational import (
+        EVENTS_WINDOW_SINCE,
+        EVENTS_WINDOW_UNTIL,
+    )
+    from polars_ad_etl_spark.sinks.parquet import (
+        write_events_date_partitioned,
+    )
+
+    layout = str(tmp_path)
+    write_events_date_partitioned(
+        load_events(spark, SF_DIR), f"{layout}/events.parquet"
+    )
+    # poison proof that directories are SKIPPED, not scanned-then-filtered:
+    # a row whose ts is inside the window, planted in an out-of-window
+    # partition directory. A pruning scan never opens that directory, so
+    # the row must not appear; an unpruned scan would pass it through the
+    # ts filter and shift every count below.
+    poison = load_events(spark, SF_DIR).limit(1).withColumn(
+        "ts", F.expr(f"TIMESTAMP_NTZ '{EVENTS_WINDOW_SINCE} 12:00:00'")
+    )
+    poison.write.mode("append").parquet(
+        f"{layout}/events.parquet/event_date=2024-01-25"
+    )
+    for name in (
+        "events_hourly_rollup_bounded",
+        "events_sliding_windows_bounded",
+    ):
+        df = QUERIES[name](spark, layout)
+        plan = formatted_plan(df)
+        scan = plan.split("PartitionFilters:")
+        assert len(scan) == 2, f"{name}: no PartitionFilters in scan"
+        pf = scan[1].splitlines()[0]
+        assert "event_date" in pf and ">=" in pf and "<" in pf, (
+            f"{name}: date bounds missing from partition filters: {pf}"
+        )
+        # schema identical across layouts (event_date dropped by the
+        # loader) and results byte-identical to the flat driver layout —
+        # which also proves the poison row was pruned away
+        flat = QUERIES[name](spark, SF_DIR)
+        assert df.columns == flat.columns
+        assert sorted(map(tuple, df.collect())) == sorted(
+            map(tuple, flat.collect())
+        )
+    # ...and the poison row IS visible when its directory is in range, so
+    # the proof above can't pass vacuously
+    wide = load_events(spark, layout, since="2024-01-01", until="2024-02-01")
+    flatn = load_events(spark, SF_DIR, since="2024-01-01",
+                        until="2024-02-01").count()
+    assert wide.count() == flatn + 1
+
+
 def test_bucketed_join_skips_shuffle(spark, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
