@@ -2113,30 +2113,152 @@ CDC_WINDOW = 8
 CDC_MODULUS = 64
 
 
+def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk) under content-defined chunking — built ENTIRELY
+    partition-local with array higher-order functions.
+
+    The first implementation exploded one row per character position and
+    assembled chunks with a window over (doc_id, b) — which carried the
+    FULL document text on every boundary row through a shuffle + sort. At
+    ~3 boundary rows per 200-char expected chunk that is ~1.5% of corpus
+    bytes duplicated per boundary row, i.e. a 200 KB document contributed
+    ~600 MB of shuffle (measured: the textfuzz heavy docs OOMed a 4 GB
+    local heap in the sort). This form never moves text between rows:
+
+    1. boundary positions: ``filter`` over the position ``sequence``,
+       hashing each window via the enclosing row's text — array lambda,
+       zero extra rows;
+    2. chunk assembly: ``transform`` over adjacent boundary pairs with
+       ``substr`` — still per-row;
+    3. one ``explode`` of the chunk array (output size == text size).
+
+    The ONLY shuffle in a consumer is its own final hash aggregate, so at
+    100 TB chunking is embarrassingly parallel scan work exactly like the
+    MinHash signature projection."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    text = F.col("text")
+
+    # Per-CODEPOINT array, computed ONCE per row. Everything downstream
+    # indexes this array because JVM substr(text, i, w) is O(i) — UTF8String
+    # walks bytes from position 0 to find character i, so per-window substr
+    # makes the boundary scan O(n²) (measured: 23s for a single 100 KB doc,
+    # 4x per doubling). Array element_at/slice are O(1)/O(len) on the
+    # already-split array, restoring the O(n) scan the section comment
+    # promises. split keeps a trailing '' artifact (Java split limit -1);
+    # slicing to length(text) drops it without another pass.
+    chars = F.slice(F.split(text, ""), 1, F.length(text))
+
+    def _bounds(cs):
+        # window string = 8 adjacent codepoints joined (identical to
+        # substr(text, i, 8)); F.get is 0-based and NULL-safe out of
+        # bounds (never ANSI-errors; a NULL window fails the predicate,
+        # which only affects i where i+W-1 > n — excluded by the sequence
+        # bound anyway). i > 1 keeps position 1 for the sentinel.
+        def window(i):
+            return F.concat(
+                *[F.get(cs, i + F.lit(k) - F.lit(1)) for k in range(CDC_WINDOW)]
+            )
+
+        return F.concat(
+            F.array(F.lit(1)),
+            F.filter(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(cs) - F.lit(CDC_WINDOW - 1), F.lit(1)),
+                ),
+                lambda i: (i > F.lit(1))
+                & (portable_hash32(window(i)) % CDC_MODULUS == 0),
+            ),
+            F.array(F.size(cs) + F.lit(1)),
+        )
+
+    # LET-BIND chars and bounds via the single-element-transform trick
+    # (same trap as _SHINGLES_SPARK): referencing either expression
+    # directly inside the chunk lambda would re-run the whole boundary
+    # scan once per CHUNK — quadratic again (measured: a 250 KB doc alone
+    # exceeded 9 minutes in that form). Bound, each evaluates once per ROW.
+    chunks = F.element_at(
+        F.transform(
+            F.array(chars),
+            lambda cs: F.element_at(
+                F.transform(
+                    F.array(_bounds(cs)),
+                    lambda bs: F.transform(
+                        F.sequence(F.lit(1), F.size(bs) - F.lit(1)),
+                        lambda k: F.array_join(
+                            F.slice(
+                                cs,
+                                F.element_at(bs, k),
+                                F.element_at(bs, k + F.lit(1))
+                                - F.element_at(bs, k),
+                            ),
+                            "",
+                        ),
+                    ),
+                ),
+                1,
+            ),
+        ),
+        1,
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("chunk"))
+        .filter(F.col("chunk").isNotNull() & (F.length("chunk") > 0))
+    )
+
+
+#: Shared oracle chunk pipeline, shaped by the same two scaling rules as
+#: the Spark side (:func:`_cdc_chunks`):
+#: 1. the boundary scan indexes a per-codepoint split ONCE per doc —
+#:    DuckDB's substr(text, i, w) with a variable position walks from
+#:    byte 0 (O(i) even for ASCII; measured 40s for three 200 KB docs),
+#:    so per-window substr is quadratic exactly like the JVM's;
+#:    cs[i] || cs[i+1] … is O(1) per window. generate_series starting at
+#:    2 encodes the i > 1 sentinel guard.
+#: 2. the window that pairs adjacent boundaries runs over (doc_id, b)
+#:    ONLY — carrying text on boundary rows would materialize
+#:    ~len/chunk_size copies of each document in the sort; text is joined
+#:    back for the one substr per CHUNK (O(offset) each, but chunks are
+#:    ~len/{CDC_MODULUS} so the total stays near-linear).
+_CDC_WINDOW_DUCK = " || ".join(
+    f"cs[i+{k}]" if k else "cs[i]" for k in range(CDC_WINDOW)
+)
+_CDC_CHUNKS_DUCK = f"""
+    csplit AS (
+        SELECT doc_id, text, string_split(text, '') AS cs FROM documents
+    ), bposl AS (
+        SELECT doc_id,
+               [i for i in
+                generate_series(2, GREATEST(len(cs) - {CDC_WINDOW - 1}, 1))
+                if {portable_hash32_sql(_CDC_WINDOW_DUCK)}
+                   % {CDC_MODULUS} = 0] AS bs
+        FROM csplit
+    ), bounds AS (
+        SELECT doc_id, CAST(UNNEST(bs) AS BIGINT) AS b FROM bposl
+        UNION ALL
+        SELECT doc_id, 1 FROM documents
+        UNION ALL
+        SELECT doc_id, CAST(len(text) + 1 AS BIGINT) FROM documents
+    ), spans AS (
+        SELECT doc_id, b,
+               LEAD(b) OVER (PARTITION BY doc_id ORDER BY b) - b AS l
+        FROM bounds
+    ), chunks AS (
+        SELECT s.doc_id,
+               substr(d.text, CAST(s.b AS INTEGER), CAST(s.l AS INTEGER))
+                   AS chunk
+        FROM spans s JOIN documents d USING (doc_id)
+        WHERE s.l IS NOT NULL AND s.l > 0
+    )
+"""
+
+
 @register(
     "text_cdc_duplicate_chunks",
     oracle=f"""
-    WITH pos AS (
-        SELECT doc_id, text,
-               UNNEST(range(1, GREATEST(len(text) - {CDC_WINDOW} + 2, 1)))
-                   AS i
-        FROM documents
-    ), bounds AS (
-        SELECT doc_id, text, CAST(i AS BIGINT) AS b
-        FROM pos
-        WHERE {portable_hash32_sql(f"substr(text, CAST(i AS INTEGER), {CDC_WINDOW})")}
-              % {CDC_MODULUS} = 0 AND i > 1
-        UNION ALL
-        SELECT doc_id, text, 1 FROM documents
-        UNION ALL
-        SELECT doc_id, text, CAST(len(text) + 1 AS BIGINT) FROM documents
-    ), chunks AS (
-        SELECT doc_id,
-               substr(text, CAST(b AS INTEGER),
-                      CAST(LEAD(b) OVER (PARTITION BY doc_id ORDER BY b) - b
-                           AS INTEGER)) AS chunk
-        FROM bounds
-    ), hashed AS (
+    WITH {_CDC_CHUNKS_DUCK}, hashed AS (
         SELECT doc_id, md5(chunk) AS chunk_hash, len(chunk) AS chunk_len
         FROM chunks
         WHERE chunk IS NOT NULL AND len(chunk) > 0
@@ -2154,55 +2276,13 @@ CDC_MODULUS = 64
 def text_cdc_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate chunks under content-defined chunking: the
     chunk-store dedup table (hash → occurrence and document counts) for
-    every chunk appearing at least twice. See the section comment for why
-    CDC beats fixed-size chunking; boundary sentinels at 1 and len+1 close
-    the first and last chunks identically in both engines."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    pos = docs.select(
-        "doc_id",
-        "text",
-        F.explode(
-            F.sequence(
-                F.lit(1),
-                F.greatest(
-                    F.length("text") - F.lit(CDC_WINDOW - 1), F.lit(1)
-                ),
-            )
-        ).alias("i"),
-    )
-    from polars_ad_etl_spark.functions.hashing import portable_hash32
-
-    interior = pos.filter(
-        (F.col("i") > 1)
-        & (
-            portable_hash32(
-                F.expr(f"substr(text, i, {CDC_WINDOW})")
-            )
-            % CDC_MODULUS
-            == 0
-        )
-    ).select("doc_id", "text", F.col("i").cast("long").alias("b"))
-    sentinels = docs.select(
-        "doc_id", "text", F.lit(1).cast("long").alias("b")
-    ).unionByName(
-        docs.select(
-            "doc_id", "text", (F.length("text") + 1).cast("long").alias("b")
-        )
-    )
-    bounds = interior.unionByName(sentinels)
-    chunks = bounds.select(
-        "doc_id",
-        F.expr(
-            "substr(text, CAST(b AS INT),"
-            " CAST(lead(b) OVER (PARTITION BY doc_id ORDER BY b) - b AS INT))"
-        ).alias("chunk"),
-    )
-    hashed = chunks.filter(
-        F.col("chunk").isNotNull() & (F.length("chunk") > 0)
-    ).select("doc_id", F.md5("chunk").alias("chunk_hash"),
-             F.length("chunk").cast("long").alias("chunk_len"))
+    every chunk appearing at least twice. See :func:`_cdc_chunks` for the
+    partition-local chunking plan (no shuffle before the aggregate);
+    boundary sentinels at 1 and len+1 close the first and last chunks
+    identically in both engines."""
+    hashed = _cdc_chunks(spark, sf_dir).select(
+        "doc_id", F.md5("chunk").alias("chunk_hash"),
+        F.length("chunk").cast("long").alias("chunk_len"))
     return (
         hashed.groupBy("chunk_hash")
         .agg(
@@ -2327,26 +2407,7 @@ def dedup_simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_cdc_dedup_gain",
     oracle=f"""
-    WITH pos AS (
-        SELECT doc_id, text,
-               UNNEST(range(1, GREATEST(len(text) - {CDC_WINDOW} + 2, 1)))
-                   AS i
-        FROM documents
-    ), bounds AS (
-        SELECT doc_id, text, CAST(i AS BIGINT) AS b
-        FROM pos
-        WHERE {portable_hash32_sql(f"substr(text, CAST(i AS INTEGER), {CDC_WINDOW})")}
-              % {CDC_MODULUS} = 0 AND i > 1
-        UNION ALL SELECT doc_id, text, 1 FROM documents
-        UNION ALL SELECT doc_id, text, CAST(len(text) + 1 AS BIGINT)
-                  FROM documents
-    ), chunks AS (
-        SELECT doc_id,
-               substr(text, CAST(b AS INTEGER),
-                      CAST(LEAD(b) OVER (PARTITION BY doc_id ORDER BY b) - b
-                           AS INTEGER)) AS chunk
-        FROM bounds
-    ), hashed AS (
+    WITH {_CDC_CHUNKS_DUCK}, hashed AS (
         SELECT md5(chunk) AS h, len(chunk) AS l
         FROM chunks WHERE chunk IS NOT NULL AND len(chunk) > 0
     ), uniq AS (
@@ -2365,49 +2426,9 @@ def text_cdc_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The headline number for [[text_cdc_duplicate_chunks]]: how much of
     the corpus a chunk store would NOT have to keep — total chunk chars vs
     unique-chunk chars, saving in exact permille. The chunk pipeline is
-    shared with the duplicate-chunks query; dedup is one hash aggregate."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    from polars_ad_etl_spark.functions.hashing import portable_hash32
-
-    pos = docs.select(
-        "doc_id",
-        "text",
-        F.explode(
-            F.sequence(
-                F.lit(1),
-                F.greatest(
-                    F.length("text") - F.lit(CDC_WINDOW - 1), F.lit(1)
-                ),
-            )
-        ).alias("i"),
-    )
-    interior = pos.filter(
-        (F.col("i") > 1)
-        & (
-            portable_hash32(F.expr(f"substr(text, i, {CDC_WINDOW})"))
-            % CDC_MODULUS
-            == 0
-        )
-    ).select("doc_id", "text", F.col("i").cast("long").alias("b"))
-    sentinels = docs.select(
-        "doc_id", "text", F.lit(1).cast("long").alias("b")
-    ).unionByName(
-        docs.select(
-            "doc_id", "text", (F.length("text") + 1).cast("long").alias("b")
-        )
-    )
-    chunks = interior.unionByName(sentinels).select(
-        "doc_id",
-        F.expr(
-            "substr(text, CAST(b AS INT),"
-            " CAST(lead(b) OVER (PARTITION BY doc_id ORDER BY b) - b AS INT))"
-        ).alias("chunk"),
-    )
-    hashed = chunks.filter(
-        F.col("chunk").isNotNull() & (F.length("chunk") > 0)
-    ).select(
+    :func:`_cdc_chunks` (shared with the duplicate-chunks query,
+    partition-local); dedup is one hash aggregate."""
+    hashed = _cdc_chunks(spark, sf_dir).select(
         F.md5("chunk").alias("h"), F.length("chunk").cast("long").alias("l")
     )
     total = hashed.agg(F.sum("l").alias("total_chars"))

@@ -19,10 +19,20 @@ robustness claim, gated by tests/test_full_sweep_artifact.py.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import traceback
 from pathlib import Path
+
+# Local mode: the driver heap IS the executor heap, and the default 1g
+# OOMs on the textfuzz variant's heavy documents (100k tokens -> ~100k
+# shingle rows per doc across 8 concurrent tasks). In client mode the JVM
+# is launched BEFORE builder configs apply, so spark.driver.memory via
+# .config() is silently ignored — the heap must be set through the
+# spark-submit args the py4j gateway launcher reads. 4g models a small
+# production executor, which is the right robustness bar.
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 4g pyspark-shell")
 
 _ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(_ROOT))
@@ -93,11 +103,6 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[8]")
         .appName(f"edge-{variant}")
-        # local mode: driver heap IS the executor heap. The default 1g
-        # OOMed on the textfuzz variant's heavy documents (100k tokens ->
-        # ~100k shingle rows per doc across 8 concurrent tasks); 4g models
-        # a small production executor, which is the right robustness bar.
-        .config("spark.driver.memory", "4g")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.ui.enabled", "false")
