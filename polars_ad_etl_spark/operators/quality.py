@@ -371,7 +371,13 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------- PII redaction
 # Patterns restricted to syntax RE2 (DuckDB) and the JVM regex engine parse
 # identically: explicit classes, no backrefs, no lookaround.
-_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+# The local part is BOUNDED at RFC 5321's 64 chars rather than `+`: with an
+# unbounded run the JVM matcher re-consumes the remainder of an
+# alphanumeric run at every start position — O(n²) per document, and the
+# textfuzz 200 KB single-token doc timed the sweep out. A {1,64} bound
+# caps the per-position work; RE2 and the JVM agree on the (leftmost)
+# match either way because the constant is shared by query and oracle.
+_EMAIL = "[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
 _PHONE = "[+][0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}"
 
 

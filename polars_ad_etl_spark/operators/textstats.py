@@ -516,12 +516,17 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_BPE_MERGES = 3
 
 _CHSEQ = "array_join(split(w, ''), '  ')"
+# split(seq) is LET-BOUND via the single-element-transform trick: written
+# inline it gets re-evaluated once per PAIR element (Catalyst inlines the
+# expression into the lambda), which is O(n²) in symbols — a single
+# 200k-char word (textfuzz) ran >8 minutes; bound, the split runs once
+# per row.
 _PAIRS_OF_SEQ = """
-    CASE WHEN size(split(seq, '  ')) >= 2 THEN
-        transform(sequence(0, size(split(seq, '  ')) - 2),
-                  i -> struct(split(seq, '  ')[i] AS l,
-                              split(seq, '  ')[i+1] AS r))
-    ELSE array() END
+    transform(array(split(seq, '  ')), t ->
+        CASE WHEN size(t) >= 2 THEN
+            transform(sequence(0, size(t) - 2),
+                      i -> struct(t[i] AS l, t[i+1] AS r))
+        ELSE array() END)[0]
 """
 
 
@@ -666,10 +671,14 @@ _CHAR_NGRAM_K = 20
     "text_char_trigram_table",
     oracle=f"""
     WITH grams AS (
+        -- per-codepoint split once, O(1) indexed windows: substring with a
+        -- variable position walks from byte 0 in BOTH engines (O(n²) per
+        -- doc; a 200 KB textfuzz doc timed out the sweep in the substring
+        -- form)
         SELECT lang,
-               unnest([substring(text, i, 3)
-                       for i in generate_series(1, length(text) - 2)]) AS g
-        FROM documents
+               unnest([cs[i] || cs[i+1] || cs[i+2]
+                       for i in generate_series(1, len(cs) - 2)]) AS g
+        FROM (SELECT lang, string_split(text, '') AS cs FROM documents)
     ),
     counts AS (
         SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS n
@@ -693,12 +702,22 @@ def text_char_trigram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Split to codepoints ONCE (let-bound — see _SHINGLES_SPARK for the
+    # inlining trap) and window by O(1) element access: substring(text, i, 3)
+    # re-walks UTF-8 from position 0 per i, turning the gram scan O(n²)
+    # (a 200 KB doc timed out the textfuzz sweep in that form). The size
+    # guard also fixes a latent edge: sequence(1, 0) is DESCENDING in
+    # Spark, so a 2-char doc used to emit two spurious bigram rows where
+    # the oracle's generate_series(1, 0) emits none.
     grams = d.select(
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(length(text) - 2, 0)),"
-                " i -> substring(text, i, 3))"
+                "transform(array(slice(split(text, ''), 1, length(text))),"
+                " cs -> CASE WHEN size(cs) >= 3 THEN"
+                "   transform(sequence(1, size(cs) - 2),"
+                "     i -> concat(cs[i-1], cs[i], cs[i+1]))"
+                " ELSE array() END)[0]"
             )
         ).alias("g"),
     )
