@@ -523,8 +523,11 @@ def user_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- sequence length — no fixed cap to silently overflow when the
         -- driver regenerates testdata with heavier users
         -- indexed, not types[i:i+2]: the slice costs O(offset) per row in
-        -- DuckDB, quadratic in a heavy user's event count
-        SELECT concat(types[i], '>', types[i+1], '>', types[i+2]) AS path
+        -- DuckDB, quadratic in a heavy user's event count. concat_ws, not
+        -- concat: a NULL element must be SKIPPED with its separator
+        -- (matching array_to_string and the Spark side's concat_ws) —
+        -- plain concat keeps both separators around a dropped NULL
+        SELECT concat_ws('>', types[i], types[i+1], types[i+2]) AS path
         FROM (SELECT types, unnest(generate_series(1, len(types) - 2)) AS i
               FROM seq)
     )
