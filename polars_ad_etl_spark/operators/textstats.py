@@ -216,8 +216,14 @@ def text_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- token counting
 # GPT-2-style pre-tokenizer shape: contraction suffixes, letter runs, digit
 # runs, punctuation runs (each optionally space-prefixed), whitespace runs.
+# The DuckDB mirror spells Java's \s class out explicitly ([ \t\n\v\f\r]):
+# RE2's \s excludes vertical tab, so under \s the two engines disagree on
+# whether VT belongs to a punctuation run (textfuzz caught an extra BPE
+# token around \x0b). Same contract as functions/hashing.py::TOKENS_SQL.
 _BPE_SPARK = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
-_BPE_DUCK = r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+_BPE_DUCK = (
+    r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\v\f\r\p{L}\p{N}]+"
+)
 
 
 @register(
