@@ -90,12 +90,25 @@ def test_streaming_bench_artifact_has_all_stateful_rows():
     round-6 'one untested execution surface' gap."""
     p = _latest("BENCH_r*_streaming.json")
     art = json.loads(p.read_text())
-    for row in (
+    rows = [
         "rate_stress_session_windows",
         "rate_stress_stateful_dedup",
         "rate_stress_user_totals_legacy_api",
         "rate_stress_spend_alerts_tws",
-    ):
+    ]
+    if int(re.search(r"_r(\d+)", p.stem).group(1)) >= 8:
+        # round 8+: every stateful pipeline also carries its RocksDB twin
+        # (the production store at 100 TB) — a heap-only artifact would
+        # silently drop the provider the deployment actually runs
+        rows += [
+            "rate_stress_session_windows_rocksdb",
+            "rate_stress_stateful_dedup_rocksdb",
+            "rate_stress_user_totals_legacy_api_rocksdb",
+        ]
+        assert art.get("pipelines_rocksdb"), (
+            f"{p.name} missing the pipelines_rocksdb file-replay block"
+        )
+    for row in rows:
         block = art.get(row)
         assert isinstance(block, dict) and not block.get("error"), (
             f"{p.name} missing/errored {row}: {block}"
@@ -111,7 +124,7 @@ def test_edge_sweep_artifact_is_current_and_green():
     art = json.loads(p.read_text())
     names = _registry_names()
     variants = art["variants"]
-    assert set(variants) >= {"empty", "tiny", "nulls", "fuzz"}, (
+    assert set(variants) >= {"empty", "tiny", "nulls", "fuzz", "textfuzz"}, (
         f"{p.name} missing variants: have {sorted(variants)}"
     )
     for v, block in variants.items():
