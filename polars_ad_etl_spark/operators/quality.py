@@ -728,3 +728,119 @@ def curation_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("bucket_tokens"),
     )
+
+
+# ------------------------------------------------ encoding-quality score
+# Mojibake detection (CCNet/RefinedWeb-style encoding gate): web text that
+# survived a cp1252-as-latin1 or double-UTF-8 round trip carries three
+# machine-detectable artifact classes, each countable with one portable
+# regex (explicit codepoint classes / literal alternations — identical
+# parse in RE2 and the JVM; every alternative is anchored by a literal,
+# so scanning stays linear in document length):
+#   1. U+FFFD replacement characters — a decoder already gave up;
+#   2. C1 control codepoints U+0080-U+009F — the signature of cp1252
+#      bytes decoded as latin-1/UTF-8 (legitimate text never contains
+#      them; NEL U+0085 is excluded as it survives some legitimate
+#      converters — see the tokenizer contract in functions/hashing.py);
+#   3. the high-frequency double-encoding bigrams ("Ã©" for é, "â€™"
+#      for a right quote, "Â" before NBSP/°/£ — UTF-8 bytes decoded as
+#      latin-1; only fully printable artifacts are listed, the ones
+#      ending in a C1 byte are already counted by class 2).
+# The permille score is exact integer arithmetic (oracle-hashable). At
+# 100 TB this is a pure projection — scan-bound, no shuffle.
+_MOJI_REPLACEMENT = "�"
+_MOJI_C1 = f"[{chr(0x80)}-{chr(0x84)}{chr(0x86)}-{chr(0x9F)}]"
+_MOJI_DOUBLE = (
+    "Ã©|Ã¨|Ã¡|Ã³|Ãº"
+    "|Ã±|Ã¤|Ã¶|Ã¼"
+    "|â€™|â€˜|â€œ"
+    "|â€“|â€”|â€¦"
+    "|Â°|Â£|Â©|Â®|Â "
+)
+
+
+@register(
+    "text_encoding_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_MOJI_REPLACEMENT}')) AS BIGINT)
+               AS n_replacement,
+           CAST(len(regexp_extract_all(text, '{_MOJI_C1}')) AS BIGINT)
+               AS n_c1_controls,
+           CAST(len(regexp_extract_all(text, '{_MOJI_DOUBLE}')) AS BIGINT)
+               AS n_double_encoded,
+           CAST(1000 * (len(regexp_extract_all(text, '{_MOJI_REPLACEMENT}'))
+                        + len(regexp_extract_all(text, '{_MOJI_C1}'))
+                        + len(regexp_extract_all(text, '{_MOJI_DOUBLE}')))
+                // GREATEST(len(text), 1) AS BIGINT) AS mojibake_permille
+    FROM documents
+    """,
+)
+def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document encoding-artifact counts and an exact-integer mojibake
+    permille — the encoding gate a web-corpus curation pipeline applies
+    before any content filter (see the section comment for the three
+    artifact classes). Pure codegen projection; counts verify at zero on
+    clean corpora, which is the contract under test (the textfuzz corpus
+    carries real C1 bytes through it)."""
+    d = _docs(spark, sf_dir)
+    n_rep = F.regexp_count("text", F.lit(_MOJI_REPLACEMENT))
+    n_c1 = F.regexp_count("text", F.lit(_MOJI_C1))
+    n_dbl = F.regexp_count("text", F.lit(_MOJI_DOUBLE))
+    return d.select(
+        "doc_id",
+        n_rep.cast("long").alias("n_replacement"),
+        n_c1.cast("long").alias("n_c1_controls"),
+        n_dbl.cast("long").alias("n_double_encoded"),
+        F.floor(
+            (1000 * (n_rep + n_c1 + n_dbl))
+            / F.greatest(F.length("text"), F.lit(1))
+        ).cast("long").alias("mojibake_permille"),
+    )
+
+
+# ------------------------------------------------ URL / domain extraction
+# Web-corpus provenance curation: extract http(s) URL hosts from document
+# bodies and aggregate the per-domain footprint (occurrences + distinct
+# docs) — the table a domain-level allow/deny list or per-domain quota is
+# built from. The host class is written to stay linear in the JVM matcher:
+# the literal '://' anchor means the class is only entered after a real
+# scheme match, and the class itself is bounded at RFC 1035's 253 chars
+# (same lesson as the PII email local part). One extract-all + explode +
+# hash aggregate; at 100 TB the aggregate is map-side combinable on the
+# domain key.
+_URL_HOST = "https?://([A-Za-z0-9.-]{1,253})"
+
+
+@register(
+    "text_url_domains",
+    oracle=f"""
+    SELECT lower(d) AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, '{_URL_HOST}', 1)) AS d
+        FROM documents
+    )
+    GROUP BY 1
+    """,
+)
+def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL footprint over the corpus (occurrences and distinct
+    documents), lowercased host key — empty on corpora without URLs,
+    which verifies the extraction contract itself."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all("text", F.lit(_URL_HOST), 1)
+            ).alias("dom"),
+        )
+        .groupBy(F.lower("dom").alias("domain"))
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )

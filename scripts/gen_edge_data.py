@@ -210,6 +210,19 @@ _TEXTFUZZ_LIGHT = [
     "한국어텍스트와中文文本が混ざった文。全角！？＃ ascii tail here",
     # quasi-PII through the redaction/regex surface
     "mail a.b+c@ex-ample.co.uk ip 192.168.001.255 card 4111 1111 1111 1111",
+    # mojibake artifacts through the encoding-quality gate, built from
+    # ESCAPES so no editor/transport can re-encode them: double-encoded
+    # e-acute (the UTF-8 bytes of \xe9 read back as latin-1), the
+    # cp1252-decoded right quote/en-dash, a replacement char, C1
+    # controls (\x85 NEL is exempt), and 'A-circumflex + NBSP'
+    "clich\u00c3\u00a9 caf\u00c3\u00a9 quote\u00e2\u20ac\u2122s "
+    "dash\u00e2\u20ac\u2013here bad\ufffdbyte c1\x8acontrol nel\x85ok "
+    "nbsp\u00c2\u00a0tail",
+    # URLs through the domain-extraction gate: case-folding, subdomains,
+    # ports/paths/queries stop the host class, a repeated domain
+    "see https://Example.COM/path then http://sub.domain.org?q=1 and "
+    "https://example.com/other plus https://a-b.c9.net:8443/x no-scheme "
+    "www.skipped.org end",
 ]
 _TEXTFUZZ_HEAVY = [
     " ".join(f"tok{i % 997}x{i % 31}" for i in range(100_000)),
