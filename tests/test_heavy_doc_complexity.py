@@ -38,6 +38,10 @@ QUERIES_UNDER_TEST = [
     "text_pii_redaction",
     "text_token_counts",
     "text_boilerplate_ngrams",
+    # regex projections that must stay linear on long runs (bounded
+    # classes / literal anchors — see the PII local-part lesson)
+    "text_encoding_quality",
+    "text_url_domains",
 ]
 
 
