@@ -24,8 +24,10 @@ like-for-like without footnotes):
   3. best-of-N wall per query (N = $SPARK_GRAFT_BENCH_RUNS, default 2);
   4. a pinned code-independent host-regime probe sampled at three points
      across the timed section; the sidecar records regime_factor =
-     median(probe)/REGIME_PROBE_REF_SEC and budget flags compare
-     regime-normalized seconds (see the probe block below).
+     median(probe)/REGIME_PROBE_REF_SEC. Budget flags (round 9) fire on
+     byte-budget growth OR on wall normalized by max(factor, 1) — the
+     one-sided clamp means a fast-probe regime can never amplify a wall
+     into a flag (see decide_flag).
 """
 
 from __future__ import annotations
@@ -118,8 +120,8 @@ class _StageMetrics:
 # needs no git in the driver environment and samples the SAME JVM and the same
 # time window the timed queries ran in — regimes swing between consecutive
 # runs, so a separate process would measure a different window. Budget flags
-# compare regime-NORMALIZED seconds (raw / clamped factor); raw seconds stay
-# the headline number (the driver's record is untouched).
+# normalize wall by max(factor, 1) — one-sided, see decide_flag; raw seconds
+# stay the headline number (the driver's record is untouched).
 REGIME_PROBE_REF_SEC = 2.25  # calibrated round 8: idle host (steal ~0, cpu
                              # idle confirmed via /proc/stat deltas), two
                              # back-to-back runs of median-of-3 best-of-2 gave
@@ -193,6 +195,67 @@ HEADLINE = [
     "events_funnel_conversion",
     "events_weekly_cohort_retention",
 ]
+
+
+# --- Budget-flag decision (round-9 protocol fix) ---------------------------
+# Round 8's regime normalization produced 33/37 false flags in a loaded
+# driver run: the throughput probe ran FAST under moderate concurrent load
+# (factor 0.79) while single-query latency rose ~1.35x, so dividing raw
+# wall by the factor AMPLIFIED every flag. Meanwhile the disproof — per-query
+# shuffle/input bytes byte-identical to the exclusive sweep — sat unused in
+# the same sidecar. Two fixes, both load-immune by construction:
+#   1. ONE-SIDED clamp: the wall divisor is max(regime_factor, 1.0). A slow
+#      regime (factor > 1) still absorbs uniform slowdowns; a fast-probe
+#      regime can never amplify a wall into a flag.
+#   2. BYTE BUDGETS: bench_budgets.json records per-query shuffle-read /
+#      input bytes (layout-deterministic — identical plan + data => identical
+#      bytes, load or no load). A query is flagged when its bytes GREW past
+#      tolerance (a plan change: lost broadcast, extra Exchange, lost
+#      pushdown) OR its one-sided-normalized wall exceeds threshold x budget.
+#      Byte flags fire regardless of wall (a plan regression can hide inside
+#      a fast run); byte *decreases* are improvements and never flag.
+# The decision is a pure function so tests/test_bench_flags.py can pin it.
+_BYTE_TOL_REL = 0.30   # relative growth tolerance before a byte flag
+_BYTE_TOL_ABS = 65536  # absolute floor (bytes): sub-64KiB jitter never flags
+
+
+def decide_flag(
+    raw_sec: float,
+    budget_sec: float | None,
+    regime_factor: float,
+    metrics: dict | None,
+    byte_budget: dict | None,
+    threshold: float = 1.5,
+) -> dict | None:
+    """Flag decision for one query. Returns a reason record, or None.
+
+    ``metrics``/``byte_budget``: dicts with shuffle_read_bytes/input_bytes
+    (byte_budget may be absent for queries recorded before round 9)."""
+    reasons = []
+    rec: dict = {}
+    divisor = max(regime_factor, 1.0)  # one-sided: never amplify
+    if budget_sec:
+        tn = round(raw_sec / divisor, 3)
+        rec.update(
+            sec=raw_sec, sec_normalized=tn, budget=budget_sec,
+            ratio_raw=round(raw_sec / budget_sec, 2),
+            ratio_normalized=round(tn / budget_sec, 2),
+        )
+        if tn > threshold * budget_sec:
+            reasons.append("wall")
+    if metrics and byte_budget:
+        for key in ("shuffle_read_bytes", "input_bytes"):
+            cur, bud = metrics.get(key), byte_budget.get(key)
+            if cur is None or bud is None:
+                continue
+            if cur > bud * (1 + _BYTE_TOL_REL) + _BYTE_TOL_ABS:
+                reasons.append(key)
+                rec[key] = cur
+                rec[f"{key}_budget"] = bud
+    if not reasons:
+        return None
+    rec["reasons"] = reasons
+    return rec
 
 
 def _idle_check() -> dict:
@@ -309,53 +372,70 @@ def main() -> None:
     # hide inside an improving total. Budgets only move DOWN, and only when
     # explicitly asked (SPARK_GRAFT_BENCH_UPDATE_BUDGETS=1 on an idle run),
     # so a busy host can't loosen the bar.
-    # Round-8 change: flags fire on regime-NORMALIZED seconds (raw wall /
-    # clamped regime factor) so a slow host regime doesn't light every flag
-    # while a real code regression still does; both raw and normalized ratios
-    # are recorded so a flag can be audited either way. Budget updates store
-    # the normalized trailing best for the same reason.
+    # Round-9 change (see decide_flag above): flags fire on byte-budget
+    # growth OR on one-sided regime-normalized wall (divisor clamped at
+    # >= 1.0, so a fast-probe regime can never amplify) — the round-8
+    # two-sided normalization false-flagged 33/37 queries under load.
+    # Budget updates store the one-sided-normalized trailing best and the
+    # current byte metrics (bytes overwrite rather than ratchet: they are
+    # layout-deterministic, and the CURRENT plan's bytes are the baseline
+    # a future plan change must be compared against).
     budget_check = None
     budgets_path = Path(__file__).resolve().parent / "bench_budgets.json"
     if budgets_path.is_file():
         bud = json.loads(budgets_path.read_text())
         if out["sf"] == bud.get("sf"):
+            byte_budgets = bud.get("byte_budgets", {})
             flagged = {}
             for name, t in times.items():
-                b = bud["budgets"].get(name)
-                tn = round(t / regime_factor, 3)
-                if b and tn > 1.5 * b:
-                    flagged[name] = {
-                        "sec": t, "sec_normalized": tn, "budget": b,
-                        "ratio_raw": round(t / b, 2),
-                        "ratio_normalized": round(tn / b, 2),
-                    }
+                rec = decide_flag(
+                    t, bud["budgets"].get(name), regime_factor,
+                    metrics.get(name), byte_budgets.get(name),
+                )
+                if rec is not None:
+                    flagged[name] = rec
             budget_check = {
                 "threshold": 1.5,
-                "basis": "regime-normalized seconds",
+                "basis": ("one-sided regime-normalized wall "
+                          "(divisor = max(factor, 1)) OR byte-budget growth"),
                 "regime_factor": round(regime_factor, 3),
+                "wall_divisor": round(max(regime_factor, 1.0), 3),
                 "n_checked": sum(1 for n in times if n in bud["budgets"]),
+                "n_byte_checked": sum(
+                    1 for n in times if n in byte_budgets and n in metrics
+                ),
                 "n_flagged": len(flagged),
                 "flagged": flagged,
             }
             if flagged:
                 print(
-                    "WARNING: queries over 1.5x their trailing-best budget "
-                    f"(regime-normalized, factor {regime_factor:.2f}): "
+                    "WARNING: queries flagged vs bench_budgets.json "
+                    f"(wall divisor {max(regime_factor, 1.0):.2f}): "
                     + ", ".join(
-                        f"{n} {v['ratio_normalized']}x"
+                        f"{n} [{'+'.join(v['reasons'])}]"
                         for n, v in flagged.items()
                     ),
                     file=sys.stderr,
                 )
             if os.environ.get("SPARK_GRAFT_BENCH_UPDATE_BUDGETS"):
+                divisor = max(regime_factor, 1.0)
                 for name, t in times.items():
-                    tn = round(t / regime_factor, 3)
+                    tn = round(t / divisor, 3)
                     old = bud["budgets"].get(name)
                     bud["budgets"][name] = min(old, tn) if old else tn
+                    if name in metrics:
+                        m = metrics[name]
+                        byte_budgets[name] = {
+                            "shuffle_read_bytes": m["shuffle_read_bytes"],
+                            "input_bytes": m["input_bytes"],
+                            "n_stages": m["n_stages"],
+                        }
+                bud["basis"] = "one-sided regime-normalized (round 9+)"
                 bud["budgets"] = dict(sorted(bud["budgets"].items()))
+                bud["byte_budgets"] = dict(sorted(byte_budgets.items()))
                 budgets_path.write_text(json.dumps(bud, indent=1) + "\n")
-                print("updated bench_budgets.json (regime-normalized "
-                      "trailing best)", file=sys.stderr)
+                print("updated bench_budgets.json (walls ratchet down, "
+                      "bytes overwrite)", file=sys.stderr)
     # Sidecar: everything that would bloat the stdout line beyond the
     # driver's bounded tail capture (round-5 post-mortem: query_metrics on
     # the stdout line pushed the JSON start outside a 2000-char tail and

@@ -377,6 +377,13 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # textfuzz 200 KB single-token doc timed the sweep out. A {1,64} bound
 # caps the per-position work; RE2 and the JVM agree on the (leftmost)
 # match either way because the constant is shared by query and oracle.
+# REDACTION-COVERAGE BOUNDARY: for a local part LONGER than 64 chars the
+# leftmost match starts 64 chars before the '@', so the prefix of an
+# over-long local part stays unredacted (both engines identically — only
+# coverage is affected, never parity). Acceptable per RFC 5321: >64-char
+# local parts are not deliverable addresses. If full-run redaction of
+# malformed addresses is ever wanted, anchor with a preceding
+# non-local-part-char guard instead of widening the bound.
 _EMAIL = "[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
 _PHONE = "[+][0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}"
 

@@ -65,7 +65,19 @@ _COS_SQL = (
     """,
 )
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k for each query vector, query side broadcast."""
+    """Exact cosine top-k per query, two-phase (salted) final ranking.
+
+    The scoring scan is embarrassingly parallel (query side broadcast), but
+    a single window PARTITION BY query_id over the scored relation would
+    shuffle |corpus| x |queries| rows into |queries| (= 8) partitions —
+    at 100x corpus each of 8 tasks sorts the whole corpus, a straggler by
+    construction. Same fix as :func:`polars_ad_etl_spark.operators.
+    relational.window_rank_parts_by_revenue`: phase 1 ranks within
+    (query_id, neighbor_id % 64) — 512-way parallel — and keeps each salt
+    bucket's top-k; phase 2 ranks the <= |queries| * 64 * k survivors.
+    Exact: (cosine DESC, neighbor_id) is a total order per query, a salt
+    bucket's competitors are a subset of the query's competitors, so every
+    global top-k row has salt-local row_number <= k and survives phase 1."""
     e = load_embeddings(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -80,9 +92,18 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cosine"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    order = (F.col("cosine").desc(), F.col("neighbor_id"))
+    w_local = W.partitionBy(
+        "query_id", (F.col("neighbor_id") % 64).alias("salt")
+    ).orderBy(*order)
+    pruned = (
+        scored.withColumn("lrnk", F.row_number().over(w_local))
+        .filter(F.col("lrnk") <= TOP_K)
+        .drop("lrnk")
+    )
+    w = W.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        pruned.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
     )
 

@@ -96,9 +96,12 @@ def write_events_date_partitioned(
     contiguous time slice, so every daily directory gets ~``files_per_day``
     sorted files instead of one shard from every task (the small-files
     explosion ``partitionBy`` produces under hash layout)."""
+    # `or 0`: countDistinct over ZERO rows returns a single row with n=NULL,
+    # so an empty events frame must not crash the int() below — it writes an
+    # empty (schema-only) dataset through the same single-partition path.
     n_days = events.select(
         F.countDistinct(F.to_date("ts")).alias("n")
-    ).first().n
+    ).first().n or 0
     out = events.withColumn("event_date", F.to_date("ts"))
     out = out.repartitionByRange(
         max(int(n_days) * files_per_day, 1), "event_date", "ts"

@@ -14,6 +14,12 @@ worker). This module declares that dependency in one place:
 
 Returns False when neither source exists; callers gate the TWS execution
 path on it (plan construction never needs protobuf).
+
+Validated combination (pinned by tests/test_pbcompat_canary.py): cloudsdk
+protobuf runtime 4.23.2 under /usr/lib/google-cloud-sdk against pyspark
+4.1.2's TWS state-server gencode. On a Spark or protobuf bump, re-run the
+streaming suite and move the canary's pins to the new validated pair —
+the canary exists to turn a silent drift into a named failure.
 """
 
 from __future__ import annotations
@@ -43,9 +49,16 @@ def ensure_protobuf() -> bool:
     if mod.__name__.startswith("cloudsdk.") and not _exported():
         existing = os.environ.get("PYTHONPATH", "")
         v = str(_VENDOR)
-        # APPEND (don't prepend): on a deployment where workers have a real
-        # protobuf install but the driver does not, site-packages must keep
-        # precedence in the workers — mirrors the sys.path.append above.
+        # APPEND so other PYTHONPATH entries keep their precedence over the
+        # vendor dir. NOTE (round-9 correction): position here does NOT
+        # decide between the vendor alias and a worker's real site-packages
+        # protobuf — PYTHONPATH entries always precede site-packages in a
+        # worker's sys.path, so the alias wins the `google` namespace race
+        # regardless. What keeps a real install authoritative is the
+        # alias's own `_defer_to_real_install` scan (vendor/google/
+        # protobuf/__init__.py): when the vendor file executes first, it
+        # looks for a genuine google/protobuf elsewhere on sys.path and
+        # hands over before loading the cloudsdk runtime.
         os.environ["PYTHONPATH"] = f"{existing}:{v}" if existing else v
     return True
 

@@ -1,0 +1,87 @@
+"""Pin the bench budget-flag decision (bench.py::decide_flag).
+
+Round-8 post-mortem: two-sided regime normalization false-flagged 33/37
+queries in a loaded driver run (throughput probe fast under load -> factor
+0.79 -> every wall AMPLIFIED), while the disproof — byte-identical
+shuffle/input metrics — sat unused in the same sidecar. These tests pin the
+round-9 contract: (a) a fast-probe factor never amplifies, (b) a uniformly
+slow regime absorbs uniform wall inflation, (c) a plan change (byte growth)
+flags regardless of wall, (d) a genuine idle-host wall regression still
+flags. No SparkSession needed — decide_flag is a pure function.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+_BENCH = Path(__file__).resolve().parents[1] / "bench.py"
+_spec = importlib.util.spec_from_file_location("bench_module", _BENCH)
+bench = importlib.util.module_from_spec(_spec)
+sys.modules.setdefault("bench_module", bench)
+_spec.loader.exec_module(bench)
+
+decide_flag = bench.decide_flag
+
+_M = {"shuffle_read_bytes": 1_000_000, "input_bytes": 50_000_000}
+
+
+def test_loaded_host_fast_probe_never_amplifies():
+    # The round-8 failure mode: latency up ~1.35x under load, probe factor
+    # 0.79 (throughput regime FAST). One-sided divisor = max(0.79, 1) = 1,
+    # raw ratio 1.35 < 1.5 threshold, bytes identical -> no flag.
+    assert decide_flag(1.35, 1.0, 0.79, _M, dict(_M)) is None
+
+
+def test_slow_regime_absorbs_uniform_inflation():
+    # Genuinely slow regime (factor 2.0): raw wall 2.6x budget normalizes
+    # to 1.3x -> under threshold, bytes identical -> no flag.
+    assert decide_flag(2.6, 1.0, 2.0, _M, dict(_M)) is None
+
+
+def test_idle_host_wall_regression_still_flags():
+    rec = decide_flag(2.0, 1.0, 1.0, _M, dict(_M))
+    assert rec is not None and rec["reasons"] == ["wall"]
+    assert rec["ratio_normalized"] == 2.0
+
+
+def test_fast_probe_does_not_suppress_real_regression():
+    # One-sided also means a fast factor can't DIVIDE a real regression
+    # away: divisor is clamped at 1, so raw 1.6x stays 1.6x.
+    rec = decide_flag(1.6, 1.0, 0.5, _M, dict(_M))
+    assert rec is not None and "wall" in rec["reasons"]
+
+
+def test_planted_plan_change_flags_on_bytes_even_with_fast_wall():
+    # Disabled broadcast: shuffle read grows 40x while the wall happens to
+    # be under budget (small SF) -> flag on bytes alone.
+    now = {"shuffle_read_bytes": 40_000_000, "input_bytes": 50_000_000}
+    rec = decide_flag(0.5, 1.0, 1.0, now, dict(_M))
+    assert rec is not None and rec["reasons"] == ["shuffle_read_bytes"]
+    assert rec["shuffle_read_bytes_budget"] == 1_000_000
+
+
+def test_byte_decrease_is_an_improvement_not_a_flag():
+    now = {"shuffle_read_bytes": 10, "input_bytes": 1_000}
+    assert decide_flag(0.5, 1.0, 1.0, now, dict(_M)) is None
+
+
+def test_small_absolute_jitter_below_floor_never_flags():
+    # 59 B -> 30 KiB is a huge ratio but below the 64 KiB absolute floor:
+    # sub-64KiB movements are AQE/compression jitter, not plan changes.
+    now = {"shuffle_read_bytes": 30_000, "input_bytes": 50_000_000}
+    bud = {"shuffle_read_bytes": 59, "input_bytes": 50_000_000}
+    assert decide_flag(0.5, 1.0, 1.0, now, bud) is None
+
+
+def test_missing_byte_budget_degrades_to_wall_only():
+    assert decide_flag(1.2, 1.0, 1.0, _M, None) is None
+    rec = decide_flag(2.0, 1.0, 1.0, _M, None)
+    assert rec is not None and rec["reasons"] == ["wall"]
+
+
+def test_missing_wall_budget_still_byte_checks():
+    now = {"shuffle_read_bytes": 40_000_000, "input_bytes": 50_000_000}
+    rec = decide_flag(0.5, None, 1.0, now, dict(_M))
+    assert rec is not None and rec["reasons"] == ["shuffle_read_bytes"]

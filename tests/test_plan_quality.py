@@ -128,6 +128,26 @@ def test_window_rank_two_phase(spark):
     assert plan.count("(") and plan.count("Window") >= 2
 
 
+def test_bruteforce_topk_two_phase(spark):
+    """Round-9 fix: the exact top-k's final ranking must be two-phase. A
+    single window PARTITION BY query_id over the scored relation shuffles
+    |corpus| x |queries| rows into |queries| (= 8) partitions — at 100x
+    corpus each task sorts the whole corpus, a straggler by construction.
+    Pin: two Window nodes, and the window partitioned on query_id alone is
+    fed by the salt-pruned subtree (symmetric with
+    test_window_rank_two_phase)."""
+    plan = formatted_plan(QUERIES["sim_bruteforce_topk"](spark, SF_DIR))
+    assert plan.count("Window (") >= 2
+    # the salted partitioning must appear in an exchange: no single-phase
+    # global window over the full scored relation
+    assert "% 64)" in plan
+    # and Spark's rank-limit pushdown prunes to <= k per group BELOW each
+    # exchange (WindowGroupLimit), so even phase 1 never shuffles the full
+    # scored relation — assert it so a regression in this optimization
+    # (or an order spec that defeats it) is caught here.
+    assert plan.count("WindowGroupLimit") >= 2
+
+
 def test_contamination_broadcasts_eval_side(spark):
     """The benchmark/eval n-gram set must broadcast: the 100 TB training
     side of the contamination join may never shuffle."""
