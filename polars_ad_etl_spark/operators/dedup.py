@@ -201,9 +201,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("dedup_minhash_signatures", oracle=MINHASH_SIG_SQL)(minhash_signatures)
 
 
-@register(
-    "dedup_minhash_lsh_pairs",
-    oracle=f"""
+# Named so layout_twins.py can compose it (pair-payload twin); the registry
+# entry below uses the identical text.
+LSH_PAIRS_SQL = f"""
     WITH sigs AS ({MINHASH_SIG_SQL})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM ({' UNION ALL '.join(
@@ -221,8 +221,10 @@ register("dedup_minhash_signatures", oracle=MINHASH_SIG_SQL)(minhash_signatures)
     ON a.band = b.band
        AND {' AND '.join(f'a.h{r} = b.h{r}' for r in range(ROWS_PER_BAND))}
        AND a.doc_id < b.doc_id
-    """,
-)
+    """
+
+
+@register("dedup_minhash_lsh_pairs", oracle=LSH_PAIRS_SQL)
 def dedup_minhash_lsh_pairs(
     spark: SparkSession, sf_dir: str, bucket_cap: int | None = None,
     buckets: DataFrame | None = None,

@@ -6,7 +6,9 @@ documents embeddings — one parquet each under an sf directory.
 
 from __future__ import annotations
 
+import hashlib
 import re
+import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -102,6 +104,94 @@ def load_embeddings(spark: SparkSession, sf_dir: str | Path) -> DataFrame:
         & (amax > 0)
         & (amax <= EMBEDDING_MAX_ABS)
     )
+
+
+# ------------------------------------------------------- bucketed layouts
+# The one-time-shuffle store for repeated joins/aggregations on a key (see
+# sinks/bucketed.py for the strategy). These loaders materialize a star
+# table as a bucketed+sorted catalog table ONCE per (source file, mtime,
+# bucket spec) and hand back the table name — every downstream join or
+# aggregation on the bucket key then reads co-located buckets and skips its
+# Exchange (plan-pinned in tests/test_plan_quality.py). The table name
+# encodes the source path + mtime, so regenerated testdata can never serve
+# a stale layout, and distinct sf/edge dirs never collide inside one
+# session. Data lands under the system temp dir (external-table path), so a
+# driver running from an arbitrary cwd never grows a spark-warehouse there.
+
+_BUCKETED_ROOT = Path(tempfile.gettempdir()) / "spark_graft_bucketed_layouts"
+
+
+def _materialized_bucketed(
+    spark: SparkSession,
+    source_file: Path,
+    df: DataFrame,
+    prefix: str,
+    bucket_col: str,
+    n_buckets: int,
+) -> str:
+    key = (
+        f"{source_file.resolve()}:{source_file.stat().st_mtime_ns}:"
+        f"{bucket_col}:{n_buckets}"
+    )
+    name = f"{prefix}_{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    if not spark.catalog.tableExists(name):
+        (
+            df.write.mode("overwrite")
+            .option("path", str(_BUCKETED_ROOT / name))
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return name
+
+
+def load_documents_bucketed_by_id(
+    spark: SparkSession, sf_dir: str | Path, n_buckets: int = 8
+) -> DataFrame:
+    """The documents payload store bucketed by ``doc_id`` — the layout a
+    dedup/curation workload joins its id-lists (keep lists, candidate
+    pairs, ANN results) back against. Bucket count guidance at scale:
+    table_bytes / 256 MB (sinks/bucketed.py docstring)."""
+    src = Path(sf_dir) / "documents.parquet"
+    d = spark.read.parquet(str(src))
+    name = _materialized_bucketed(
+        spark, src, d, "documents_by_id", "doc_id", n_buckets
+    )
+    return spark.table(name)
+
+
+def load_documents_bucketed_by_hash(
+    spark: SparkSession, sf_dir: str | Path, n_buckets: int = 8
+) -> DataFrame:
+    """The dedup-workload layout: (doc_id, text_hash) bucketed by the
+    16-byte content hash, so exact-dedup's groupBy(text_hash) needs NO
+    Exchange at all — the write-time shuffle is amortized over every dedup
+    pass. Per-workload layouts are the norm at 100 TB: the same table is
+    stored once per dominant access key."""
+    src = Path(sf_dir) / "documents.parquet"
+    d = spark.read.parquet(str(src)).select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("text_hash")
+    )
+    name = _materialized_bucketed(
+        spark, src, d, "documents_by_hash", "text_hash", n_buckets
+    )
+    return spark.table(name)
+
+
+def load_embeddings_bucketed(
+    spark: SparkSession, sf_dir: str | Path, n_buckets: int = 8
+) -> DataFrame:
+    """The embeddings payload store bucketed by ``vec_id`` (contract
+    already applied — the layout stores only rows the engine will ever
+    serve). ANN indexes hold ids; resolving ids to payload rows is a
+    point-join against this store, Exchange-free on the store side."""
+    src = Path(sf_dir) / "embeddings.parquet"
+    e = load_embeddings(spark, sf_dir)
+    name = _materialized_bucketed(
+        spark, src, e, "embeddings_by_id", "vec_id", n_buckets
+    )
+    return spark.table(name)
 
 
 TABLES = (

@@ -148,6 +148,57 @@ def test_bruteforce_topk_two_phase(spark):
     assert plan.count("WindowGroupLimit") >= 2
 
 
+def test_exact_dedup_bucketed_zero_exchange(spark):
+    """Round-9 layout twin: groupBy(text_hash) over the content-hash-
+    bucketed documents store must satisfy the aggregation's distribution
+    requirement straight off the scan — ZERO Exchange anywhere in the
+    plan. This is the payoff the one-time write shuffle buys."""
+    plan = formatted_plan(QUERIES["dedup_exact_documents_bucketed"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan
+    assert "HashAggregate" in plan
+
+
+def _store_side_join_pin(spark, twin: str, base: str) -> None:
+    """Shared pin for the payload-fetch layout twins: with broadcast
+    disabled (so the assertion is about bucketing, not about the id list
+    fitting in a broadcast), the twin's plan must contain exactly ONE more
+    Exchange than its base query — the id-list side re-shuffling to match
+    the store's bucketing — while the bucketed store side feeds the
+    SortMergeJoin straight from its scan."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        tree = formatted_plan(QUERIES[twin](spark, SF_DIR)).split("\n\n")[0]
+        base_tree = formatted_plan(QUERIES[base](spark, SF_DIR)).split("\n\n")[0]
+        assert "Bucketed: true" in formatted_plan(QUERIES[twin](spark, SF_DIR))
+        assert "SortMergeJoin" in tree
+        assert tree.count("Exchange") == base_tree.count("Exchange") + 1, (
+            f"{twin}: expected exactly one added Exchange (id-list side) "
+            f"over {base}, got {tree.count('Exchange')} vs "
+            f"{base_tree.count('Exchange')}\n{tree}"
+        )
+        # the store branch is printed last: no Exchange may sit between the
+        # bucketed scan and the join it feeds
+        store_branch = tree.rstrip().rsplit("SortMergeJoin", 1)[1]
+        last_child = store_branch.splitlines()[-4:]
+        assert not any("Exchange" in ln for ln in last_child), tree
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_lsh_pair_payload_join_storeside_no_exchange(spark):
+    _store_side_join_pin(
+        spark, "dedup_lsh_pairs_bucketed", "dedup_minhash_lsh_pairs"
+    )
+
+
+def test_ann_payload_fetch_storeside_no_exchange(spark):
+    _store_side_join_pin(
+        spark, "sim_topk_payload_fetch_bucketed", "sim_lsh_bucketed_topk"
+    )
+
+
 def test_contamination_broadcasts_eval_side(spark):
     """The benchmark/eval n-gram set must broadcast: the 100 TB training
     side of the contamination join may never shuffle."""

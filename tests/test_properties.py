@@ -321,6 +321,46 @@ def test_ann_recall_vs_exact_baseline(spark):
     assert recall("sim_ivfpq_topk") >= 0.08
 
 
+def test_ann_recall_curve_shape(spark):
+    """The round-9 tuning artifact (sim_ann_recall_curve) must stay a
+    usable curve: recall is monotone non-decreasing in the cost knob for
+    BOTH methods (more tables / more probes can only add candidates — the
+    top-k over a superset can only improve overlap with the exact set),
+    and at least one grid point clears the 0.9 production bar (measured:
+    ivf_probes=8 -> permille 900 at sf0.01; floor set AT the bar, since
+    the README names that config). A regression in either method's
+    candidate generation breaks monotonicity or drops the ceiling."""
+    from polars_ad_etl_spark.operators.registry import QUERIES
+
+    rows = QUERIES["sim_ann_recall_curve"](spark, "/root/testdata/sf0.01").collect()
+    by_method: dict = {}
+    for r in rows:
+        by_method.setdefault(r.method, []).append((r.param, r.recall_permille))
+    assert set(by_method) == {"lsh_tables", "ivf_probes"}
+    for method, pts in by_method.items():
+        pts.sort()
+        vals = [v for _, v in pts]
+        assert vals == sorted(vals), (method, pts)
+    assert max(v for _, v in by_method["ivf_probes"]) >= 900
+    # multi-table LSH at T=4 must agree with the standalone registry query
+    # (same planesets/seeds 0..15): the curve is a measurement, not a model.
+    # Recomputed here rather than hardcoded so testdata regeneration can't
+    # stale the pin.
+    sf = "/root/testdata/sf0.01"
+
+    def nbrs(name):
+        out: dict = {}
+        for r in QUERIES[name](spark, sf).collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = nbrs("sim_bruteforce_topk")
+    mt = nbrs("sim_lsh_multitable_topk")
+    n_exact = sum(len(e) for e in exact.values())
+    n_overlap = sum(len(mt.get(q, set()) & e) for q, e in exact.items())
+    assert dict(by_method["lsh_tables"])[4] == (1000 * n_overlap) // n_exact
+
+
 def test_containment_dominates_jaccard(spark):
     """For any pair, containment = |A∩B|/|A| >= |A∩B|/|A∪B| = Jaccard —
     the algebraic link between the two operators; also max-containment
