@@ -58,33 +58,172 @@ DEFAULT_SCOPES = (
 )
 
 
+# --------------------------------------------------- stdlib REST transport
+# The Sheets v4 wire protocol behind gspread's three calls, spoken with
+# urllib only — so the connector is (a) integration-testable against a fake
+# HTTP endpoint without installing gspread (tests/test_sheets_integration.py
+# drives get/clear/upload end-to-end through a stdlib http.server), and
+# (b) usable on a cluster image that has credentials but not gspread.
+# Endpoints (v4 REST reference):
+#   GET  {base}/v4/spreadsheets/{key}?fields=sheets.properties
+#   GET  {base}/v4/spreadsheets/{key}/values/{range}
+#   POST {base}/v4/spreadsheets/{key}/values:batchClear   {"ranges": [...]}
+#   PUT  {base}/v4/spreadsheets/{key}/values/{range}?valueInputOption=RAW
+class SheetsApiError(RuntimeError):
+    """Non-2xx response from the Sheets API (real or fake)."""
+
+
+class _RestWorksheet:
+    """gspread.Worksheet-shaped adapter over the raw v4 values endpoints."""
+
+    def __init__(self, client: "_RestSheetsClient", key: str, title: str):
+        self._client = client
+        self._key = key
+        self.title = title
+
+    def _qualified(self, a1_range: str) -> str:
+        return f"{self.title}!{a1_range}" if "!" not in a1_range else a1_range
+
+    def get(self, a1_range: str) -> list[list[Any]]:
+        resp = self._client._request(
+            "GET",
+            f"/v4/spreadsheets/{self._key}/values/"
+            + _quote(self._qualified(a1_range)),
+        )
+        return resp.get("values", [])
+
+    def batch_clear(self, a1_ranges: list[str]) -> None:
+        self._client._request(
+            "POST",
+            f"/v4/spreadsheets/{self._key}/values:batchClear",
+            body={"ranges": [self._qualified(r) for r in a1_ranges]},
+        )
+
+    def update(self, values: list[list[Any]], a1_range: str) -> None:
+        self._client._request(
+            "PUT",
+            f"/v4/spreadsheets/{self._key}/values/"
+            + _quote(self._qualified(a1_range))
+            + "?valueInputOption=RAW",
+            body={"values": values},
+        )
+
+
+class _RestSpreadsheet:
+    def __init__(self, client: "_RestSheetsClient", key: str):
+        self._client = client
+        self._key = key
+
+    def worksheets(self) -> list[_RestWorksheet]:
+        resp = self._client._request(
+            "GET", f"/v4/spreadsheets/{self._key}?fields=sheets.properties"
+        )
+        return [
+            _RestWorksheet(self._client, self._key, s["properties"]["title"])
+            for s in resp.get("sheets", [])
+        ]
+
+    def worksheet(self, title: str) -> _RestWorksheet:
+        titles = [ws.title for ws in self.worksheets()]
+        if title not in titles:
+            raise SheetsApiError(
+                f"worksheet {title!r} not found (have {titles})"
+            )
+        return _RestWorksheet(self._client, self._key, title)
+
+
+class _RestSheetsClient:
+    """gspread.Client-shaped stdlib transport. ``token`` becomes a Bearer
+    header; the fake test endpoint ignores it, a real endpoint requires it."""
+
+    def __init__(self, base_url: str, token: str | None = None):
+        self.base_url = base_url.rstrip("/")
+        self.token = token
+
+    def open_by_key(self, key: str) -> _RestSpreadsheet:
+        return _RestSpreadsheet(self, key)
+
+    def _request(self, method: str, path: str, body: dict | None = None) -> dict:
+        import json
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.base_url + path,
+            data=json.dumps(body).encode() if body is not None else None,
+            method=method,
+            headers={
+                "Content-Type": "application/json",
+                **(
+                    {"Authorization": f"Bearer {self.token}"}
+                    if self.token
+                    else {}
+                ),
+            },
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as r:
+                raw = r.read()
+        except urllib.error.HTTPError as exc:
+            raise SheetsApiError(
+                f"{method} {path} -> {exc.code}: {exc.read()[:200]!r}"
+            ) from exc
+        return json.loads(raw) if raw else {}
+
+
+def _quote(range_str: str) -> str:
+    import urllib.parse
+
+    return urllib.parse.quote(range_str, safe="")
+
+
 class GoogleSheetService:
     """Same public surface as the reference connector: ``get_dataframe``,
-    ``clear_range``, ``upload_dataframe`` (``google_cloud_client.py:44-197``)."""
+    ``clear_range``, ``upload_dataframe`` (``google_cloud_client.py:44-197``).
+
+    Transport selection in ``_authorize``: a real gspread install wins;
+    otherwise ``api_endpoint`` (or ``$SPARK_GRAFT_SHEETS_ENDPOINT``) selects
+    the stdlib REST transport above; with neither, the connector stays
+    credential-gated and raises the documented NotImplementedError."""
 
     def __init__(
         self,
         spark: SparkSession,
         credentials_path: str | None = None,
         scopes: list[str] | None = None,
+        api_endpoint: str | None = None,
+        api_token: str | None = None,
     ):
+        import os
+
         self.spark = spark
         self._client = None
         self._credentials_path = credentials_path
         self.scopes = list(scopes) if scopes is not None else list(DEFAULT_SCOPES)
+        self._api_endpoint = api_endpoint or os.environ.get(
+            "SPARK_GRAFT_SHEETS_ENDPOINT"
+        )
+        self._api_token = api_token
 
     def _authorize(self):
         if self._client is None:
             try:
                 import gspread  # gated: not installed in this environment
+
+                self._client = gspread.service_account(
+                    filename=self._credentials_path, scopes=self.scopes
+                )
             except ImportError as exc:
-                raise NotImplementedError(
-                    "Google Sheets connector requires gspread + google-auth "
-                    "and network access"
-                ) from exc
-            self._client = gspread.service_account(
-                filename=self._credentials_path, scopes=self.scopes
-            )
+                if self._api_endpoint:
+                    self._client = _RestSheetsClient(
+                        self._api_endpoint, self._api_token
+                    )
+                else:
+                    raise NotImplementedError(
+                        "Google Sheets connector requires gspread + "
+                        "google-auth and network access (or an explicit "
+                        "api_endpoint for the stdlib REST transport)"
+                    ) from exc
         return self._client
 
     def get_dataframe(self, sheet_key: str, sheet_name: str, a1_range: str) -> DataFrame:
