@@ -226,13 +226,35 @@ def decide_flag(
     metrics: dict | None,
     byte_budget: dict | None,
     threshold: float = 1.5,
+    idle: bool = True,
 ) -> dict | None:
     """Flag decision for one query. Returns a reason record, or None.
 
     ``metrics``/``byte_budget``: dicts with shuffle_read_bytes/input_bytes
-    (byte_budget may be absent for queries recorded before round 9)."""
-    reasons = []
+    (byte_budget may be absent for queries recorded before round 9).
+
+    Wall flags are authoritative only when they can't be disproven: on a
+    NON-idle host, a wall-over-budget whose byte metrics are unchanged is
+    demoted to ``wall_suspect`` (informational, not counted) — identical
+    plan + identical data movement under load is the round-8 false-flag
+    signature, and the next idle run re-arbitrates. A wall flag with no
+    byte budget to compare against stays authoritative regardless of load
+    (nothing to disprove it with), as does any byte-growth flag (bytes are
+    load-immune by construction)."""
     rec: dict = {}
+    byte_reasons = []
+    bytes_checked = False
+    if metrics and byte_budget:
+        for key in ("shuffle_read_bytes", "input_bytes"):
+            cur, bud = metrics.get(key), byte_budget.get(key)
+            if cur is None or bud is None:
+                continue
+            bytes_checked = True
+            if cur > bud * (1 + _BYTE_TOL_REL) + _BYTE_TOL_ABS:
+                byte_reasons.append(key)
+                rec[key] = cur
+                rec[f"{key}_budget"] = bud
+    reasons = list(byte_reasons)
     divisor = max(regime_factor, 1.0)  # one-sided: never amplify
     if budget_sec:
         tn = round(raw_sec / divisor, 3)
@@ -242,20 +264,48 @@ def decide_flag(
             ratio_normalized=round(tn / budget_sec, 2),
         )
         if tn > threshold * budget_sec:
-            reasons.append("wall")
-    if metrics and byte_budget:
-        for key in ("shuffle_read_bytes", "input_bytes"):
-            cur, bud = metrics.get(key), byte_budget.get(key)
-            if cur is None or bud is None:
-                continue
-            if cur > bud * (1 + _BYTE_TOL_REL) + _BYTE_TOL_ABS:
-                reasons.append(key)
-                rec[key] = cur
-                rec[f"{key}_budget"] = bud
+            disproven = bytes_checked and not byte_reasons and not idle
+            reasons.append("wall_suspect" if disproven else "wall")
     if not reasons:
         return None
     rec["reasons"] = reasons
+    rec["bytes_identical"] = bytes_checked and not byte_reasons
     return rec
+
+
+def demote_uniform_wall_flags(
+    flagged: dict, n_checked: int, min_count: int = 3, min_fraction: float = 0.25
+) -> tuple[dict, dict]:
+    """Fleet-level regime detection, the second half of the load-immunity
+    fix. Measured on this VM (round 9, memory-noted since round 6): a
+    latency-regime shift can inflate MOST queries' walls ~1.4x while the
+    throughput probe reads ~1.0 — per-query wall flags then fire across the
+    board even on an idle host. Many queries' walls going over budget
+    SIMULTANEOUSLY, each with byte-identical metrics, is the signature of a
+    host regime, not of that many independent code regressions landing in
+    one diff — so when wall-only+bytes-identical flags reach
+    max(min_count, min_fraction * n_checked), ALL of them demote to regime
+    suspicion. A targeted regression (1-2 queries) stays authoritative, and
+    anything that moves bytes always stays authoritative.
+
+    Accepted blind spot: a shared-helper compute regression that moves no
+    bytes and spans many queries is absorbed as regime suspicion here; the
+    committed A/B snapshot protocol (scripts/ab_bench.py, two checkouts
+    interleaved on one host) is the arbiter for that class — and the
+    headline total the driver records still shows it.
+
+    Returns (authoritative, regime_demoted); mutates the demoted records'
+    reasons to ["wall_regime_suspect"]."""
+    wall_only = {
+        n: r
+        for n, r in flagged.items()
+        if r["reasons"] == ["wall"] and r.get("bytes_identical")
+    }
+    if len(wall_only) >= max(min_count, int(n_checked * min_fraction)):
+        for r in wall_only.values():
+            r["reasons"] = ["wall_regime_suspect"]
+        return {n: r for n, r in flagged.items() if n not in wall_only}, wall_only
+    return flagged, {}
 
 
 def _idle_check() -> dict:
@@ -290,10 +340,16 @@ def main() -> None:
     idle_rec = _idle_check()
     # UI on so the public monitoring REST API can attribute per-stage shuffle
     # bytes to queries; port 0 avoids clashing with any other local app.
-    spark = get_spark(
-        "polars-ad-etl-spark-bench",
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "0"},
-    )
+    # SPARK_GRAFT_BENCH_EXTRA_CONF ("k=v,k=v"): ad-hoc conf overrides, used
+    # by the flag-validation protocol to PLANT a plan change (e.g.
+    # spark.sql.autoBroadcastJoinThreshold=-1) and prove the byte flags
+    # catch it.
+    extra = {"spark.ui.enabled": "true", "spark.ui.port": "0"}
+    for kv in os.environ.get("SPARK_GRAFT_BENCH_EXTRA_CONF", "").split(","):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            extra[k.strip()] = v.strip()
+    spark = get_spark("polars-ad-etl-spark-bench", extra_conf=extra)
 
     # Warm up the JVM/session so the first measured query doesn't pay init.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -346,6 +402,18 @@ def main() -> None:
                  for k, v in m.items()}
             metrics[name] = m
     regime_samples.append(_regime_sample(spark))
+    # Re-check machine business AFTER the timed section: the 1-minute
+    # loadavg lags, so concurrent work that started just before the bench
+    # reads as idle at the start (measured round 9: 16 busy-loop burners ->
+    # load1 2.6 at start, ~17 at end). Wall flags are gated on idleness;
+    # idle means idle for the WHOLE window.
+    idle_end = _idle_check()
+    idle_rec = {
+        **idle_rec,
+        "load1_end": idle_end.get("load1"),
+        "idle": bool(idle_rec.get("idle", True))
+        and bool(idle_end.get("idle", True)),
+    }
     probe_median = sorted(regime_samples)[len(regime_samples) // 2]
     regime_factor_raw = probe_median / REGIME_PROBE_REF_SEC
     regime_factor = min(max(regime_factor_raw, _REGIME_CLAMP[0]),
@@ -387,13 +455,24 @@ def main() -> None:
         if out["sf"] == bud.get("sf"):
             byte_budgets = bud.get("byte_budgets", {})
             flagged = {}
+            wall_suspect = {}
             for name, t in times.items():
                 rec = decide_flag(
                     t, bud["budgets"].get(name), regime_factor,
                     metrics.get(name), byte_budgets.get(name),
+                    idle=bool(idle_rec.get("idle", True)),
                 )
-                if rec is not None:
+                if rec is None:
+                    continue
+                if rec["reasons"] == ["wall_suspect"]:
+                    wall_suspect[name] = rec
+                else:
                     flagged[name] = rec
+            n_checked_ = sum(1 for n in times if n in bud["budgets"])
+            flagged, regime_demoted = demote_uniform_wall_flags(
+                flagged, n_checked_
+            )
+            wall_suspect.update(regime_demoted)
             budget_check = {
                 "threshold": 1.5,
                 "basis": ("one-sided regime-normalized wall "
@@ -406,6 +485,8 @@ def main() -> None:
                 ),
                 "n_flagged": len(flagged),
                 "flagged": flagged,
+                "n_wall_suspect": len(wall_suspect),
+                "wall_suspect": wall_suspect,
             }
             if flagged:
                 print(

@@ -23,6 +23,7 @@ sys.modules.setdefault("bench_module", bench)
 _spec.loader.exec_module(bench)
 
 decide_flag = bench.decide_flag
+demote_uniform_wall_flags = bench.demote_uniform_wall_flags
 
 _M = {"shuffle_read_bytes": 1_000_000, "input_bytes": 50_000_000}
 
@@ -79,6 +80,69 @@ def test_missing_byte_budget_degrades_to_wall_only():
     assert decide_flag(1.2, 1.0, 1.0, _M, None) is None
     rec = decide_flag(2.0, 1.0, 1.0, _M, None)
     assert rec is not None and rec["reasons"] == ["wall"]
+
+
+def test_loaded_host_wall_with_identical_bytes_is_suspect_not_flag():
+    # The residual round-8 failure mode past the one-sided clamp: a heavy
+    # concurrent load inflates one query's wall >1.5x while the throughput
+    # probe under-measures the latency hit. Bytes identical + host not
+    # idle -> demoted to wall_suspect (informational); the next idle run
+    # re-arbitrates.
+    rec = decide_flag(2.5, 1.0, 1.3, _M, dict(_M), idle=False)
+    assert rec is not None and rec["reasons"] == ["wall_suspect"]
+
+
+def test_idle_host_wall_stays_authoritative_even_with_identical_bytes():
+    # A UDF regression moves no bytes; on an idle host the wall flag must
+    # not be suppressed by the byte comparison.
+    rec = decide_flag(2.0, 1.0, 1.0, _M, dict(_M), idle=True)
+    assert rec is not None and rec["reasons"] == ["wall"]
+
+
+def test_loaded_host_wall_without_byte_budget_stays_authoritative():
+    # Nothing to disprove it with -> keep the flag (degraded mode).
+    rec = decide_flag(2.5, 1.0, 1.3, _M, None, idle=False)
+    assert rec is not None and rec["reasons"] == ["wall"]
+
+
+def test_loaded_host_byte_growth_plus_wall_flags_both():
+    now = {"shuffle_read_bytes": 40_000_000, "input_bytes": 50_000_000}
+    rec = decide_flag(2.5, 1.0, 1.3, now, dict(_M), idle=False)
+    assert rec is not None
+    assert set(rec["reasons"]) == {"shuffle_read_bytes", "wall"}
+
+
+def _wall_flag(ratio=2.0, bytes_identical=True):
+    return {"reasons": ["wall"], "bytes_identical": bytes_identical,
+            "ratio_normalized": ratio}
+
+
+def test_uniform_wall_inflation_demotes_to_regime_suspect():
+    # Measured round-9 failure mode: 24/37 walls over budget on an "idle"
+    # host with probe factor 1.04 and byte-identical metrics everywhere —
+    # a latency regime the throughput probe can't see. Fleet-level rule:
+    # that many simultaneous byte-identical wall flags = regime, demote.
+    flags = {f"q{i}": _wall_flag() for i in range(24)}
+    auth, demoted = demote_uniform_wall_flags(flags, n_checked=37)
+    assert auth == {} and len(demoted) == 24
+    assert all(r["reasons"] == ["wall_regime_suspect"] for r in demoted.values())
+
+
+def test_targeted_wall_regression_stays_authoritative():
+    flags = {"q1": _wall_flag(), "q2": _wall_flag()}
+    auth, demoted = demote_uniform_wall_flags(flags, n_checked=37)
+    assert set(auth) == {"q1", "q2"} and demoted == {}
+
+
+def test_byte_moving_flags_never_demote():
+    flags = {f"q{i}": _wall_flag() for i in range(10)}
+    flags["plan_change"] = {
+        "reasons": ["shuffle_read_bytes", "wall"], "bytes_identical": False,
+    }
+    flags["no_bytes_info"] = {"reasons": ["wall"], "bytes_identical": False}
+    auth, demoted = demote_uniform_wall_flags(flags, n_checked=37)
+    assert "plan_change" in auth and "no_bytes_info" in auth
+    assert len(demoted) == 10
 
 
 def test_missing_wall_budget_still_byte_checks():
