@@ -121,6 +121,20 @@ def _bucket_expr(emb: F.Column) -> F.Column:
     return functools.reduce(lambda a, b: a + b, bits).cast("int")
 
 
+# NULL-GUARD CONTRACT for every bucket-sql helper below: the whole
+# expression is wrapped in CASE WHEN {col} IS NOT NULL. DuckDB's
+# list_inner_product kernel raises on NULL-containing input batches, and
+# whether a whole-NULL row ever REACHES the kernel is a plan-shape accident
+# — measured round 9: the same expression over the same contract-filtered
+# CTE ran clean standalone but crashed inside a self-join, where the
+# optimizer evaluated the projection on pre-filter batches. The CASE's
+# selection vector excludes NULL rows inside the kernel regardless of plan
+# shape; results are unchanged (NULL embedding -> NULL bucket, and such
+# rows are contract-excluded relationally anyway).
+def _null_guarded(col: str, expr: str) -> str:
+    return f"(CASE WHEN {col} IS NOT NULL THEN {expr} END)"
+
+
 def _bucket_sql(col: str) -> str:
     terms = []
     for p in range(N_PLANES):
@@ -129,7 +143,7 @@ def _bucket_sql(col: str) -> str:
             f"(CASE WHEN list_dot_product({col}::DOUBLE[], {arr}) >= 0 "
             f"THEN {1 << p} ELSE 0 END)"
         )
-    return "CAST(" + " + ".join(terms) + " AS INT)"
+    return _null_guarded(col, "CAST(" + " + ".join(terms) + " AS INT)")
 
 
 # Named so layout_twins.py can compose it (payload-fetch twin); the
@@ -1281,7 +1295,7 @@ def _mt_bucket_sql(col: str, t: int) -> str:
             f"(CASE WHEN list_dot_product({col}::DOUBLE[], {arr}) >= 0 "
             f"THEN {1 << p} ELSE 0 END)"
         )
-    return "CAST(" + " + ".join(terms) + " AS INT)"
+    return _null_guarded(col, "CAST(" + " + ".join(terms) + " AS INT)")
 
 
 @register(
@@ -1501,7 +1515,7 @@ def _curve_bucket_sql(col: str, t: int) -> str:
             f"(CASE WHEN list_dot_product({col}::DOUBLE[], {arr}) >= 0 "
             f"THEN {1 << p} ELSE 0 END)"
         )
-    return "CAST(" + " + ".join(terms) + " AS INT)"
+    return _null_guarded(col, "CAST(" + " + ".join(terms) + " AS INT)")
 
 
 _CURVE_COS = (
@@ -1523,7 +1537,13 @@ _RECALL_CURVE_SQL = f"""
             FROM q CROSS JOIN c WHERE cid != qid
         ) WHERE rnk <= {TOP_K}
     ),
-    b AS (
+    b AS MATERIALIZED (
+        -- MATERIALIZED: in the self-join below, DuckDB's optimizer can
+        -- evaluate the bucket projection on PRE-contract-filter batches,
+        -- where a whole-NULL embedding row makes the list_inner_product
+        -- kernel raise even under the CASE null-guard (round-9 edge-sweep
+        -- find; the same text runs clean standalone). Materializing pins
+        -- the CTE to its standalone plan: filter, then project, once.
         SELECT vec_id, t.t,
                CASE t.t {' '.join(
                    f"WHEN {t} THEN {_curve_bucket_sql('embedding', t)}"
