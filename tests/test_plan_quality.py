@@ -199,6 +199,27 @@ def test_ann_payload_fetch_storeside_no_exchange(spark):
     )
 
 
+def test_sql_front_door_plans(spark):
+    """The SQL front door must compile to the same physical shapes the
+    DataFrame twins are pinned to — Catalyst treats spark.sql text and the
+    DataFrame API identically, and these pins prove it: NOT EXISTS plans
+    as a LeftAnti hash join (never a correlated re-scan), the running
+    frame is one Window over one exchange on the partition key, and the
+    rollup expands BELOW a partial aggregate (map-side combine before the
+    shuffle)."""
+    plan = formatted_plan(
+        QUERIES["sql_api_orders_without_lineitems"](spark, SF_DIR)
+    )
+    assert "LeftAnti" in plan
+    plan = formatted_plan(
+        QUERIES["sql_api_window_running_spend"](spark, SF_DIR)
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1 and tree.count("Exchange") == 1
+    plan = formatted_plan(QUERIES["sql_api_rollup_quantity"](spark, SF_DIR))
+    assert "Expand" in plan and "partial_" in plan
+
+
 def test_contamination_broadcasts_eval_side(spark):
     """The benchmark/eval n-gram set must broadcast: the 100 TB training
     side of the contamination join may never shuffle."""
