@@ -11,6 +11,12 @@ write shuffle amortized over every downstream join/aggregation. The DuckDB
 oracles read the flat table (DuckDB has no bucketing), which is exactly the
 differential proof: layout must never change results.
 
+At test scale the store is materialized lazily on first load (once per
+source mtime + bucket spec — see ``sources/star.py``); at 100 TB the same
+``bucketBy`` write is a scheduled compaction job and these queries only
+READ the store — the twins' read-side plans are identical either way,
+which is what the plan pins hold.
+
 Plan pins live in tests/test_plan_quality.py:
 - exact dedup over the hash-bucketed store: ZERO Exchange in the whole plan
   (the groupBy key IS the bucket key);
