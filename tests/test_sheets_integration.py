@@ -113,6 +113,22 @@ def test_get_after_upload_roundtrip(sheets, spark):
     assert [(r.k, r.v) for r in back.collect()] == [("1", "x"), ("2", "y")]
 
 
+def test_env_var_selects_the_rest_transport(spark, monkeypatch):
+    """Deployment path: no gspread, no constructor arg —
+    $SPARK_GRAFT_SHEETS_ENDPOINT alone must route to the REST transport
+    (the gated NotImplementedError only fires with neither)."""
+    state = FakeSheetsState()
+    srv, url = make_server(state)
+    try:
+        monkeypatch.setenv("SPARK_GRAFT_SHEETS_ENDPOINT", url)
+        state.seed(KEY, "envsheet", [["A"], ["7"]])
+        svc = GoogleSheetService(spark)  # no api_endpoint argument
+        df = svc.get_dataframe(KEY, "envsheet", "A1:A2")
+        assert [r.A for r in df.collect()] == ["7"]
+    finally:
+        srv.shutdown()
+
+
 def test_parse_a1_shapes():
     # (rows, cols) = (5, 3) grid
     assert parse_a1("A1:C5", 5, 3) == (0, 0, 4, 2)
