@@ -217,6 +217,14 @@ HEADLINE = [
 # The decision is a pure function so tests/test_bench_flags.py can pin it.
 _BYTE_TOL_REL = 0.30   # relative growth tolerance before a byte flag
 _BYTE_TOL_ABS = 65536  # absolute floor (bytes): sub-64KiB jitter never flags
+_WALL_ABS_FLOOR = 0.5  # seconds: wall budgets are multi-round ratchet MINIMA,
+#   so on sub-half-second fixed-cost queries (scheduler + task-launch
+#   dominated) a 1.5x threshold sits inside host jitter even on an idle
+#   host — round 9's two residual flags (0.46s/0.35s walls, byte-identical
+#   59 B shuffles) were both A/B-arbitrated to host variance. A wall-only
+#   over-budget whose raw wall is under this floor AND whose bytes are
+#   identical demotes to informational; anything that moves bytes, or any
+#   query at/above the floor, stays authoritative.
 
 
 def decide_flag(
@@ -237,7 +245,11 @@ def decide_flag(
     NON-idle host, a wall-over-budget whose byte metrics are unchanged is
     demoted to ``wall_suspect`` (informational, not counted) — identical
     plan + identical data movement under load is the round-8 false-flag
-    signature, and the next idle run re-arbitrates. A wall flag with no
+    signature, and the next idle run re-arbitrates. On an IDLE host, a
+    wall-only over-budget under _WALL_ABS_FLOOR raw seconds with identical
+    bytes demotes to ``wall_smallfloor_suspect`` (ratchet-minimum budgets
+    on fixed-cost queries sit inside host jitter — round 9's two residual
+    flags were both A/B-arbitrated to variance). A wall flag with no
     byte budget to compare against stays authoritative regardless of load
     (nothing to disprove it with), as does any byte-growth flag (bytes are
     load-immune by construction)."""
@@ -264,8 +276,13 @@ def decide_flag(
             ratio_normalized=round(tn / budget_sec, 2),
         )
         if tn > threshold * budget_sec:
-            disproven = bytes_checked and not byte_reasons and not idle
-            reasons.append("wall_suspect" if disproven else "wall")
+            bytes_identical = bytes_checked and not byte_reasons
+            if bytes_identical and not idle:
+                reasons.append("wall_suspect")
+            elif bytes_identical and raw_sec < _WALL_ABS_FLOOR:
+                reasons.append("wall_smallfloor_suspect")
+            else:
+                reasons.append("wall")
     if not reasons:
         return None
     rec["reasons"] = reasons
@@ -464,7 +481,9 @@ def main() -> None:
                 )
                 if rec is None:
                     continue
-                if rec["reasons"] == ["wall_suspect"]:
+                if rec["reasons"] in (
+                    ["wall_suspect"], ["wall_smallfloor_suspect"]
+                ):
                     wall_suspect[name] = rec
                 else:
                     flagged[name] = rec

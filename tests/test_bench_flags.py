@@ -149,3 +149,38 @@ def test_missing_wall_budget_still_byte_checks():
     now = {"shuffle_read_bytes": 40_000_000, "input_bytes": 50_000_000}
     rec = decide_flag(0.5, None, 1.0, now, dict(_M))
     assert rec is not None and rec["reasons"] == ["shuffle_read_bytes"]
+
+
+def test_subfloor_idle_wall_with_identical_bytes_demotes():
+    # Round-9 residual mode, now pinned: ratchet-minimum budgets on
+    # fixed-cost sub-half-second queries sit inside idle-host jitter
+    # (both round-9 flags — 0.46s/0.35s walls, byte-identical 59 B
+    # shuffles — were A/B-arbitrated to host variance). Raw wall under
+    # the 0.5s floor + identical bytes + idle -> informational.
+    rec = decide_flag(0.46, 0.29, 1.0, _M, dict(_M), idle=True)
+    assert rec is not None
+    assert rec["reasons"] == ["wall_smallfloor_suspect"]
+
+
+def test_at_floor_idle_wall_stays_authoritative():
+    # The floor is strict: a 0.5s+ raw wall is past fixed-cost jitter
+    # territory and keeps the authoritative flag.
+    rec = decide_flag(0.6, 0.3, 1.0, _M, dict(_M), idle=True)
+    assert rec is not None and rec["reasons"] == ["wall"]
+
+
+def test_subfloor_byte_growth_still_flags():
+    # The floor only softens wall-only evidence; a sub-floor query whose
+    # bytes grew is a plan change and flags regardless of wall size.
+    now = {"shuffle_read_bytes": 40_000_000, "input_bytes": 50_000_000}
+    rec = decide_flag(0.3, 0.1, 1.0, now, dict(_M), idle=True)
+    assert rec is not None
+    assert "shuffle_read_bytes" in rec["reasons"]
+    assert "wall" in rec["reasons"]
+
+
+def test_subfloor_without_byte_budget_stays_authoritative():
+    # No byte evidence to disprove the wall with -> degraded mode keeps
+    # the flag even under the floor.
+    rec = decide_flag(0.4, 0.2, 1.0, _M, None, idle=True)
+    assert rec is not None and rec["reasons"] == ["wall"]
