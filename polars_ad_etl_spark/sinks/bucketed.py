@@ -34,10 +34,15 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int,
     sort_col: str | None = None,
+    path: str | None = None,
 ) -> None:
-    """Materialize ``df`` as a catalog-managed parquet table bucketed (and
+    """Materialize ``df`` as a catalog parquet table bucketed (and
     optionally sorted) on ``bucket_col`` — the one-time shuffle that every
-    later bucket-key join avoids."""
+    later bucket-key join avoids. ``path`` makes it an external table (data
+    at an explicit location instead of the session's spark-warehouse); the
+    lazy star-layout loaders (sources/star.py) and the compaction job below
+    both write through here, so bucketed layouts have exactly one write
+    path."""
     w = (
         df.write.mode("overwrite")
         .format("parquet")
@@ -45,7 +50,40 @@ def write_bucketed(
     )
     if sort_col is not None:
         w = w.sortBy(sort_col)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def compact_star_bucketed(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> dict[str, str]:
+    """The scheduled-compaction writer job for the star bucketed layouts.
+
+    In production the bucketed stores are not built lazily on first read —
+    a scheduled job (re)materializes them after each ingest batch, and
+    every reader then finds the layout ready. This is that job's entry
+    point: it eagerly materializes all three layouts (documents by doc_id,
+    documents by content hash, embeddings by vec_id) and returns
+    ``{layout: catalog_table_name}``. Because the table name is keyed by
+    (source path, mtime, bucket spec), the lazy loaders transparently reuse
+    whatever this job wrote — running the job first simply moves the
+    one-time shuffle off the query path; the read-side plans (the pinned
+    part) are identical either way.
+    """
+    from ..sources import star
+
+    return {
+        "documents_by_id": star.documents_bucketed_table(
+            spark, sf_dir, n_buckets
+        ),
+        "documents_by_hash": star.documents_hash_bucketed_table(
+            spark, sf_dir, n_buckets
+        ),
+        "embeddings_by_id": star.embeddings_bucketed_table(
+            spark, sf_dir, n_buckets
+        ),
+    }
 
 
 def bucketed_join(

@@ -135,15 +135,27 @@ def _materialized_bucketed(
     )
     name = f"{prefix}_{hashlib.md5(key.encode()).hexdigest()[:12]}"
     if not spark.catalog.tableExists(name):
-        (
-            df.write.mode("overwrite")
-            .option("path", str(_BUCKETED_ROOT / name))
-            .bucketBy(n_buckets, bucket_col)
-            .sortBy(bucket_col)
-            .format("parquet")
-            .saveAsTable(name)
+        from ..sinks.bucketed import write_bucketed
+
+        write_bucketed(
+            df, name, bucket_col, n_buckets,
+            sort_col=bucket_col, path=str(_BUCKETED_ROOT / name),
         )
     return name
+
+
+def documents_bucketed_table(
+    spark: SparkSession, sf_dir: str | Path, n_buckets: int = 8
+) -> str:
+    """Materialize (or reuse) the doc_id-bucketed documents store; returns
+    its catalog table name. The scheduled-compaction job
+    (sinks/bucketed.py::compact_star_bucketed) calls this eagerly; the lazy
+    loader below calls it on first read."""
+    src = Path(sf_dir) / "documents.parquet"
+    d = spark.read.parquet(str(src))
+    return _materialized_bucketed(
+        spark, src, d, "documents_by_id", "doc_id", n_buckets
+    )
 
 
 def load_documents_bucketed_by_id(
@@ -153,12 +165,21 @@ def load_documents_bucketed_by_id(
     dedup/curation workload joins its id-lists (keep lists, candidate
     pairs, ANN results) back against. Bucket count guidance at scale:
     table_bytes / 256 MB (sinks/bucketed.py docstring)."""
+    return spark.table(documents_bucketed_table(spark, sf_dir, n_buckets))
+
+
+def documents_hash_bucketed_table(
+    spark: SparkSession, sf_dir: str | Path, n_buckets: int = 8
+) -> str:
+    """Materialize (or reuse) the content-hash-bucketed (doc_id, text_hash)
+    store; returns its catalog table name."""
     src = Path(sf_dir) / "documents.parquet"
-    d = spark.read.parquet(str(src))
-    name = _materialized_bucketed(
-        spark, src, d, "documents_by_id", "doc_id", n_buckets
+    d = spark.read.parquet(str(src)).select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("text_hash")
     )
-    return spark.table(name)
+    return _materialized_bucketed(
+        spark, src, d, "documents_by_hash", "text_hash", n_buckets
+    )
 
 
 def load_documents_bucketed_by_hash(
@@ -169,14 +190,21 @@ def load_documents_bucketed_by_hash(
     Exchange at all — the write-time shuffle is amortized over every dedup
     pass. Per-workload layouts are the norm at 100 TB: the same table is
     stored once per dominant access key."""
-    src = Path(sf_dir) / "documents.parquet"
-    d = spark.read.parquet(str(src)).select(
-        "doc_id", F.md5(F.lower(F.trim("text"))).alias("text_hash")
+    return spark.table(
+        documents_hash_bucketed_table(spark, sf_dir, n_buckets)
     )
-    name = _materialized_bucketed(
-        spark, src, d, "documents_by_hash", "text_hash", n_buckets
+
+
+def embeddings_bucketed_table(
+    spark: SparkSession, sf_dir: str | Path, n_buckets: int = 8
+) -> str:
+    """Materialize (or reuse) the vec_id-bucketed embeddings store; returns
+    its catalog table name."""
+    src = Path(sf_dir) / "embeddings.parquet"
+    e = load_embeddings(spark, sf_dir)
+    return _materialized_bucketed(
+        spark, src, e, "embeddings_by_id", "vec_id", n_buckets
     )
-    return spark.table(name)
 
 
 def load_embeddings_bucketed(
@@ -186,12 +214,7 @@ def load_embeddings_bucketed(
     already applied — the layout stores only rows the engine will ever
     serve). ANN indexes hold ids; resolving ids to payload rows is a
     point-join against this store, Exchange-free on the store side."""
-    src = Path(sf_dir) / "embeddings.parquet"
-    e = load_embeddings(spark, sf_dir)
-    name = _materialized_bucketed(
-        spark, src, e, "embeddings_by_id", "vec_id", n_buckets
-    )
-    return spark.table(name)
+    return spark.table(embeddings_bucketed_table(spark, sf_dir, n_buckets))
 
 
 TABLES = (

@@ -81,3 +81,41 @@ def test_embeddings_store_applies_the_vector_contract(spark, tmp_path):
     )
     store = load_embeddings_bucketed(spark, sf)
     assert [r.vec_id for r in store.collect()] == [0]
+
+
+def test_compaction_job_prebuilds_and_loaders_reuse(spark, tmp_path):
+    # The production path: a scheduled job materializes every layout after
+    # ingest (sinks/bucketed.py::compact_star_bucketed); readers then find
+    # the layout ready. Pin that (a) the job builds all three layouts, and
+    # (b) the lazy loaders reuse the job's tables instead of re-shuffling.
+    from polars_ad_etl_spark.sinks.bucketed import compact_star_bucketed
+    from polars_ad_etl_spark.sources.star import load_embeddings_bucketed
+
+    sf = str(tmp_path)
+    _write_docs(spark, sf + "/documents.parquet", ["a", "b", "b"])
+    spark.createDataFrame(
+        [(0, [0.5] * 4, 1), (1, [0.25] * 4, 2)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        sf + "/embeddings.parquet"
+    )
+
+    tables = compact_star_bucketed(spark, sf, n_buckets=4)
+    assert set(tables) == {
+        "documents_by_id", "documents_by_hash", "embeddings_by_id",
+    }
+    for name in tables.values():
+        assert spark.catalog.tableExists(name)
+
+    n_after_job = len(spark.catalog.listTables())
+    by_id = load_documents_bucketed_by_id(spark, sf, n_buckets=4)
+    by_hash = load_documents_bucketed_by_hash(spark, sf, n_buckets=4)
+    emb = load_embeddings_bucketed(spark, sf, n_buckets=4)
+    # no loader created a new table: each resolved to the job's output
+    assert len(spark.catalog.listTables()) == n_after_job
+    assert by_id.count() == 3
+    assert by_hash.select(F.countDistinct("text_hash")).first()[0] == 2
+    assert emb.count() == 2
+    # re-running the job against unchanged sources is also a no-op reuse
+    assert compact_star_bucketed(spark, sf, n_buckets=4) == tables
+    assert len(spark.catalog.listTables()) == n_after_job
