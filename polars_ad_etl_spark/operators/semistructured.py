@@ -5,11 +5,18 @@ INTERSECT ALL, and interval range-frame windows.
 
 from __future__ import annotations
 
+import hashlib
+import tempfile
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from polars_ad_etl_spark.functions.exact import dsum, dsum_sql
 from polars_ad_etl_spark.operators.registry import register
+from polars_ad_etl_spark.sinks.jsonl import write_jsonl
+from polars_ad_etl_spark.sources.tabular import read_jsonl
 from polars_ad_etl_spark.sources.star import load_embeddings, load_events
 
 
@@ -252,4 +259,67 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
             F.sum("k").alias("sum_k"),
         )
+    )
+
+
+# ------------------------------------------------------------------ JSONL
+# JSONL is the native interchange format of LLM corpora; the engine reads
+# it via sources/tabular.py::read_jsonl (and the quarantining variant) and
+# writes it via sinks/jsonl.py::write_jsonl. The differential proof of
+# round-trip fidelity is a registry query: write the documents table to
+# JSONL shards, read it back through the schema'd reader, and
+# hash-match a DuckDB oracle that never left parquet — JSON escaping,
+# unicode, and null-field dropping (the writer omits null fields; the
+# reader resurfaces them as NULLs) must all be lossless or the per-group
+# text digests diverge. The JSONL twin materializes once per (source path,
+# mtime) under the system temp dir, same staleness key as the bucketed
+# layouts in sources/star.py.
+
+_JSONL_ROOT = Path(tempfile.gettempdir()) / "spark_graft_jsonl_twins"
+
+# The documents corpus contract (TESTDATA.md schema) for the schema'd JSONL
+# read — explicit on purpose: schema inference over JSONL is a second full
+# scan of every shard at 100 TB, so corpus readers always declare.
+DOCUMENTS_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+@register(
+    "source_jsonl_roundtrip",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus profile computed over a JSONL round-trip
+    of the documents table (sources/jsonl.py). The oracle reads the
+    original parquet, so any loss in the JSONL writer/reader — mangled
+    escapes, dropped rows, a corrupt-quarantined line that should have
+    parsed — shows up as a digest mismatch, not a silent corruption."""
+    src = Path(sf_dir) / "documents.parquet"
+    key = f"{src.resolve()}:{src.stat().st_mtime_ns}"
+    out = _JSONL_ROOT / f"docs_{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    if not (out / "_SUCCESS").exists():
+        write_jsonl(spark.read.parquet(str(src)), str(out), n_shards=4)
+    d = read_jsonl(spark, out, DOCUMENTS_JSONL_SCHEMA)
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct(F.md5("text")).alias("n_distinct_texts"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
     )

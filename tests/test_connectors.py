@@ -636,3 +636,63 @@ def test_google_cloud_client_scope_passthrough(spark, monkeypatch):
     monkeypatch.setattr(builtins, "__import__", _no_gspread)
     with _pytest.raises(NotImplementedError):
         client.googlesheet._authorize()
+
+
+def test_write_jsonl_round_trips_nulls_and_unicode(spark, tmp_path):
+    """The JSONL sink (sinks/jsonl.py) must be lossless through the
+    schema'd reader: null fields are OMITTED from the written line (JSONL
+    convention, Spark's ignoreNullFields default) and resurface as NULLs;
+    unicode and JSON metacharacters survive escaping."""
+    from pyspark.sql import types as T
+
+    from polars_ad_etl_spark.sinks.jsonl import write_jsonl
+    from polars_ad_etl_spark.sources.tabular import read_jsonl
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [
+        (1, 'he said "hi"\nand left \\ fin'),
+        (2, "한국어 텍스트 — emoji \U0001f600"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "corpus")
+    write_jsonl(df, out, n_shards=2)
+    # null field physically omitted from the line, not written as "null"
+    import pathlib
+
+    lines = []
+    for p in pathlib.Path(out).glob("part-*"):
+        lines += p.read_text().splitlines()
+    assert len(lines) == 3
+    line3 = next(ln for ln in lines if '"doc_id":3' in ln.replace(" ", ""))
+    assert "text" not in line3
+    back = read_jsonl(spark, out, schema)
+    assert sorted(
+        (r.doc_id, r.text) for r in back.collect()
+    ) == sorted(rows)
+
+
+def test_write_jsonl_compression_and_shards(spark, tmp_path):
+    """gzip shards read back transparently; n_shards controls file count
+    (the layout knob: corpus_bytes / target_shard_bytes at scale)."""
+    from pyspark.sql import types as T
+
+    from polars_ad_etl_spark.sinks.jsonl import write_jsonl
+    from polars_ad_etl_spark.sources.tabular import read_jsonl
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+    df = spark.createDataFrame([(i,) for i in range(100)], schema)
+    out = str(tmp_path / "gz")
+    write_jsonl(df, out, n_shards=3, compression="gzip")
+    import pathlib
+
+    parts = list(pathlib.Path(out).glob("part-*.gz"))
+    assert len(parts) == 3
+    back = read_jsonl(spark, out, schema)
+    assert back.count() == 100
+    assert back.agg({"doc_id": "sum"}).first()[0] == sum(range(100))
