@@ -325,6 +325,49 @@ def demote_uniform_wall_flags(
     return flagged, {}
 
 
+def arbitrate_wall_flags_by_retime(
+    flagged: dict,
+    retime,
+    threshold: float = 1.5,
+    max_retimes: int = 8,
+) -> tuple[dict, dict]:
+    """End-of-run re-timing arbitration for wall-only flags.
+
+    Measured on this VM (two idle-by-loadavg runs 3 minutes apart on
+    identical code: 20.2s vs 28.7s totals, 0 vs 8 wall flags, every flag
+    byte-identical): a latency regime can inflate a subset of walls ~1.4x
+    without tripping the fleet-demotion fraction and without the
+    throughput probe seeing it. The one disproof still available inside
+    the run is a FRESH measurement in a different host minute: after all
+    flags are decided, each wall-only byte-identical flag is re-timed
+    once (best-of-N, same harness). A retime under ``threshold * budget``
+    — held to the strictest bar, raw seconds, no regime divisor — proves
+    the plan still meets budget and demotes the flag to
+    ``wall_retime_cleared`` (informational, retime recorded). A retime
+    still over budget leaves the flag authoritative: conservative in the
+    direction that never hides a real regression, since a genuine code
+    slowdown reproduces in every minute. Byte-moving flags are never
+    retimed — bytes are already load-immune evidence.
+
+    ``retime``: callable name -> fresh raw seconds. Returns
+    (still_authoritative, retime_cleared); mutates cleared records'
+    reasons and stamps ``retime_sec`` on every record it re-measured."""
+    cleared: dict = {}
+    attempted = 0
+    for name, rec in list(flagged.items()):
+        if rec["reasons"] != ["wall"] or not rec.get("bytes_identical"):
+            continue
+        if attempted >= max_retimes:
+            break
+        attempted += 1
+        sec = retime(name)
+        rec["retime_sec"] = round(sec, 3)
+        if rec.get("budget") and sec <= threshold * rec["budget"]:
+            rec["reasons"] = ["wall_retime_cleared"]
+            cleared[name] = rec
+    return {n: r for n, r in flagged.items() if n not in cleared}, cleared
+
+
 def _idle_check() -> dict:
     """Record machine business before the timed section.
 
@@ -492,6 +535,20 @@ def main() -> None:
                 flagged, n_checked_
             )
             wall_suspect.update(regime_demoted)
+            if flagged:
+                def _retime(name: str) -> float:
+                    fn = QUERIES[name]
+                    best = float("inf")
+                    for _ in range(max(runs, 1)):
+                        t0 = time.perf_counter()
+                        fn(spark, sf_dir).count()
+                        best = min(best, time.perf_counter() - t0)
+                    return best
+
+                flagged, retime_cleared = arbitrate_wall_flags_by_retime(
+                    flagged, _retime
+                )
+                wall_suspect.update(retime_cleared)
             budget_check = {
                 "threshold": 1.5,
                 "basis": ("one-sided regime-normalized wall "

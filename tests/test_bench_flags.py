@@ -184,3 +184,53 @@ def test_subfloor_without_byte_budget_stays_authoritative():
     # the flag even under the floor.
     rec = decide_flag(0.4, 0.2, 1.0, _M, None, idle=True)
     assert rec is not None and rec["reasons"] == ["wall"]
+
+
+arbitrate_wall_flags_by_retime = bench.arbitrate_wall_flags_by_retime
+
+
+def _wall_rec(budget=1.0):
+    return {"reasons": ["wall"], "bytes_identical": True, "budget": budget,
+            "sec": 2.0}
+
+
+def test_retime_under_budget_clears_the_flag():
+    # The measured mode: two idle runs minutes apart, 20.2s vs 28.7s on
+    # identical code — a fresh end-of-run measurement under budget proves
+    # the plan still holds and demotes the wall flag.
+    flags = {"q": _wall_rec(budget=1.0)}
+    auth, cleared = arbitrate_wall_flags_by_retime(
+        flags, lambda n: 0.9, threshold=1.5)
+    assert auth == {} and list(cleared) == ["q"]
+    assert cleared["q"]["reasons"] == ["wall_retime_cleared"]
+    assert cleared["q"]["retime_sec"] == 0.9
+
+
+def test_retime_still_over_budget_stays_authoritative():
+    # A genuine regression reproduces in every minute: the flag stands,
+    # with the confirming retime recorded.
+    flags = {"q": _wall_rec(budget=1.0)}
+    auth, cleared = arbitrate_wall_flags_by_retime(
+        flags, lambda n: 1.8, threshold=1.5)
+    assert list(auth) == ["q"] and cleared == {}
+    assert auth["q"]["reasons"] == ["wall"]
+    assert auth["q"]["retime_sec"] == 1.8
+
+
+def test_retime_never_touches_byte_moving_flags():
+    # Bytes are load-immune evidence; a plan change must not be retimed
+    # away even by a fast minute.
+    flags = {"q": {"reasons": ["shuffle_read_bytes", "wall"],
+                   "bytes_identical": False, "budget": 1.0}}
+    calls = []
+    auth, cleared = arbitrate_wall_flags_by_retime(
+        flags, lambda n: calls.append(n) or 0.1)
+    assert list(auth) == ["q"] and cleared == {} and calls == []
+
+
+def test_retime_cap_bounds_the_extra_wall_cost():
+    flags = {f"q{i}": _wall_rec() for i in range(12)}
+    calls = []
+    auth, cleared = arbitrate_wall_flags_by_retime(
+        flags, lambda n: calls.append(n) or 0.5, max_retimes=8)
+    assert len(calls) == 8 and len(cleared) == 8 and len(auth) == 4
