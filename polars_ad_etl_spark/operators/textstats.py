@@ -619,6 +619,130 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ----------------------------------------------------- BPE corpus encoding
+# The encode half of the tokenizer pipeline (train -> ENCODE -> budget):
+# apply the corpus-trained merge table to the word-type table and report,
+# per source, how many subword tokens the corpus costs — the number that
+# drives per-source compute budgeting and mixture weights. One tokenizer
+# for the whole mixture (the production shape), so merges come from the
+# same corpus-global unrolled trainer as `text_bpe_train_merges`.
+#
+# Degenerate-corpus guard (edge sweeps: a corpus whose words are all
+# single symbols trains ZERO merges): an empty argmax must leave sequences
+# UNCHANGED, not wipe them. Spark: left broadcast-nested-loop join on TRUE
+# + CASE (a crossJoin against an empty 1-row frame would delete every
+# word); DuckDB: COALESCE around the NULL-pattern replace (replace with a
+# NULL needle is NULL there).
+#
+# Scale shape: encoding joins the per-(source, word) table against the
+# word-type encoding — both vocabulary-sized, not corpus-sized; the only
+# corpus-sized work is the same tokenize+count every *_frequencies query
+# runs.
+
+
+def _bpe_encode_oracle() -> str:
+    chseq = "array_to_string(string_split(w, ''), '  ')"
+    pair_list = (
+        "[{'l': t[i], 'r': t[i+1]} for i in generate_series(1, len(t) - 1)]"
+    )
+    parts = [f"""
+    words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({tokens_sql('text')}) AS w FROM documents)
+        GROUP BY w
+    ),
+    eseq0 AS (SELECT w, freq, {chseq} AS seq FROM words)"""]
+    for k in range(1, N_BPE_MERGES + 1):
+        parts.append(f"""
+    estats{k} AS (
+        SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS pair_freq
+        FROM (SELECT freq, unnest({pair_list}) AS p
+              FROM (SELECT freq, string_split(seq, '  ') AS t
+                    FROM eseq{k - 1}))
+        GROUP BY 1, 2
+    ),
+    etop{k} AS (
+        SELECT l, r FROM estats{k}
+        ORDER BY pair_freq DESC, l, r LIMIT 1
+    ),
+    eseq{k} AS (
+        SELECT w, freq,
+               COALESCE(replace(seq, (SELECT l FROM etop{k}) || '  ' ||
+                                     (SELECT r FROM etop{k}),
+                                (SELECT l || r FROM etop{k})), seq) AS seq
+        FROM eseq{k - 1}
+    )""")
+    parts.append(f"""
+    wtok AS (
+        SELECT w, CAST(len(string_split(seq, '  ')) AS BIGINT) AS n_tok
+        FROM eseq{N_BPE_MERGES}
+    ),
+    per_src AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT source, unnest({tokens_sql('text')}) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    )""")
+    return ("WITH " + ",".join(parts) + """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_word_types,
+           CAST(SUM(p.freq) AS BIGINT) AS n_words,
+           CAST(SUM(p.freq * t.n_tok) AS BIGINT) AS n_subword_tokens,
+           CAST((1000 * SUM(p.freq * t.n_tok)) // SUM(p.freq) AS BIGINT)
+               AS fertility_permille
+    FROM per_src p JOIN wtok t USING (w)
+    GROUP BY source""")
+
+
+def _bpe_apply_merge_guarded(seqs: DataFrame, top: DataFrame) -> DataFrame:
+    """Apply one merge to every sequence, identity when ``top`` is empty."""
+    t = top.select(F.col("l").alias("_tl"), F.col("r").alias("_tr"))
+    keep = [c for c in seqs.columns if c != "seq"]
+    return seqs.join(F.broadcast(t), F.lit(True), "left").select(
+        *keep,
+        F.when(F.col("_tl").isNull(), F.col("seq"))
+        .otherwise(
+            F.expr("replace(seq, _tl || '  ' || _tr, concat(_tl, _tr))")
+        )
+        .alias("seq"),
+    )
+
+
+@register("text_bpe_encode_stats", oracle=_bpe_encode_oracle())
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus tokenization cost under the corpus-trained BPE
+    merges: word types, word count, subword-token count, and exact-integer
+    fertility (subword tokens per thousand words). See the section comment
+    for the degenerate-corpus guard and the vocabulary-sized scale shape."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seqs = _bpe_words(spark, sf_dir).select(
+        "w", "freq", F.expr(_CHSEQ).alias("seq")
+    )
+    for _ in range(N_BPE_MERGES):
+        top = _bpe_top_pair(seqs).localCheckpoint(eager=True)
+        seqs = _bpe_apply_merge_guarded(seqs, top)
+    wtok = seqs.select(
+        "w", F.size(F.split("seq", "  ")).cast("long").alias("n_tok")
+    )
+    per_src = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("freq"))
+    )
+    return (
+        per_src.join(wtok, "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_word_types"),
+            F.sum("freq").alias("n_words"),
+            F.sum(F.col("freq") * F.col("n_tok")).alias("n_subword_tokens"),
+            F.expr("(1000 * sum(freq * n_tok)) div sum(freq)").alias(
+                "fertility_permille"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------- self-repetition cleanup
 @register(
     "text_collapse_repeats",

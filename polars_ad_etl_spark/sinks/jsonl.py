@@ -38,3 +38,30 @@ def write_jsonl(
     if compression is not None:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def stream_to_jsonl(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    compression: str | None = None,
+):
+    """Streaming JSONL terminal: append NDJSON shards exactly-once.
+
+    Spark's native file-stream sink commits each micro-batch's files
+    through the checkpointed file-sink log, so a replayed batch never
+    double-writes — downstream batch readers (``read_jsonl`` /
+    ``read_jsonl_quarantined``) read the directory as plain JSONL shards.
+    This is the streaming sibling of :func:`write_jsonl`, the shape a
+    continuously-ingesting corpus exporter runs; shard size is governed by
+    the trigger interval, not n_shards (one file per partition per batch).
+    """
+    w = (
+        stream_df.writeStream.outputMode("append")
+        .format("json")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if compression is not None:
+        w = w.option("compression", compression)
+    return w.start()

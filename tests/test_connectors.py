@@ -696,3 +696,49 @@ def test_write_jsonl_compression_and_shards(spark, tmp_path):
     back = read_jsonl(spark, out, schema)
     assert back.count() == 100
     assert back.agg({"doc_id": "sum"}).first()[0] == sum(range(100))
+
+
+def test_stream_to_jsonl_exactly_once_and_batch_readable(spark, tmp_path):
+    """Streaming JSONL terminal (sinks/jsonl.py::stream_to_jsonl): rows
+    stream in via the jsonl_tail source, land as NDJSON shards committed
+    through the file-sink log, read back losslessly with the batch
+    reader; a restart on the same checkpoint replays nothing."""
+    import time as _t
+
+    from pyspark.sql import types as T
+
+    from polars_ad_etl_spark.sinks.jsonl import stream_to_jsonl
+    from polars_ad_etl_spark.sources.stream_jsonl import JsonlTailDataSource
+    from polars_ad_etl_spark.sources.tabular import read_jsonl
+
+    spark.dataSource.register(JsonlTailDataSource)
+    src = tmp_path / "feed.jsonl"
+    rows = [{"id": i, "v": f"r{i}"} for i in range(20)]
+    src.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+
+    def _run():
+        stream = (
+            spark.readStream.format("jsonl_tail").schema(schema)
+            .option("path", str(src)).option("batchrows", "7").load()
+        )
+        q = stream_to_jsonl(stream, out, ckpt)
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            if read_jsonl(spark, out, schema).count() >= 20:
+                break
+            _t.sleep(0.5)
+        q.stop()
+
+    _run()
+    back = read_jsonl(spark, out, schema)
+    assert sorted((r.id, r.v) for r in back.collect()) == [
+        (i, f"r{i}") for i in range(20)
+    ]
+    # restart on the same checkpoint: the committed offsets + file-sink log
+    # replay nothing — still exactly 20 rows
+    _run()
+    assert read_jsonl(spark, out, schema).count() == 20

@@ -34,6 +34,7 @@ QUERIES_UNDER_TEST = [
     "text_cdc_dedup_gain",
     "text_char_trigram_table",
     "text_bpe_train_merges",
+    "text_bpe_encode_stats",
     "text_bpe_merge_candidates",
     "text_pii_redaction",
     "text_token_counts",
