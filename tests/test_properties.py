@@ -1510,3 +1510,41 @@ def test_lsh_cap_accounting_invariant(spark_session_holder, tmp_path_factory, da
                 (a, c) for i, a in enumerate(ids) for c in ids[i + 1 :]
             }
     assert uncapped <= capped | dropped_pairs  # nothing vanishes silently
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2**40),
+            st.one_of(st.none(), st.text(max_size=60)),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_jsonl_round_trip_is_lossless(spark, tmp_path_factory, rows):
+    """JSONL sink/source must be a lossless pair on arbitrary unicode
+    (controls, quotes, backslashes, astral chars — everything JSON
+    escaping can mangle) and on NULL texts (omitted on write, NULL on
+    read). This is the property behind the source_jsonl_roundtrip
+    oracle: if it ever fails, the digest comparison would too."""
+    from pyspark.sql import types as T
+
+    from polars_ad_etl_spark.sinks.jsonl import write_jsonl
+    from polars_ad_etl_spark.sources.tabular import read_jsonl
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    out = str(tmp_path_factory.mktemp("jsonl_prop") / "corpus")
+    write_jsonl(spark.createDataFrame(rows, schema), out, n_shards=2)
+    back = read_jsonl(spark, out, schema)
+    assert sorted(
+        (r.doc_id, r.text) for r in back.collect()
+    ) == sorted(rows)
