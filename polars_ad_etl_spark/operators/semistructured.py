@@ -6,7 +6,6 @@ INTERSECT ALL, and interval range-frame windows.
 from __future__ import annotations
 
 import hashlib
-import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -272,10 +271,12 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unicode, and null-field dropping (the writer omits null fields; the
 # reader resurfaces them as NULLs) must all be lossless or the per-group
 # text digests diverge. The JSONL twin materializes once per (source path,
-# mtime) under the system temp dir, same staleness key as the bucketed
-# layouts in sources/star.py.
+# mtime) under the uid-keyed private cache root (cache.py: 0700 dir,
+# ownership-verified, atomic build-then-rename publish — a shared temp path
+# was a poisoning/race surface, round-9 advice), same staleness key as the
+# bucketed layouts in sources/star.py.
 
-_JSONL_ROOT = Path(tempfile.gettempdir()) / "spark_graft_jsonl_twins"
+from polars_ad_etl_spark.cache import private_cache_root, publish_dir
 
 # The documents corpus contract (TESTDATA.md schema) for the schema'd JSONL
 # read — explicit on purpose: schema inference over JSONL is a second full
@@ -312,9 +313,14 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed — shows up as a digest mismatch, not a silent corruption."""
     src = Path(sf_dir) / "documents.parquet"
     key = f"{src.resolve()}:{src.stat().st_mtime_ns}"
-    out = _JSONL_ROOT / f"docs_{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    root = private_cache_root("spark_graft_jsonl_twins")
+    out = root / f"docs_{hashlib.md5(key.encode()).hexdigest()[:12]}"
     if not (out / "_SUCCESS").exists():
-        write_jsonl(spark.read.parquet(str(src)), str(out), n_shards=4)
+        # Build in a unique sibling dir, publish by atomic rename: a reader
+        # can never observe a half-written twin, and a concurrent-writer
+        # race resolves to exactly one (equivalent) copy.
+        with publish_dir(out) as tmp:
+            write_jsonl(spark.read.parquet(str(src)), str(tmp), n_shards=4)
     d = read_jsonl(spark, out, DOCUMENTS_JSONL_SCHEMA)
     return d.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-import tempfile
+
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -115,10 +115,16 @@ def load_embeddings(spark: SparkSession, sf_dir: str | Path) -> DataFrame:
 # Exchange (plan-pinned in tests/test_plan_quality.py). The table name
 # encodes the source path + mtime, so regenerated testdata can never serve
 # a stale layout, and distinct sf/edge dirs never collide inside one
-# session. Data lands under the system temp dir (external-table path), so a
-# driver running from an arbitrary cwd never grows a spark-warehouse there.
+# session. Data lands under the uid-keyed private cache root (cache.py:
+# 0700, ownership-verified — a fixed shared temp path was a poisoning
+# surface on multi-user hosts, round-9 advice), so a driver running from an
+# arbitrary cwd never grows a spark-warehouse there.
 
-_BUCKETED_ROOT = Path(tempfile.gettempdir()) / "spark_graft_bucketed_layouts"
+
+def _bucketed_root() -> Path:
+    from polars_ad_etl_spark.cache import private_cache_root
+
+    return private_cache_root("spark_graft_bucketed_layouts")
 
 
 def _materialized_bucketed(
@@ -139,7 +145,7 @@ def _materialized_bucketed(
 
         write_bucketed(
             df, name, bucket_col, n_buckets,
-            sort_col=bucket_col, path=str(_BUCKETED_ROOT / name),
+            sort_col=bucket_col, path=str(_bucketed_root() / name),
         )
     return name
 

@@ -28,7 +28,6 @@ import json
 import shutil
 import statistics
 import sys
-import tempfile
 import time
 from pathlib import Path
 
@@ -52,7 +51,7 @@ from polars_ad_etl_spark.sources.star import (  # noqa: E402
     load_embeddings_bucketed,
 )
 
-_BUCKETED_ROOT = Path(tempfile.gettempdir()) / "spark_graft_bucketed_layouts"
+from polars_ad_etl_spark.sources.star import _bucketed_root  # noqa: E402
 
 
 def _timed(metrics, fn, n=3):
@@ -85,7 +84,7 @@ def main() -> int:
     for t in list(spark.catalog.listTables()):
         if t.name.startswith(("documents_by_", "embeddings_by_")):
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-    shutil.rmtree(_BUCKETED_ROOT, ignore_errors=True)
+    shutil.rmtree(_bucketed_root(), ignore_errors=True)
 
     mat = {}
     for name, loader in (

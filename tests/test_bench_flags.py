@@ -234,3 +234,90 @@ def test_retime_cap_bounds_the_extra_wall_cost():
     auth, cleared = arbitrate_wall_flags_by_retime(
         flags, lambda n: calls.append(n) or 0.5, max_retimes=8)
     assert len(calls) == 8 and len(cleared) == 8 and len(auth) == 4
+
+
+def test_retime_between_budget_and_threshold_is_borderline():
+    # Round-10 split: a retime that lands in (budget, threshold*budget] is
+    # neither a disproof (not under budget) nor a confirmation (the
+    # over-threshold wall did not reproduce). It demotes out of the
+    # authoritative set but keeps a distinct label so a recurring
+    # borderline is visible run-over-run instead of vanishing into
+    # "cleared".
+    flags = {"q": _wall_rec(budget=1.0)}
+    auth, demoted = arbitrate_wall_flags_by_retime(
+        flags, lambda n: 1.3, threshold=1.5)
+    assert auth == {} and list(demoted) == ["q"]
+    assert demoted["q"]["reasons"] == ["wall_retime_borderline"]
+    assert demoted["q"]["retime_sec"] == 1.3
+
+
+def test_subfloor_gross_regression_stays_authoritative():
+    # Round-10 escape hatch for the floor's documented blind spot: a
+    # byte-neutral compute regression on a fixed-cost query (0.1s budget
+    # -> 0.45s wall = 4.5x) is outside every observed jitter regime and
+    # must flag even though the raw wall sits under the 0.5s floor.
+    rec = decide_flag(0.45, 0.1, 1.0, _M, dict(_M), idle=True)
+    assert rec is not None and rec["reasons"] == ["wall"]
+
+
+def test_subfloor_under_gross_ratio_still_demotes():
+    # ...while the ordinary jitter band (<3x) keeps the floor demotion.
+    rec = decide_flag(0.45, 0.2, 1.0, _M, dict(_M), idle=True)
+    assert rec is not None
+    assert rec["reasons"] == ["wall_smallfloor_suspect"]
+
+
+# ---------------------------------------------- epoch budget re-basing
+update_budgets = bench.update_budgets
+
+_MET = {"q": {"shuffle_read_bytes": 100, "input_bytes": 200, "n_stages": 3}}
+
+
+def test_update_budgets_first_run_starts_epoch_one():
+    bud = {"sf": 0.1, "budgets": {"q": 0.5}}  # legacy ratchet-minimum file
+    assert update_budgets(bud, {"q": 1.2}, _MET, 1.0, idle=True)
+    assert bud["epoch"] == 1
+    # legacy golden-minute budget replaced by the fresh sample, not kept
+    assert bud["budgets"]["q"] == 1.2
+    assert bud["wall_samples"]["q"] == [1.2]
+    assert bud["byte_budgets"]["q"]["shuffle_read_bytes"] == 100
+
+
+def test_update_budgets_median_not_minimum():
+    # The round-9 root cause: ratchet minima converge on golden minutes.
+    # The epoch budget is the lower median of recent idle samples, so one
+    # lucky 0.8s minute among typical 1.2s runs does NOT become the bar.
+    bud = {"sf": 0.1, "budgets": {}, "epoch": 1,
+           "wall_samples": {"q": [1.2, 0.8, 1.3]}}
+    update_budgets(bud, {"q": 1.25}, {}, 1.0, idle=True)
+    assert bud["wall_samples"]["q"] == [1.2, 0.8, 1.3, 1.25]
+    assert bud["budgets"]["q"] == 1.2  # lower median of 4 samples
+
+
+def test_update_budgets_sample_window_is_bounded():
+    bud = {"sf": 0.1, "budgets": {}, "epoch": 1,
+           "wall_samples": {"q": [1.0, 2.0, 3.0, 4.0, 5.0]}}
+    update_budgets(bud, {"q": 6.0}, {}, 1.0, idle=True)
+    assert bud["wall_samples"]["q"] == [2.0, 3.0, 4.0, 5.0, 6.0]
+    assert bud["budgets"]["q"] == 4.0
+
+
+def test_update_budgets_busy_host_cannot_loosen_the_bar():
+    bud = {"sf": 0.1, "budgets": {"q": 1.0}, "epoch": 1,
+           "wall_samples": {"q": [1.0]}}
+    assert not update_budgets(bud, {"q": 9.0}, {}, 1.0, idle=False)
+    assert bud["budgets"]["q"] == 1.0 and bud["wall_samples"]["q"] == [1.0]
+
+
+def test_update_budgets_rebase_resets_history_and_bumps_epoch():
+    bud = {"sf": 0.1, "budgets": {"q": 1.0}, "epoch": 3,
+           "wall_samples": {"q": [1.0, 1.1]}}
+    update_budgets(bud, {"q": 2.0}, {}, 1.0, idle=True, rebase=True)
+    assert bud["epoch"] == 4
+    assert bud["wall_samples"]["q"] == [2.0] and bud["budgets"]["q"] == 2.0
+
+
+def test_update_budgets_normalizes_by_divisor():
+    bud = {"sf": 0.1, "budgets": {}, "epoch": 1, "wall_samples": {}}
+    update_budgets(bud, {"q": 2.0}, {}, 2.0, idle=True)
+    assert bud["wall_samples"]["q"] == [1.0]

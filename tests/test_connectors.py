@@ -667,7 +667,10 @@ def test_write_jsonl_round_trips_nulls_and_unicode(spark, tmp_path):
 
     lines = []
     for p in pathlib.Path(out).glob("part-*"):
-        lines += p.read_text().splitlines()
+        # explicit encoding: JSONL shards are UTF-8 by spec; the platform
+        # default on a non-UTF-8 locale would fail the emoji assertions
+        # spuriously even though the sink is correct.
+        lines += p.read_text(encoding="utf-8").splitlines()
     assert len(lines) == 3
     line3 = next(ln for ln in lines if '"doc_id":3' in ln.replace(" ", ""))
     assert "text" not in line3
