@@ -34,5 +34,7 @@ from polars_ad_etl_spark.operators import privacy  # noqa: E402,F401
 from polars_ad_etl_spark.operators import diffing  # noqa: E402,F401
 from polars_ad_etl_spark.operators import sql_api  # noqa: E402,F401
 from polars_ad_etl_spark.operators import layout_twins  # noqa: E402,F401
+from polars_ad_etl_spark.operators import similarity_indexed  # noqa: E402,F401
+from polars_ad_etl_spark.operators import media_dedup  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -1065,9 +1065,17 @@ def curation_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup keeping the smallest doc_id — the standard shape of a
     training-set selection job, composed entirely from engine operators.
     One scan, one shuffle (the dedup window on the 16-byte hash)."""
+    return _training_set_impl(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def _training_set_impl(d: DataFrame) -> DataFrame:
+    """The curation pipeline body over any documents frame — shared by the
+    full-corpus query above and the source-pruned partitioned twin below
+    so the gate logic can't fork."""
     from pyspark.sql import Window as W
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     scored = d.select(
         "doc_id",
         "lang",
@@ -1083,6 +1091,51 @@ def curation_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("lang").isin("en", "de", "fr", "es")
         )
         .select("doc_id", "lang", "n_tokens")
+    )
+
+
+# Source allowlist for the pruned curation twin: a 5-of-20 source gate,
+# the typical shape of a per-source curation policy.
+CURATION_SOURCE_ALLOWLIST = ("src0", "src1", "src2", "src3", "src4")
+_CURATION_SRC_IN = ", ".join(f"'{s}'" for s in CURATION_SOURCE_ALLOWLIST)
+
+
+@register(
+    "curation_training_set_partitioned",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, text,
+               len({tokens_sql('text')}) AS n_tokens,
+               md5(lower(trim(text))) AS text_hash
+        FROM documents
+        WHERE source IN ({_CURATION_SRC_IN})
+    ),
+    deduped AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+        FROM scored
+    )
+    SELECT doc_id, lang, n_tokens
+    FROM deduped
+    WHERE rn = 1 AND n_tokens >= 5 AND lang IN ('en', 'de', 'fr', 'es')
+    """,
+)
+def curation_training_set_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`curation_training_set` behind a source allowlist, reading
+    through :func:`sources.star.load_documents` — on the production
+    source-partitioned layout (sinks/parquet.py::
+    write_documents_source_partitioned) the allowlist prunes the other
+    sources' DIRECTORIES at planning time (PartitionFilters pin +
+    poison-partition proof in tests/test_scale_layout.py); on the flat
+    driver layout the same predicate is an ordinary pushed filter, so
+    results and schema are layout-independent. Dedup runs WITHIN the
+    source-filtered universe (filter before the hash window), which is
+    the curation semantics: the gate defines the corpus, then dedup."""
+    from polars_ad_etl_spark.sources.star import load_documents
+
+    return _training_set_impl(
+        load_documents(spark, sf_dir, sources=CURATION_SOURCE_ALLOWLIST)
     )
 
 

@@ -1,0 +1,254 @@
+"""Perceptual-hash near-dup over the media column (round-10: dedup reaches
+the third modality — text had MinHash/SimHash, embeddings had SemDeDup;
+media frames get aHash).
+
+The hash program (aHash, average hash): sample 64 evenly-spaced grayscale
+values from the decoded frame, set bit i when sample_i >= mean — near-dup
+frames differ in few bits, so pairing is Hamming-banded blocking (split the
+64 bits into 4 x 16-bit bands; near-dups collide on >= 1 band — the SimHash
+prefix-band pattern of dedup.py), then an exact ``bit_count(xor)`` Hamming
+verify on the capped candidate pairs. NEVER all-pairs: candidates come from
+band-equality equi-joins, hot buckets are capped.
+
+Two decode paths, same downstream banding/pairing code:
+
+- **Registry/oracle path** (this module's ``@register`` queries): the
+  media table's blobs are UTF-8 text bytes (multimodal.media_table), and
+  the "decoded grayscale samples" are the 64 evenly-spaced CHARACTER CODE
+  POINTS of the text — a deterministic fake decode that both engines
+  compute identically (``ascii``/``substring``/``length`` verified
+  code-point-equal across Spark and DuckDB, astral planes included), so
+  DuckDB replays the full hash program and the oracle checks signatures,
+  banding, capping, and Hamming arithmetic end to end. The Spark side is
+  one JVM projection (no UDF, no explode, no shuffle — plan-pinned).
+- **Real-codec path** (:func:`media_phash_decoded`): aHash over genuinely
+  decoded WAV/BMP/GIF/AVI samples via the ``mapInPandas`` decode
+  (multimodal.decode_media with dim=64), for corpora whose blobs are real
+  containers. Same signature schema, so :func:`phash_pairs_from_sigs`
+  serves both paths.
+
+Scale: signatures are a projection over the corpus (no shuffle); the pair
+join shuffles only (band, 16-bit key) pairs; hot-bucket capping bounds the
+worst bucket's fan-out exactly like the MinHash-LSH cap (dedup.py:479).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_ad_etl_spark.operators.registry import register
+
+PH_BITS = 64
+PH_BANDS = 4
+PH_BAND_BITS = PH_BITS // PH_BANDS
+PH_HAMMING_MAX = 10  # near-dup cut-off (of 64 bits)
+PH_BUCKET_CAP = 64  # hot-band cap: a band value shared by more docs is a
+#   degenerate bucket (e.g. the all-bits-one band of trivial payloads);
+#   its quadratic pair fan-out is cut, same policy as the LSH cap.
+
+
+def _pixel_sql(i: int, engine: str) -> str:
+    """Grayscale sample i (0..63): the code point of the character at the
+    i-th of 64 evenly spaced positions. ``greatest(len-1, 0)`` keeps the
+    offset arithmetic non-negative (Spark ``div`` truncates toward zero
+    while DuckDB ``//`` floors — they only agree on non-negative
+    operands, so the program never produces a negative dividend)."""
+    div = "div" if engine == "spark" else "//"
+    return (
+        f"ascii(substring(text, 1 + ({i} * greatest(length(text) - 1, 0))"
+        f" {div} {PH_BITS - 1}, 1))"
+    )
+
+
+def _spark_bands_expr() -> str:
+    """All four band values in ONE let-bound SQL expression: the 64 sample
+    array and the total are each bound once via single-element transform
+    (the CollapseProject lambda-inlining trap — see similarity._nearest_sql
+    — would otherwise re-evaluate 64 substrings per bit)."""
+    px = ", ".join(
+        f"CAST({_pixel_sql(i, 'spark')} AS BIGINT)" for i in range(PH_BITS)
+    )
+    bands = []
+    for k in range(PH_BANDS):
+        terms = " + ".join(
+            f"(CASE WHEN {PH_BITS} * element_at(p, {PH_BAND_BITS * k + j + 1})"
+            f" >= tot THEN {1 << j} ELSE 0 END)"
+            for j in range(PH_BAND_BITS)
+        )
+        bands.append(f"'band{k}', CAST({terms} AS INT)")
+    return (
+        f"transform(array(array({px})), p -> "
+        f"transform(array(aggregate(p, CAST(0 AS BIGINT), (acc, x) -> acc + x)), "
+        f"tot -> named_struct({', '.join(bands)}))[0])[0]"
+    )
+
+
+def _duck_sigs_sql() -> str:
+    px = ", ".join(
+        f"CAST({_pixel_sql(i, 'duck')} AS BIGINT)" for i in range(PH_BITS)
+    )
+    band_cols = []
+    for k in range(PH_BANDS):
+        terms = " + ".join(
+            f"(CASE WHEN {PH_BITS} * p[{PH_BAND_BITS * k + j + 1}] >= t"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(PH_BAND_BITS)
+        )
+        band_cols.append(f"CAST({terms} AS INT) AS band{k}")
+    return f"""
+    base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    px AS (SELECT doc_id, list_value({px}) AS p FROM base),
+    tot AS (SELECT doc_id, p, list_sum(p) AS t FROM px),
+    sigs AS (SELECT doc_id, {", ".join(band_cols)} FROM tot)"""
+
+
+MEDIA_PHASH_SIGS_SQL = f"""
+    WITH {_duck_sigs_sql()}
+    SELECT doc_id, band0, band1, band2, band3 FROM sigs
+"""
+
+
+@register("media_phash_signatures", oracle=MEDIA_PHASH_SIGS_SQL)
+def media_phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit aHash per media document as 4 x 16-bit band columns (the
+    split IS the index layout: band equality is the candidate key). One
+    narrow JVM projection over the corpus: no UDF, no explode, no shuffle
+    (plan-pinned by tests/test_media_dedup.py). Null-payload rows carry
+    nothing to hash and are excluded by contract."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.expr(_spark_bands_expr()).alias("ph"))
+        .select("doc_id", "ph.*")
+    )
+
+
+def phash_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """Hamming-banded near-dup pairs from ANY (doc_id, band0..3) signature
+    frame (JVM-hashed registry path and mapInPandas-decoded path share
+    this): band-equality candidates (4 equi-join arms via one union),
+    hot buckets capped at PH_BUCKET_CAP, exact Hamming distance verified
+    with bit_count(xor) per band, pairs kept under PH_HAMMING_MAX."""
+    arms = None
+    for k in range(PH_BANDS):
+        arm = sigs.select(
+            "doc_id",
+            F.lit(k).alias("band"),
+            F.col(f"band{k}").alias("bkey"),
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    ok = (
+        arms.groupBy("band", "bkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= PH_BUCKET_CAP)
+        .select("band", "bkey")
+    )
+    arms = arms.join(ok, ["band", "bkey"])
+    a = arms.select(
+        F.col("doc_id").alias("doc_a"), "band", "bkey"
+    )
+    b = arms.select(
+        F.col("doc_id").alias("doc_b"), "band", "bkey"
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"band{k}").alias(f"a{k}") for k in range(PH_BANDS)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"band{k}").alias(f"b{k}") for k in range(PH_BANDS)],
+    )
+    hamming = None
+    for k in range(PH_BANDS):
+        term = F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+        )
+        .filter(F.col("hamming") <= PH_HAMMING_MAX)
+    )
+
+
+_DUCK_ARMS = " UNION ALL ".join(
+    f"SELECT doc_id, {k} AS band, band{k} AS bkey FROM sigs"
+    for k in range(PH_BANDS)
+)
+_DUCK_HAMMING = " + ".join(
+    f"bit_count(xor(sa.band{k}, sb.band{k}))" for k in range(PH_BANDS)
+)
+
+MEDIA_PHASH_PAIRS_SQL = f"""
+    WITH {_duck_sigs_sql()},
+    arms AS ({_DUCK_ARMS}),
+    ok AS (
+        SELECT band, bkey FROM arms
+        GROUP BY band, bkey HAVING COUNT(*) <= {PH_BUCKET_CAP}
+    ),
+    arms2 AS (SELECT a.* FROM arms a JOIN ok USING (band, bkey)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM arms2 a JOIN arms2 b USING (band, bkey)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST({_DUCK_HAMMING} AS INT) AS hamming
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = cand.doc_a
+    JOIN sigs sb ON sb.doc_id = cand.doc_b
+    WHERE {_DUCK_HAMMING} <= {PH_HAMMING_MAX}
+"""
+
+
+@register("dedup_media_phash_pairs", oracle=MEDIA_PHASH_PAIRS_SQL)
+def dedup_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup media pairs by perceptual hash: Hamming-banded candidate
+    blocking over the aHash signatures, hot buckets capped, exact Hamming
+    verify — the full program (sampling, hashing, banding, capping,
+    distance) replayed by the DuckDB oracle."""
+    return phash_pairs_from_sigs(media_phash_signatures(spark, sf_dir))
+
+
+PH_SIG_SCHEMA = "doc_id long, band0 int, band1 int, band2 int, band3 int"
+
+
+def media_phash_decoded(media: DataFrame, fake: bool = True) -> DataFrame:
+    """aHash signatures over GENUINELY decoded media: 64 grayscale samples
+    from the mapInPandas decode path (multimodal.decode_media, dim=64 —
+    WAV amplitude / BMP / GIF / AVI frame luma), bits by the same
+    sample >= mean rule, packed into the same 4 x 16-bit band schema so
+    :func:`phash_pairs_from_sigs` runs unchanged downstream. ``fake=True``
+    keeps the deterministic byte-sampled decode for codec-free tests."""
+    from polars_ad_etl_spark.operators.multimodal import decode_media
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "band0": [], "band1": [], "band2": [], "band3": []}
+            for doc_id, blob, mtype in zip(
+                pdf["doc_id"], pdf["blob"], pdf["media_type"]
+            ):
+                samples = decode_media(blob, mtype, fake=fake, dim=PH_BITS)
+                mean = sum(samples) / PH_BITS
+                bits = [1 if s >= mean else 0 for s in samples]
+                out["doc_id"].append(int(doc_id))
+                for k in range(PH_BANDS):
+                    band = sum(
+                        bits[PH_BAND_BITS * k + j] << j
+                        for j in range(PH_BAND_BITS)
+                    )
+                    out[f"band{k}"].append(band)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, schema=PH_SIG_SCHEMA)

@@ -69,22 +69,26 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _segment_means(values: list[float]) -> list[float]:
-    """FEATURE_DIM equal-span segment means over a decoded signal — the
-    minimal real feature extractor (per-band energy profile)."""
+def _segment_means(values: list[float], dim: int = FEATURE_DIM) -> list[float]:
+    """``dim`` equal-span segment means over a decoded signal — the
+    minimal real feature extractor (per-band energy profile). Default dim
+    is the FEATURE_DIM feature vector; the perceptual-hash path
+    (operators/media_dedup.py) uses dim=64 for its 64-bit aHash."""
     if not values:
-        return [0.0] * FEATURE_DIM
+        return [0.0] * dim
     n = len(values)
     out = []
-    for i in range(FEATURE_DIM):
-        lo = i * n // FEATURE_DIM
-        hi = max((i + 1) * n // FEATURE_DIM, lo + 1)
+    for i in range(dim):
+        lo = i * n // dim
+        hi = max((i + 1) * n // dim, lo + 1)
         seg = values[lo:hi] if lo < n else values[-1:]
         out.append(sum(seg) / len(seg))
     return out
 
 
-def decode_media(blob: bytes, media_type: str, fake: bool = True) -> list[float]:
+def decode_media(
+    blob: bytes, media_type: str, fake: bool = True, dim: int = FEATURE_DIM
+) -> list[float]:
     """Feature-vector decode. Fake mode derives a deterministic byte-sampled
     vector (no codec involved). Real mode genuinely parses the container:
     WAV → PCM16 samples → per-band mean |amplitude|; BMP → RGB pixels →
@@ -94,19 +98,24 @@ def decode_media(blob: bytes, media_type: str, fake: bool = True) -> list[float]
         kind = mc.sniff_media_container(blob or b"")
         if kind == "wav":
             _meta, samples = mc.decode_wav(blob)
-            return _segment_means([abs(s) / 32768.0 for s in samples])
+            return _segment_means([abs(s) / 32768.0 for s in samples], dim)
         if kind == "bmp":
             _meta, pixels = mc.decode_bmp(blob)
-            return _segment_means([(r + g + b) / (3 * 255.0) for r, g, b in pixels])
+            return _segment_means(
+                [(r + g + b) / (3 * 255.0) for r, g, b in pixels], dim
+            )
         if kind == "png":
             _meta, pixels = mc.decode_png(blob)
-            return _segment_means([(r + g + b) / (3 * 255.0) for r, g, b in pixels])
+            return _segment_means(
+                [(r + g + b) / (3 * 255.0) for r, g, b in pixels], dim
+            )
         if kind in ("avi", "gif"):
             _meta, frames = (
                 mc.decode_avi(blob) if kind == "avi" else mc.decode_gif(blob)
             )
             return _segment_means(
-                [(r + g + b) / (3 * 255.0) for fr in frames for r, g, b in fr]
+                [(r + g + b) / (3 * 255.0) for fr in frames for r, g, b in fr],
+                dim,
             )
         raise NotImplementedError(
             f"real decode for container {kind!r} (media_type={media_type}) "
@@ -114,9 +123,11 @@ def decode_media(blob: bytes, media_type: str, fake: bool = True) -> list[float]
             "environment; pure-python-real formats are WAV/BMP/PNG/AVI/GIF"
         )
     if blob is None or len(blob) == 0:
-        return [0.0] * FEATURE_DIM
-    step = max(len(blob) // FEATURE_DIM, 1)
-    return [float(blob[min(i * step, len(blob) - 1)]) / 255.0 for i in range(FEATURE_DIM)]
+        return [0.0] * dim
+    step = max(len(blob) // dim, 1)
+    return [
+        float(blob[min(i * step, len(blob) - 1)]) / 255.0 for i in range(dim)
+    ]
 
 
 def extract_features(media: DataFrame) -> DataFrame:

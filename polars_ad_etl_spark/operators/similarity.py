@@ -299,7 +299,14 @@ def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroids use the same exact floor-quantized mean as
     ``embedding_label_centroids`` so both engines agree bit-for-bit."""
     e = load_embeddings(spark, sf_dir)
-    cent = _label_centroid_arrays(e)
+    return _ivf_probe_topk_impl(e, _label_centroid_arrays(e))
+
+
+def _ivf_probe_topk_impl(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """The query phase of IVF probing, parameterized over the centroid
+    source: recomputed per call (``sim_ivf_probe_topk``) or read from the
+    persisted index (``similarity_indexed.sim_ivf_probe_topk_indexed``) —
+    one implementation so the twins stay bit-identical."""
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -1067,44 +1074,67 @@ def _pq_adc_oracle_sql() -> str:
     """
 
 
-@register("sim_pq_adc_topk", oracle=_pq_adc_oracle_sql())
-def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via PQ asymmetric distance: per-query LUTs against
-    the subspace codebooks, candidates touched only through their code ids;
-    see the section comment."""
-    q_full, codebooks = _pq_train(spark, sf_dir)
-    codes = q_full.select(
-        "vec_id",
-        *[_pq_code_col(codebooks, m).alias(f"code{m}") for m in range(PQ_M)],
-    )
-    qrows = (
-        q_full.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "qe")
-        .collect()
-    )
-    lut_rows = []
-    for r in sorted(qrows, key=lambda r: r.vec_id):
-        qe = [int(x) for x in r.qe]
-        lut = []
-        for m in range(PQ_M):
-            sub = qe[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
-            for c in codebooks[m]:
-                lut.append(sum((a - b) * (a - b) for a, b in zip(sub, c)))
-        lut_rows.append((int(r.vec_id), lut))
-    qdf = spark.createDataFrame(lut_rows, "query_id long, lut array<long>")
+# Query-phase building blocks, shared verbatim by the per-call-training
+# queries below and the persisted-index twins (operators/similarity_indexed
+# .py) so the two stay bit-identical by construction.
+
+
+def _pq_flat_lut(qe: list[int], codebooks: list[list[list[int]]]) -> list[int]:
+    """The per-query ADC lookup table, flattened (PQ_M * PQ_K entries):
+    exact integer squared L2 from each query subvector to each subspace
+    centroid."""
+    lut = []
+    for m in range(PQ_M):
+        sub = qe[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        for c in codebooks[m]:
+            lut.append(sum((a - b) * (a - b) for a, b in zip(sub, c)))
+    return lut
+
+
+def _pq_dist_col() -> F.Column:
+    """ADC distance as LUT lookups over the M code columns."""
     dist = None
     for m in range(PQ_M):
         term = F.element_at(
             F.col("lut"), (F.col(f"code{m}") + F.lit(m * PQ_K + 1)).cast("int")
         )
         dist = term if dist is None else dist + term
+    return dist
+
+
+def _pq_codes_df(q_full: DataFrame, codebooks: list[list[list[int]]]) -> DataFrame:
+    """(vec_id, code0..code{M-1}) — the stored representation of each
+    candidate vector."""
+    return q_full.select(
+        "vec_id",
+        *[_pq_code_col(codebooks, m).alias(f"code{m}") for m in range(PQ_M)],
+    )
+
+
+def _pq_query_rows(spark: SparkSession, sf_dir: str) -> list:
+    """Quantized query vectors, collected (bounded: N_QUERIES rows, with
+    the vec_id predicate pushed into the parquet scan)."""
+    return (
+        _quantized(
+            load_embeddings(spark, sf_dir)
+            .filter(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "embedding")
+        )
+        .collect()
+    )
+
+
+def _pq_adc_rank(spark: SparkSession, codes: DataFrame, lut_rows: list) -> DataFrame:
+    """Score every candidate's codes against the broadcast per-query LUTs
+    and keep the top-k."""
+    qdf = spark.createDataFrame(lut_rows, "query_id long, lut array<long>")
     scored = (
         codes.crossJoin(F.broadcast(qdf))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            dist.alias("pq_dist"),
+            _pq_dist_col().alias("pq_dist"),
         )
     )
     w = W.partitionBy("query_id").orderBy("pq_dist", "neighbor_id")
@@ -1112,6 +1142,25 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+@register("sim_pq_adc_topk", oracle=_pq_adc_oracle_sql())
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance: per-query LUTs against
+    the subspace codebooks, candidates touched only through their code ids;
+    see the section comment."""
+    q_full, codebooks = _pq_train(spark, sf_dir)
+    codes = _pq_codes_df(q_full, codebooks)
+    qrows = (
+        q_full.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "qe")
+        .collect()
+    )
+    lut_rows = [
+        (int(r.vec_id), _pq_flat_lut([int(x) for x in r.qe], codebooks))
+        for r in sorted(qrows, key=lambda r: r.vec_id)
+    ]
+    return _pq_adc_rank(spark, codes, lut_rows)
 
 
 # ------------------------------------------------------------------ IVF-PQ
@@ -1196,6 +1245,52 @@ def _ivfpq_oracle_sql() -> str:
     """
 
 
+def _ivfpq_luts(
+    qrows: list,
+    coarse: list[list[int]],
+    codebooks: list[list[list[int]]],
+    nprobe: int = IVFPQ_NPROBE,
+) -> list[tuple[int, int, list[int]]]:
+    """(query_id, probed cluster, flat ADC LUT) rows: each query probes its
+    ``nprobe`` nearest coarse centroids (exact integer distances, lowest
+    cluster id tie-break) and carries one LUT per probed list."""
+    lut_rows = []
+    for r in sorted(qrows, key=lambda r: r.vec_id):
+        qe = [int(x) for x in r.qe]
+        dcoarse = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qe, c)), i)
+            for i, c in enumerate(coarse)
+        )
+        lut = _pq_flat_lut(qe, codebooks)
+        for _, cl in dcoarse[:nprobe]:
+            lut_rows.append((int(r.vec_id), int(cl), lut))
+    return lut_rows
+
+
+def _ivfpq_rank(
+    spark: SparkSession, codes: DataFrame, lut_rows: list
+) -> DataFrame:
+    """Join candidates' (cluster, codes) rows with the broadcast probed-
+    cluster LUTs and keep the ADC top-k per query."""
+    qdf = spark.createDataFrame(
+        lut_rows, "query_id long, cluster int, lut array<long>"
+    )
+    scored = (
+        codes.join(F.broadcast(qdf), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _pq_dist_col().alias("pq_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("pq_dist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
 @register("sim_ivfpq_topk", oracle=_ivfpq_oracle_sql())
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k: probe the query's nearest coarse lists, rerank members
@@ -1208,52 +1303,13 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans per iteration than the per-subspace loop this replaced; the
     # already-quantized frame is shared so the scan/quantize isn't rebuilt
     _, codebooks = _pq_train(spark, sf_dir, q_full=q_full)
-    codes = q_full.select(
-        "vec_id",
-        *[_pq_code_col(codebooks, m).alias(f"code{m}") for m in range(PQ_M)],
-    ).join(lists, "vec_id")
+    codes = _pq_codes_df(q_full, codebooks).join(lists, "vec_id")
     qrows = (
         q_full.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "qe")
         .collect()
     )
-    lut_rows = []
-    for r in sorted(qrows, key=lambda r: r.vec_id):
-        qe = [int(x) for x in r.qe]
-        dcoarse = sorted(
-            (sum((a - b) * (a - b) for a, b in zip(qe, c)), i)
-            for i, c in enumerate(coarse)
-        )
-        for _, cl in dcoarse[:IVFPQ_NPROBE]:
-            lut = []
-            for m in range(PQ_M):
-                sub = qe[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
-                for c in codebooks[m]:
-                    lut.append(sum((a - b) * (a - b) for a, b in zip(sub, c)))
-            lut_rows.append((int(r.vec_id), int(cl), lut))
-    qdf = spark.createDataFrame(
-        lut_rows, "query_id long, cluster int, lut array<long>"
-    )
-    dist = None
-    for m in range(PQ_M):
-        term = F.element_at(
-            F.col("lut"), (F.col(f"code{m}") + F.lit(m * PQ_K + 1)).cast("int")
-        )
-        dist = term if dist is None else dist + term
-    scored = (
-        codes.join(F.broadcast(qdf), "cluster")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            dist.alias("pq_dist"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy("pq_dist", "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-    )
+    return _ivfpq_rank(spark, codes, _ivfpq_luts(qrows, coarse, codebooks))
 
 
 # ------------------------------------------------------- multi-table LSH

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from polars_ad_etl_spark.functions.hashing import MERSENNE_P, perm_constants
 from polars_ad_etl_spark.operators.registry import register
 from polars_ad_etl_spark.operators.relational import _t
 from polars_ad_etl_spark.sources.star import load_events
@@ -139,3 +140,133 @@ def sql_api_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines."""
     _views(spark, sf_dir, "events")
     return spark.sql(_HOURLY_TEXT)
+
+
+# ------------------------------------------------- similarity / LSH family
+# Round-10 widening: the last Python-only family gets a SQL front door.
+# The embedding-space LSH cannot be a verbatim text — there is NO shared
+# array-element accessor between the engines (Spark brackets are 0-based /
+# element_at is Spark-only; DuckDB brackets are 1-based / list_* functions
+# are DuckDB-only), so any vector expression forks dialects by
+# construction. The verbatim-able similarity surface is the TEXT side of
+# the family: MinHash signatures -> banded LSH candidate pairs -> top-k by
+# signature agreement, built exclusively from constructs probed identical
+# in both engines (range TVF with exclusive end + t(i) aliasing,
+# split_part with out-of-range -> '', position(x IN y) hex parsing of md5,
+# ||-concat with implicit integer casts, CASE, ROW_NUMBER).
+#
+# Portable hash: the conv()-based portable_hash32 (functions/hashing.py)
+# is Spark-only syntax, so the shared text parses the first 8 md5 hex
+# chars with position() arithmetic — same value, one dialect.
+#
+# Tokenization: the first {_LSH_TOK_SAMPLE} space-separated tokens per
+# document (split_part over a fixed 16-wide range cross join, empties
+# filtered). A FIXED sample size is what makes the text scale-safe: the
+# cross join fans out exactly 16 rows per document regardless of document
+# length (no correlated range bound, which Spark cannot push down), so the
+# plan is linear in corpus size — sampled-token MinHash, the same sketch
+# family as dedup.py's full MinHash with a bounded shingle budget.
+_LSH_TOK_SAMPLE = 16
+_SQL_LSH_H = 8  # signature length
+_SQL_LSH_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands x 2 rows
+_SQL_LSH_NQ = 8  # doc_id < 8 are the query documents (similarity.N_QUERIES)
+_SQL_LSH_TOPK = 10
+
+
+def _hex32_verbatim(expr: str) -> str:
+    """First 32 bits of the md5 hex digest ``expr`` as a BIGINT, in the
+    ANSI intersection (verified bit-equal to portable_hash32 by
+    tests/test_sql_api_lsh.py::test_hexparse_matches_portable_hash32)."""
+    terms = [
+        f"(CAST(position(substring({expr}, {k + 1}, 1) IN"
+        f" '0123456789abcdef') AS BIGINT) - 1) * {16 ** (7 - k)}"
+        for k in range(8)
+    ]
+    return "(" + "\n         + ".join(terms) + ")"
+
+
+def _sql_lsh_sigs_cte() -> str:
+    """CTEs documents -> sampled tokens -> hashes -> H-component MinHash
+    signature per doc (one GROUP BY, map-side combinable MINs)."""
+    perms = perm_constants(_SQL_LSH_H)
+    mins = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {MERSENNE_P}) AS m{j}"
+        for j, (a, b) in enumerate(perms)
+    )
+    return f"""
+    toks AS (
+        SELECT DISTINCT doc_id,
+               split_part(text, ' ', CAST(t.i AS INT)) AS tok
+        FROM documents, range(1, {_LSH_TOK_SAMPLE + 1}) AS t(i)
+        WHERE split_part(text, ' ', CAST(t.i AS INT)) <> ''
+    ),
+    hashed AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+    ints AS (SELECT doc_id, {_hex32_verbatim('hx')} AS h FROM hashed),
+    sigs AS (
+        SELECT doc_id,
+               {mins}
+        FROM ints GROUP BY doc_id
+    ),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {bi} AS band, m{i} || '_' || m{j} AS bkey FROM sigs"
+            for bi, (i, j) in enumerate(_SQL_LSH_BANDS)
+        )}
+    )"""
+
+
+SQL_LSH_PAIRS_TEXT = f"""
+    WITH {_sql_lsh_sigs_cte()}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+    WHERE a.doc_id < b.doc_id
+"""
+
+
+@register("sql_api_lsh_pairs", oracle=SQL_LSH_PAIRS_TEXT)
+def sql_api_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs through one verbatim SQL text: docs sharing any
+    of the 4 signature bands pair up — the blocking join is a plain
+    equi-join on (band, band key), never all-pairs. Spark plans the band
+    self-join as a shuffled hash/sort-merge join on the composite key
+    (plan-pinned: no cartesian product)."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql(SQL_LSH_PAIRS_TEXT)
+
+
+SQL_LSH_TOPK_TEXT = f"""
+    WITH {_sql_lsh_sigs_cte()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS query_id, b.doc_id AS neighbor_id
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < {_SQL_LSH_NQ} AND a.doc_id <> b.doc_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               {" + ".join(
+                   f"(CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END)"
+                   for j in range(_SQL_LSH_H)
+               )} AS n_agree
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.query_id
+        JOIN sigs sb ON sb.doc_id = c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, n_agree,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY n_agree DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, n_agree, rnk
+    FROM ranked WHERE rnk <= {_SQL_LSH_TOPK}
+"""
+
+
+@register("sql_api_lsh_topk", oracle=SQL_LSH_TOPK_TEXT)
+def sql_api_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k through one verbatim SQL text: band-blocked candidates
+    for the query documents, scored by MinHash signature agreement
+    (n_agree of 8 — an exact-integer Jaccard estimate, so ranking is
+    deterministic with the neighbor-id tie-break)."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql(SQL_LSH_TOPK_TEXT)

@@ -110,6 +110,38 @@ def write_events_date_partitioned(
     return str(path)
 
 
+def write_documents_source_partitioned(
+    docs: DataFrame, path: str | Path, files_per_source: int = 1
+) -> str:
+    """The production layout for the documents corpus: hive-style
+    partitions by ingestion source (``source_part=srcN/``).
+
+    Curation gates filter by source constantly (allowlists, per-source
+    quality policies, contamination quarantines); at 100 TB those gates
+    must skip the other sources' directories at planning time, exactly as
+    day-bounded event queries skip days. The partition column is DERIVED
+    (``source_part = source``, mirroring events' ``event_date`` from
+    ``ts``) and dropped again by ``sources/star.py::load_documents``, so
+    query code and schema are identical over flat and partitioned layouts
+    — and the poison-partition proof (tests/test_scale_layout.py) can
+    plant a row whose DATA passes the source filter inside an
+    out-of-allowlist directory to prove directories are skipped, not
+    scanned-then-filtered.
+
+    ``repartitionByRange`` on (source_part, doc_id) gives each writer task
+    a contiguous source slice: ~``files_per_source`` files per directory
+    instead of one shard from every task."""
+    n_src = docs.select(
+        F.countDistinct("source").alias("n")
+    ).first().n or 0
+    out = docs.withColumn("source_part", F.col("source"))
+    out = out.repartitionByRange(
+        max(int(n_src) * files_per_source, 1), "source_part", "doc_id"
+    )
+    out.write.mode("overwrite").partitionBy("source_part").parquet(str(path))
+    return str(path)
+
+
 def with_date_partition(df: DataFrame, ts_col: str, name: str = "dt") -> DataFrame:
     """Standard daily-partition derivation from an event-time column."""
     return df.withColumn(name, F.to_date(F.col(ts_col)))

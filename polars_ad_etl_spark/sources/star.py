@@ -78,6 +78,35 @@ def load_events(
     return df.where(F.col("ts").isNotNull())
 
 
+def load_documents(
+    spark: SparkSession,
+    sf_dir: str | Path,
+    sources: tuple[str, ...] | list[str] | None = None,
+) -> DataFrame:
+    """The documents corpus, optionally restricted to a source allowlist.
+
+    When the layout is source-partitioned (a ``source_part`` partition
+    column, produced by :func:`polars_ad_etl_spark.sinks.parquet.
+    write_documents_source_partitioned`), the allowlist is ALSO applied to
+    the partition column — partition pruning only fires on the partition
+    column itself, so a five-source curation gate over a 20-source corpus
+    must skip the other 15 directories at the catalog, not filter rows
+    after scanning them. ``source_part`` is then dropped and the column
+    order re-canonicalized, so the returned schema is identical across
+    flat and partitioned layouts (pinned by tests/test_scale_layout.py).
+    The semantic ``source`` filter applies on both layouts."""
+    df = spark.read.parquet(str(Path(sf_dir) / "documents.parquet"))
+    if "source_part" in df.columns:
+        if sources is not None:
+            df = df.where(F.col("source_part").isin(list(sources)))
+        cols = [c for c in df.columns if c != "source_part"]
+        canon = ["doc_id", "text", "lang", "source", "n_chars"]
+        df = df.select(canon if set(cols) == set(canon) else cols)
+    if sources is not None:
+        df = df.where(F.col("source").isin(list(sources)))
+    return df
+
+
 # Vector-domain bound shared by BOTH engines' contract predicates (the
 # Spark filter below and the oracle rewrite in
 # operators/registry.py::_TABLE_CONTRACTS) — the single source of truth

@@ -129,18 +129,12 @@ def _prep_ingest(docs: DataFrame) -> DataFrame:
     )
 
 
-def _corpus_drop_layers(
-    s: DataFrame, corpus_ck: DataFrame, corpus_bk: DataFrame
-) -> DataFrame:
-    """Shared layers 2-3 for both ingest twins: exact-vs-corpus anti join
-    on the hash index, then the per-band near-vs-corpus probe against the
-    static bucket-key index."""
-    s = s.join(corpus_ck, "ck", "left_anti")
-    # the md5-per-shingle signature projection comes AFTER the exact
-    # layers on purpose: rows dropped on the 16-byte content key alone
-    # (the bulk, on a duplicate-heavy stream) never pay for it, and the
-    # stateful Deduplicate operator above would otherwise force it to run
-    # pre-state for every arriving row
+def _with_near_corpus_flag(s: DataFrame, corpus_bk: DataFrame) -> DataFrame:
+    """Append the near-vs-corpus probe as a BOOLEAN column ``near_hit``:
+    the row's banded signature minima against the static bucket-key index,
+    one broadcast left join per band (key-distinct, so no row
+    multiplication), hit when ANY band collides. Shared by the drop path
+    (filters on it) and the labeled-decisions path (labels with it)."""
     s = s.withColumn("mh", F.expr(_SIG_ARRAY_SQL))
     for j in range(BANDS):
         bk_j = corpus_bk.filter(F.col("band") == j).select(
@@ -160,8 +154,26 @@ def _corpus_drop_layers(
     for j in range(BANDS):
         c = F.col(f"hit{j}").isNotNull()
         near = c if near is None else near | c
+    return s.withColumn("near_hit", near).drop(
+        "mh", *[f"hit{j}" for j in range(BANDS)]
+    )
+
+
+def _corpus_drop_layers(
+    s: DataFrame, corpus_ck: DataFrame, corpus_bk: DataFrame
+) -> DataFrame:
+    """Shared layers 2-3 for both ingest twins: exact-vs-corpus anti join
+    on the hash index, then the per-band near-vs-corpus probe against the
+    static bucket-key index."""
+    s = s.join(corpus_ck, "ck", "left_anti")
+    # the md5-per-shingle signature projection comes AFTER the exact
+    # layers on purpose: rows dropped on the 16-byte content key alone
+    # (the bulk, on a duplicate-heavy stream) never pay for it, and the
+    # stateful Deduplicate operator above would otherwise force it to run
+    # pre-state for every arriving row
+    s = _with_near_corpus_flag(s, corpus_bk)
     return (
-        s.filter(~near)
+        s.filter(~F.col("near_hit"))
         .select("doc_id", "text", "lang", "source", "n_chars", "ck")
     )
 
@@ -199,6 +211,114 @@ def incremental_ingest_stream(
     """
     s = _prep_ingest(docs).dropDuplicates(["ck2"])
     return _corpus_drop_layers(s, corpus_ck, corpus_bk)
+
+
+DECISIONS_SCHEMA = "doc_id long, reason string, keep boolean"
+
+
+def incremental_ingest_decisions(
+    docs_stream: DataFrame,
+    corpus_ck: DataFrame,
+    corpus_bk: DataFrame,
+    out_dir: str,
+    seen_dir: str,
+    checkpoint: str,
+):
+    """The LABELED streaming admission twin of the batch
+    ``dedup_incremental_keep_list`` (operators/dedup.py:1528): a
+    ``foreachBatch`` pipeline that admits each micro-batch against the
+    corpus hash/bucket indexes and emits one keep/drop DECISION per
+    document with the batch path's precedence labels —
+    ``exact_corpus`` > ``exact_batch`` > ``near_corpus`` > ``kept``
+    (``near_batch``, the within-new-data component collapse, is the batch
+    compaction's layer by design — see the module docstring's lambda
+    split; batch-equivalence modulo that layer is pinned by
+    tests/test_streaming.py::test_incremental_decisions_match_batch_labels).
+
+    State design: this pipeline's cross-batch state (the content hashes
+    admitted by earlier micro-batches) lives in the LAKE (``seen_dir``
+    parquet), not the streaming state store — it is the same index the
+    periodic compaction maintains anyway, so the stream and the compaction
+    share one source of truth and the state outlives any checkpoint. That
+    is why this pipeline has no heap-vs-RocksDB axis in the streaming
+    bench: there is no state store to back (the survivors-only twins
+    above are the state-store pipelines); its bench row records per-batch
+    decision throughput instead.
+
+    Exactly-once: both sinks are written with ``partitionBy(batch_id)``
+    + dynamic partition overwrite, the idempotent-foreachBatch pattern —
+    a replayed micro-batch (failure before the checkpoint commit)
+    OVERWRITES its own partition instead of appending a duplicate
+    (restart-replay pinned by
+    test_incremental_decisions_checkpoint_restart).
+
+    Within-batch precedence matches the batch min-doc_id rule exactly
+    (a window on the surrogate content key, ordered by doc_id); across
+    batches, first-admitted-batch wins — identical to the batch rule
+    whenever arrival order follows doc_id order, the same caveat as the
+    survivors-only twin.
+    """
+    from pyspark.sql import Window as W
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        s = _prep_ingest(batch_df)
+        try:
+            seen = spark.read.parquet(seen_dir).select("ck2").distinct()
+        except Exception:  # first batch: no admitted-hash index yet
+            seen = spark.createDataFrame([], "ck2 string")
+        w = W.partitionBy("ck2").orderBy("doc_id")
+        s = s.withColumn("rn", F.row_number().over(w))
+        s = s.join(
+            corpus_ck.select("ck", F.lit(1).alias("in_corpus")),
+            "ck",
+            "left_outer",
+        )
+        s = s.join(
+            seen.select("ck2", F.lit(1).alias("in_seen")), "ck2", "left_outer"
+        )
+        s = _with_near_corpus_flag(s, corpus_bk)
+        reason = (
+            F.when(F.col("in_corpus").isNotNull(), F.lit("exact_corpus"))
+            .when(
+                F.col("in_seen").isNotNull() | (F.col("rn") > 1),
+                F.lit("exact_batch"),
+            )
+            .when(F.col("near_hit"), F.lit("near_corpus"))
+            .otherwise(F.lit("kept"))
+        )
+        decisions = s.select(
+            "doc_id",
+            reason.alias("reason"),
+            (reason == "kept").alias("keep"),
+            F.lit(int(batch_id)).alias("batch_id"),
+        ).localCheckpoint(eager=True)
+        decisions.write.mode("overwrite").partitionBy("batch_id").parquet(
+            out_dir
+        )
+        # The seen-index records EVERY adjudicated content hash, not just
+        # the kept ones: the batch twin's exact_batch layer fires for
+        # content matching ANY earlier arrival regardless of that
+        # arrival's own fate (its min-doc rule ranks above the near
+        # layers), so a later twin of a near_corpus-dropped doc must
+        # still label exact_batch, not re-run the near probe.
+        (
+            _prep_ingest(batch_df)
+            .select("ck2")
+            .distinct()
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(seen_dir)
+        )
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(admit)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
 
 
 def incremental_ingest_stream_bounded(

@@ -31,6 +31,75 @@ from polars_ad_etl_spark.session import get_spark  # noqa: E402
 
 FAMILY = sorted(n for n in QUERIES if n.startswith(("dedup_", "sim_")))
 
+# --- Scaling classification (round-10: retime/byte arbitration) ------------
+# Round 9's sweep recorded `superlinear_count: 2` for two sub-second
+# queries whose shuffles are ~2 KB and whose bytes scale linearly — wall
+# noise recorded as a scale signal. Port the bench flag-stack's arbitration
+# (bench.py::decide_flag rationale): bytes are the load-immune evidence,
+# walls need a surviving retime. The decision is a pure function so
+# tests/test_bench_flags.py can pin it.
+_BYTE_FLOOR = 65536  # bytes; sub-64KiB shuffles are scheduler/AQE jitter
+
+
+def classify_scaling(
+    lo_rec: dict,
+    hi_rec: dict,
+    data_ratio: float,
+    tol: float = 1.25,
+    retime_wall: float | None = None,
+) -> dict:
+    """Scale verdict for one query between the smallest and largest SF.
+
+    ``linear`` goes False only on evidence that survives arbitration:
+
+    - **byte growth** (shuffle_write / input_bytes ratio > tol x data
+      ratio) with BOTH scales above the 64 KiB floor — a real shuffle
+      growing super-linearly is the engine's fault and is load-immune.
+      A sub-floor -> above-floor transition is recorded as
+      ``byte_flip`` instead (the legitimate AQE broadcast->SMJ regime
+      change at the broadcast threshold): informational, not counted.
+    - **wall growth that survives a retime**: a super-linear wall ratio
+      with linear bytes is re-measured (``retime_wall``, fresh best-of-N
+      at the large SF in a different host minute); only a ratio still
+      super-linear after taking the min confirms. Without a retime value
+      the wall stays a suspect (``wall_suspect``), never authoritative —
+      wall-only evidence on a shared VM has been arbitrated to host
+      variance every time it's been chased (rounds 7-9).
+    """
+    out: dict = {}
+    wall_hi = hi_rec["wall"]
+    if retime_wall is not None:
+        out["retime_wall"] = round(retime_wall, 3)
+        wall_hi = min(wall_hi, retime_wall)
+    wall_ratio = wall_hi / max(lo_rec["wall"], 1e-9)
+    out["wall_ratio"] = round(wall_ratio, 2)
+    byte_reasons, flips = [], []
+    for key in ("shuffle_write", "input_bytes"):
+        if key not in lo_rec or key not in hi_rec:
+            continue
+        if hi_rec[key] < _BYTE_FLOOR:
+            continue  # tiny either way: jitter, never a scale signal
+        ratio = hi_rec[key] / max(lo_rec[key], 1)
+        if ratio > data_ratio * tol:
+            if lo_rec[key] < _BYTE_FLOOR:
+                flips.append(key)
+            else:
+                byte_reasons.append(key)
+                out[f"{key}_ratio"] = round(ratio, 2)
+    wall_super = wall_ratio > data_ratio * tol
+    reasons = list(byte_reasons)
+    if wall_super:
+        if retime_wall is not None:
+            reasons.append("wall_confirmed")
+        else:
+            out["wall_suspect"] = True
+    if flips:
+        out["byte_flip"] = flips
+    out["linear"] = not reasons
+    if reasons:
+        out["reasons"] = reasons
+    return out
+
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_r5_sf1.json"
@@ -89,16 +158,32 @@ def main() -> None:
             print(f"sf{sf} {name}: {rec['wall']}s", flush=True)
 
     lo, hi = str(sfs[0][1]), str(sfs[-1][1])
+    hi_dir = sfs[-1][0]
     data_ratio = sfs[-1][1] / sfs[0][1]
     result["data_ratio"] = data_ratio
     for name, per_sf in result["queries"].items():
         a, b = per_sf[lo], per_sf[hi]
-        per_sf["wall_ratio"] = round(b["wall"] / max(a["wall"], 1e-9), 2)
         if "shuffle_write" in a and "shuffle_write" in b:
             per_sf["shuffle_ratio"] = round(
                 b["shuffle_write"] / max(a["shuffle_write"], 1), 2
             )
-        per_sf["linear"] = per_sf["wall_ratio"] <= data_ratio * 1.25
+        cls = classify_scaling(a, b, data_ratio)
+        if cls.get("wall_suspect") and cls["linear"]:
+            # wall-only super-linear suspect: arbitrate with a fresh
+            # best-of-N retime at the large SF (different host minute)
+            fn = QUERIES[name]
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn(spark, hi_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            cls = classify_scaling(a, b, data_ratio, retime_wall=best)
+            print(
+                f"retimed {name} at sf{hi}: {best:.3f}s -> "
+                f"{'CONFIRMED superlinear' if not cls['linear'] else 'cleared'}",
+                flush=True,
+            )
+        per_sf.update(cls)
     result["total_wall"] = {
         str(sf): round(
             sum(result["queries"][n][str(sf)]["wall"] for n in names), 2
@@ -107,6 +192,10 @@ def main() -> None:
     }
     n_super = sum(1 for q in result["queries"].values() if not q["linear"])
     result["superlinear_count"] = n_super
+    result["superlinear_basis"] = (
+        "byte growth above 64KiB floor at both scales OR wall ratio "
+        "surviving a fresh retime (round 10+; see classify_scaling)"
+    )
     Path(out_path).write_text(json.dumps(result, indent=1))
     print(f"totals {result['total_wall']}  superlinear={n_super}/{len(names)}")
 

@@ -207,6 +207,61 @@ def run_ingest_bench(spark, sf_dir: str, n_files: int, bounded: bool) -> dict:
     }
 
 
+def run_decisions_bench(spark, sf_dir: str, n_files: int) -> dict:
+    """Decision throughput for the LABELED foreachBatch admission twin
+    (streaming/documents.py::incremental_ingest_decisions). No
+    heap-vs-RocksDB axis on purpose: this pipeline's cross-batch state is
+    the lake-resident seen-hash index, not a streaming state store (see
+    its docstring), so the row records per-batch decision throughput and
+    the sink/index write cost instead."""
+    from polars_ad_etl_spark.streaming.documents import (
+        corpus_indexes,
+        incremental_ingest_decisions,
+        read_documents_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="decisions_bench_")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(f"{work}/documents.parquet")
+    )
+    ck, bk = corpus_indexes(spark, sf_dir)
+    docs = read_documents_stream(spark, work, max_files_per_trigger=2)
+    out = tempfile.mkdtemp(prefix="decisions_out_")
+    t0 = time.perf_counter()
+    q = incremental_ingest_decisions(
+        docs, ck, bk,
+        out_dir=f"{out}/decisions",
+        seen_dir=f"{out}/seen",
+        checkpoint=f"{out}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    wall = time.perf_counter() - t0
+    batches = [
+        {"rows": p["numInputRows"],
+         "ms": p["durationMs"].get("triggerExecution", 0)}
+        for p in q.recentProgress
+        if p["numInputRows"] > 0
+    ]
+    n_decisions = spark.read.parquet(f"{out}/decisions").count()
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    total_rows = sum(b["rows"] for b in batches)
+    ms = sorted(b["ms"] for b in batches) or [0]
+    return {
+        "variant": "decisions",
+        "wall_sec": round(wall, 2),
+        "total_rows": total_rows,
+        "n_decisions": n_decisions,
+        "n_batches": len(batches),
+        "rows_per_sec": round(total_rows / wall, 1) if wall else None,
+        "batch_ms_p50": statistics.median(ms),
+    }
+
+
 def run_rate_stress(
     spark,
     name: str,
@@ -406,6 +461,13 @@ def main() -> None:
             f"p50 {r['batch_ms_p50']}ms, max_state {r['max_state_rows']} rows",
             flush=True,
         )
+    r = run_decisions_bench(spark, sf_dir, n_files)
+    result["ingest_decisions"] = r
+    print(
+        f"ingest_decisions: {r['rows_per_sec']} rows/s, "
+        f"p50 {r['batch_ms_p50']}ms, {r['n_decisions']} decisions",
+        flush=True,
+    )
     spark.stop()
     # Rate-source stresses (state-store rows/s ceiling with zero source
     # cost), each in its OWN subprocess/JVM via --stress — see _stress_cli

@@ -1,0 +1,145 @@
+"""ANN index persistence contract (sinks/ann_index.py +
+operators/similarity_indexed.py).
+
+The ``*_indexed`` twins must be bit-identical to their per-call-training
+originals while doing ZERO training work on the query path, reading probe-
+pruned posting lists, and never serving a stale artifact. Reference for the
+pattern: the bucketed-store reuse contract in sources/star.py.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from polars_ad_etl_spark.cache import private_cache_root
+from polars_ad_etl_spark.operators import QUERIES
+from polars_ad_etl_spark.operators import similarity as S
+from polars_ad_etl_spark.sinks import ann_index as AI
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def built_index(spark):
+    shutil.rmtree(
+        private_cache_root("spark_graft_ann_index"), ignore_errors=True
+    )
+    return AI.build_ann_index(spark, SF)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize(
+    "base",
+    ["sim_ivf_probe_topk", "sim_pq_adc_topk", "sim_ivfpq_topk"],
+)
+def test_indexed_twin_matches_original(spark, built_index, base):
+    # Training is deterministic exact integer arithmetic, so the persisted
+    # model must reproduce the per-call-training results bit-for-bit.
+    assert _rows(QUERIES[base](spark, SF)) == _rows(
+        QUERIES[base + "_indexed"](spark, SF)
+    )
+
+
+def test_query_phase_runs_no_training(spark, built_index, monkeypatch):
+    # The reuse contract: once the artifact exists, the trainers are
+    # unreachable from the query path — not "fast", UNREACHABLE.
+    def _boom(*a, **k):
+        raise AssertionError("training invoked on the indexed query path")
+
+    monkeypatch.setattr(S, "kmeans_fixed", _boom)
+    monkeypatch.setattr(S, "_pq_train", _boom)
+    monkeypatch.setattr(S, "_kmeans_fixed_on", _boom)
+    monkeypatch.setattr(S, "_label_centroid_arrays", _boom)
+    for name in (
+        "sim_ivf_probe_topk_indexed",
+        "sim_pq_adc_topk_indexed",
+        "sim_ivfpq_topk_indexed",
+    ):
+        assert QUERIES[name](spark, SF).count() > 0
+
+
+def test_ivfpq_codes_read_is_partition_pruned(spark, built_index):
+    # The codes store is hive-partitioned by coarse cluster and the query
+    # carries an explicit cluster IN (probed) predicate, so probe pruning
+    # is DIRECTORY pruning at planning time — and the plan never scans the
+    # embeddings table at all (candidates are codes, queries were
+    # collected driver-side).
+    plan = (
+        QUERIES["sim_ivfpq_topk_indexed"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cluster" in plan
+    assert "embeddings.parquet" not in plan
+
+
+def test_ivf_probe_indexed_has_no_centroid_aggregation(spark, built_index):
+    # The original recomputes per-label centroids with a posexplode +
+    # two-level aggregation over the corpus; the indexed twin reads them
+    # from model.json, so its plan must carry no Generate (posexplode).
+    plan = (
+        QUERIES["sim_ivf_probe_topk_indexed"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" not in plan
+
+
+def test_index_reuse_and_mtime_staleness(spark, built_index, tmp_path):
+    # Same corpus -> same artifact dir (reused, not rebuilt); touched
+    # corpus file -> different artifact dir (stale index can't be served).
+    assert AI.build_ann_index(spark, SF) == built_index
+    twin = tmp_path / "sf"
+    twin.mkdir()
+    shutil.copyfile(
+        f"{SF}/embeddings.parquet", twin / "embeddings.parquet"
+    )
+    d1 = AI.ann_index_dir(twin)
+    import os
+
+    os.utime(twin / "embeddings.parquet", ns=(1, 1))
+    assert AI.ann_index_dir(twin) != d1
+
+
+def test_empty_corpus_index_builds_and_serves_empty(spark, tmp_path):
+    empty = tmp_path / "sf_empty"
+    empty.mkdir()
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(empty / "embeddings.parquet"))
+    idx = AI.build_ann_index(spark, empty)
+    model = AI.load_ann_model(idx)
+    assert model["coarse"] == [] and model["label_centroids"] == []
+    for name in (
+        "sim_ivf_probe_topk_indexed",
+        "sim_pq_adc_topk_indexed",
+        "sim_ivfpq_topk_indexed",
+    ):
+        assert QUERIES[name](spark, str(empty)).count() == 0
+
+
+def test_model_json_round_trips_exact_values(spark, built_index):
+    # Centroids/codebooks are ints (exact in JSON); label centroids are
+    # doubles whose json round-trip must be bit-exact (repr round-trip).
+    model = AI.load_ann_model(built_index)
+    coarse, q_full = S.kmeans_fixed(spark, SF)
+    assert model["coarse"] == coarse
+    _, codebooks = S._pq_train(spark, SF, q_full=q_full)
+    assert model["codebooks"] == codebooks
+    fresh = {
+        r["label"]: [float(x) for x in r["ce"]]
+        for r in S._label_centroid_arrays(
+            S.load_embeddings(spark, SF)
+        ).collect()
+    }
+    persisted = {d["label"]: d["ce"] for d in model["label_centroids"]}
+    assert persisted == fresh

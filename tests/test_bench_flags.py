@@ -321,3 +321,68 @@ def test_update_budgets_normalizes_by_divisor():
     bud = {"sf": 0.1, "budgets": {}, "epoch": 1, "wall_samples": {}}
     update_budgets(bud, {"q": 2.0}, {}, 2.0, idle=True)
     assert bud["wall_samples"]["q"] == [1.0]
+
+
+# ------------------------------------- scale-sweep linearity arbitration
+def _load_scale_sweep():
+    p = Path(__file__).resolve().parents[1] / "scripts" / "scale_sweep.py"
+    spec = importlib.util.spec_from_file_location("scale_sweep_module", p)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("scale_sweep_module", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+classify_scaling = _load_scale_sweep().classify_scaling
+
+_KB = {"wall": 0.3, "shuffle_write": 2048, "input_bytes": 3_000_000}
+
+
+def test_scale_wall_only_noise_is_suspect_not_superlinear():
+    # The round-9 artifact's failure mode: 14x wall on a kilobyte-shuffle
+    # sub-second query whose bytes scale linearly. Without a surviving
+    # retime this must NOT count as super-linear.
+    lo = dict(_KB)
+    hi = {"wall": 4.3, "shuffle_write": 20_480, "input_bytes": 30_000_000}
+    cls = classify_scaling(lo, hi, data_ratio=10.0)
+    assert cls["linear"] is True and cls.get("wall_suspect") is True
+
+
+def test_scale_wall_cleared_by_retime():
+    lo = dict(_KB)
+    hi = {"wall": 4.3, "shuffle_write": 20_480, "input_bytes": 30_000_000}
+    cls = classify_scaling(lo, hi, data_ratio=10.0, retime_wall=2.9)
+    assert cls["linear"] is True and cls["wall_ratio"] <= 12.5
+    assert cls["retime_wall"] == 2.9
+
+
+def test_scale_wall_confirmed_by_retime_counts():
+    lo = dict(_KB)
+    hi = {"wall": 4.3, "shuffle_write": 20_480, "input_bytes": 30_000_000}
+    cls = classify_scaling(lo, hi, data_ratio=10.0, retime_wall=4.2)
+    assert cls["linear"] is False and cls["reasons"] == ["wall_confirmed"]
+
+
+def test_scale_byte_growth_is_authoritative_without_retime():
+    # A real shuffle (above floor at BOTH scales) growing 30x on 10x data
+    # is the engine's fault — load-immune, flags immediately.
+    lo = {"wall": 1.0, "shuffle_write": 1_000_000, "input_bytes": 10_000_000}
+    hi = {"wall": 9.0, "shuffle_write": 30_000_000, "input_bytes": 100_000_000}
+    cls = classify_scaling(lo, hi, data_ratio=10.0)
+    assert cls["linear"] is False and "shuffle_write" in cls["reasons"]
+
+
+def test_scale_aqe_broadcast_flip_is_informational():
+    # broadcast at small SF (sub-floor shuffle) -> SMJ at large SF: a
+    # legitimate planner regime change, recorded as byte_flip, not counted.
+    lo = {"wall": 1.0, "shuffle_write": 423, "input_bytes": 10_000_000}
+    hi = {"wall": 9.0, "shuffle_write": 11_500_000, "input_bytes": 100_000_000}
+    cls = classify_scaling(lo, hi, data_ratio=10.0)
+    assert cls["linear"] is True and cls["byte_flip"] == ["shuffle_write"]
+
+
+def test_scale_subfloor_shuffles_never_flag_bytes():
+    lo = {"wall": 0.3, "shuffle_write": 59, "input_bytes": 100}
+    hi = {"wall": 0.9, "shuffle_write": 30_000, "input_bytes": 40_000}
+    cls = classify_scaling(lo, hi, data_ratio=10.0)
+    assert cls["linear"] is True and "byte_flip" not in cls

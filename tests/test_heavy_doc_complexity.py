@@ -43,6 +43,11 @@ QUERIES_UNDER_TEST = [
     # classes / literal anchors — see the PII local-part lesson)
     "text_encoding_quality",
     "text_url_domains",
+    # media perceptual hash: 64 FIXED samples per doc regardless of doc
+    # length — must stay flat on 150k-char docs (a per-char walk here
+    # would be the substr-quadratic class)
+    "media_phash_signatures",
+    "dedup_media_phash_pairs",
 ]
 
 

@@ -93,6 +93,63 @@ def test_events_bounded_queries_prune_partitions(spark, tmp_path):
     assert wide.count() == flatn + 1
 
 
+def test_curation_partitioned_prunes_source_directories(spark, tmp_path):
+    """The REGISTRY's source-allowlisted curation twin, run over the
+    production source-partitioned documents layout, must prune the
+    out-of-allowlist sources' directories at the catalog — proven with a
+    poison row whose DATA passes the source filter, planted in an
+    out-of-allowlist directory: a pruning scan never opens it; an
+    unpruned scan-then-filter would pass it through and change the
+    result."""
+    from polars_ad_etl_spark.operators.dedup import (
+        CURATION_SOURCE_ALLOWLIST,
+    )
+    from polars_ad_etl_spark.sinks.parquet import (
+        write_documents_source_partitioned,
+    )
+    from polars_ad_etl_spark.sources.star import load_documents
+
+    layout = str(tmp_path)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    write_documents_source_partitioned(
+        docs, f"{layout}/documents.parquet"
+    )
+    # poison: an allowlisted-source row (source='src0', unique text so the
+    # dedup window can't absorb it) inside the src19 directory
+    poison = docs.limit(1).select(
+        F.lit(10_000_000).alias("doc_id"),
+        F.lit("poison unique text never seen in the corpus body").alias(
+            "text"
+        ),
+        F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.lit(47).cast("long").alias("n_chars"),
+    )
+    poison.write.mode("append").parquet(
+        f"{layout}/documents.parquet/source_part=src19"
+    )
+    df = QUERIES["curation_training_set_partitioned"](spark, layout)
+    plan = formatted_plan(df)
+    scan = plan.split("PartitionFilters:")
+    assert len(scan) == 2, "no PartitionFilters in scan"
+    assert "source_part" in scan[1].splitlines()[0]
+    flat = QUERIES["curation_training_set_partitioned"](spark, SF_DIR)
+    assert df.columns == flat.columns
+    # identical to the flat layout — which also proves the poison row was
+    # pruned away (directory skipped, not scanned-then-filtered)
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, flat.collect())
+    )
+    # ...and the poison row IS visible without the partition restriction,
+    # so the proof above can't pass vacuously
+    wide = load_documents(spark, layout)
+    assert (
+        wide.filter(F.col("doc_id") == 10_000_000).count() == 1
+    )
+    # schema is layout-independent (source_part dropped, canonical order)
+    assert wide.columns == docs.columns
+
+
 def test_bucketed_join_skips_shuffle(spark, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:

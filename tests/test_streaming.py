@@ -1062,3 +1062,216 @@ def test_incremental_ingest_bounded_checkpoint_restart(spark, tmp_path):
     admitted = [r.doc_id for r in spark.read.parquet(out).collect()]
     assert sorted(admitted) == sorted([ids[0], ids[1], ids[3]])
     assert len(admitted) == len(set(admitted))
+
+
+def test_incremental_decisions_match_batch_labels(spark, tmp_path):
+    """The foreachBatch LABELED admission twin must reproduce the batch
+    keep-list's precedence labels doc for doc on a replayed file stream —
+    modulo the near_batch layer, which belongs to the batch compaction by
+    design (lambda split): docs the batch path labels near_batch must
+    stream as kept, every other label must match exactly."""
+    from polars_ad_etl_spark.operators.dedup import (
+        dedup_incremental_keep_list,
+    )
+    from polars_ad_etl_spark.streaming import (
+        corpus_indexes,
+        incremental_ingest_decisions,
+        read_documents_stream,
+    )
+
+    ck, bk = corpus_indexes(spark, SF_DIR)
+    stream = read_documents_stream(spark, SF_DIR)
+    q = incremental_ingest_decisions(
+        stream, ck, bk,
+        out_dir=f"{tmp_path}/decisions",
+        seen_dir=f"{tmp_path}/seen",
+        checkpoint=f"{tmp_path}/ckpt",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.doc_id: (r.reason, r.keep)
+        for r in spark.read.parquet(f"{tmp_path}/decisions").collect()
+    }
+    want = {
+        r.doc_id: (r.reason, r.keep)
+        for r in dedup_incremental_keep_list(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want) and got
+    for doc_id, (reason, keep) in want.items():
+        if reason == "near_batch":
+            assert got[doc_id] == ("kept", True), doc_id
+        else:
+            assert got[doc_id] == (reason, keep), doc_id
+
+
+def test_incremental_decisions_state_across_batches(spark, tmp_path):
+    """Cross-micro-batch labeling: a twin of an earlier micro-batch's doc
+    must label exact_batch via the lake-resident seen-index — INCLUDING a
+    twin of a doc the earlier batch itself dropped as near_corpus (the
+    batch min-doc rule ranks exact_batch above the near layers)."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+    import time
+
+    from polars_ad_etl_spark.operators.dedup import (
+        INCR_SPLIT_PERMILLE,
+        _INCR_SALT,
+    )
+    from polars_ad_etl_spark.streaming import (
+        corpus_indexes,
+        incremental_ingest_decisions,
+        read_documents_stream,
+    )
+
+    def is_batch(doc_id):
+        h = int(
+            hashlib.md5(f"{_INCR_SALT}{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        return h % 1000 >= INCR_SPLIT_PERMILLE
+
+    cids = [i for i in range(1, 200) if not is_batch(i)]
+    bids = [i for i in range(1, 200) if is_batch(i)]
+    t_corpus = "the quick brown fox jumps over the lazy sleeping dog today"
+    t_near = t_corpus.replace(" fox ", "  fox ")
+    t_new = "an entirely different batch story about seven silver ships sailing"
+
+    def write(rows, path):
+        spark.createDataFrame(
+            [(i, t, "en", "synthetic", len(t) if t else 0) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    d = f"{tmp_path}/stream_src/documents.parquet"
+    os.makedirs(d)
+    now = time.time()
+    for name, rows, when in (
+        # batch 0: one corpus exact twin, one near-corpus doc, one new doc
+        ("f0", [(bids[0], t_corpus), (bids[1], t_near), (bids[2], t_new)],
+         now - 60),
+        # batch 1: exact twins of the near-corpus doc AND of the new doc
+        ("f1", [(bids[3], t_near), (bids[4], t_new)], now - 30),
+    ):
+        w = f"{tmp_path}/w_{name}"
+        write(rows, w)
+        part = _glob.glob(f"{w}/part-*.parquet")[0]
+        dst = f"{d}/{name}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (when, when))
+
+    corpus_dir = f"{tmp_path}/corpus"
+    write([(cids[0], t_corpus)], f"{corpus_dir}/documents.parquet")
+    ck, bk = corpus_indexes(spark, corpus_dir)
+    stream = read_documents_stream(
+        spark, f"{tmp_path}/stream_src", max_files_per_trigger=1
+    )
+    q = incremental_ingest_decisions(
+        stream, ck, bk,
+        out_dir=f"{tmp_path}/decisions",
+        seen_dir=f"{tmp_path}/seen",
+        checkpoint=f"{tmp_path}/ckpt",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.doc_id: r.reason
+        for r in spark.read.parquet(f"{tmp_path}/decisions").collect()
+    }
+    assert got == {
+        bids[0]: "exact_corpus",
+        bids[1]: "near_corpus",
+        bids[2]: "kept",
+        bids[3]: "exact_batch",  # twin of a DROPPED doc: still exact_batch
+        bids[4]: "exact_batch",
+    }
+
+
+def test_incremental_decisions_checkpoint_restart(spark, tmp_path):
+    """Restart from the same checkpoint: decisions already adjudicated must
+    appear exactly once (idempotent batch_id-partitioned overwrite), and a
+    post-restart twin of a pre-restart doc must still label exact_batch
+    (the seen-index lives in the lake, outliving the stop)."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+    import time
+
+    from polars_ad_etl_spark.operators.dedup import (
+        INCR_SPLIT_PERMILLE,
+        _INCR_SALT,
+    )
+    from polars_ad_etl_spark.streaming import (
+        corpus_indexes,
+        incremental_ingest_decisions,
+        read_documents_stream,
+    )
+
+    def is_batch(doc_id):
+        h = int(
+            hashlib.md5(f"{_INCR_SALT}{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        return h % 1000 >= INCR_SPLIT_PERMILLE
+
+    cids = [i for i in range(1, 200) if not is_batch(i)]
+    bids = [i for i in range(1, 200) if is_batch(i)]
+    t_a = "first unique document text about mountains and rivers flowing"
+    t_b = "second unique document text regarding oceans and tides turning"
+
+    def write(rows, path):
+        spark.createDataFrame(
+            [(i, t, "en", "synthetic", len(t) if t else 0) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    d = f"{tmp_path}/stream_src/documents.parquet"
+    os.makedirs(d)
+    w0 = f"{tmp_path}/w_f0"
+    write([(bids[0], t_a)], w0)
+    shutil.copy(_glob.glob(f"{w0}/part-*.parquet")[0], f"{d}/f0.parquet")
+    os.utime(f"{d}/f0.parquet", (time.time() - 60,) * 2)
+
+    corpus_dir = f"{tmp_path}/corpus"
+    write([(cids[0], "corpus only text that matches nothing else here")],
+          f"{corpus_dir}/documents.parquet")
+    ck, bk = corpus_indexes(spark, corpus_dir)
+
+    def start():
+        return incremental_ingest_decisions(
+            read_documents_stream(
+                spark, f"{tmp_path}/stream_src", max_files_per_trigger=1
+            ),
+            ck, bk,
+            out_dir=f"{tmp_path}/decisions",
+            seen_dir=f"{tmp_path}/seen",
+            checkpoint=f"{tmp_path}/ckpt",
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # deliver: a twin of the pre-restart doc + a new doc, then restart
+    w1 = f"{tmp_path}/w_f1"
+    write([(bids[1], t_a), (bids[2], t_b)], w1)
+    shutil.copy(_glob.glob(f"{w1}/part-*.parquet")[0], f"{d}/f1.parquet")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(f"{tmp_path}/decisions").collect()
+    assert len(rows) == len({r.doc_id for r in rows}) == 3
+    got = {r.doc_id: r.reason for r in rows}
+    assert got == {
+        bids[0]: "kept",
+        bids[1]: "exact_batch",
+        bids[2]: "kept",
+    }
