@@ -90,6 +90,12 @@ class _StageMetrics:
             out = {
                 "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in new),
                 "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in new),
+                # records are the compression-independent movement measure:
+                # the scale sweep arbitrates byte-ratio flags on them
+                # (bytes can drift with encoding entropy across SFs).
+                "shuffle_write_records": sum(
+                    s.get("shuffleWriteRecords", 0) for s in new
+                ),
                 "input_bytes": sum(s.get("inputBytes", 0) for s in new),
                 "spill_bytes": sum(
                     s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0)

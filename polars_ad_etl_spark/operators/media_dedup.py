@@ -134,6 +134,14 @@ def phash_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
     this): band-equality candidates (4 equi-join arms via one union),
     hot buckets capped at PH_BUCKET_CAP, exact Hamming distance verified
     with bit_count(xor) per band, pairs kept under PH_HAMMING_MAX."""
+    # Materialize the signatures ONCE before the fan-out: the pair plan
+    # references sigs from 6+ subtrees (band arms + both Hamming-verify
+    # sides); inlining the 64-sample hash expression into each would scan
+    # the corpus per subtree and ship a multi-MB task binary per stage
+    # (measured: heap OOM deserializing the task binary in a marathon
+    # session). Signatures are 5 ints/doc — checkpointing them is the
+    # point of computing a sketch.
+    sigs = sigs.localCheckpoint(eager=True)
     arms = None
     for k in range(PH_BANDS):
         arm = sigs.select(
@@ -219,6 +227,115 @@ def dedup_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify — the full program (sampling, hashing, banding, capping,
     distance) replayed by the DuckDB oracle."""
     return phash_pairs_from_sigs(media_phash_signatures(spark, sf_dir))
+
+
+# ----------------------------------------------- wide-key (corpus-scale) twin
+# Fixed-width banding has a birthday problem: with 4 x 16-bit bands,
+# RANDOM band collisions grow ~ 4 * n^2 / 2^17 — measured super-linear in
+# the sf sweep (the one honest confirmed entry; the hot-bucket cap bounds
+# the worst bucket but not the count of 2-doc buckets). The corpus-scale
+# shape widens the blocking key: candidates must match TWO of the four
+# bands (C(4,2) = 6 composite 32-bit keys), shrinking random collisions
+# by 2^16 (pairs ~ 6 * n^2 / 2^33 — negligible at any harness scale,
+# linear in the sweep) at a recall trade: a single-band match no longer
+# blocks, so recall comes from any CLEAN PAIR of bands (guaranteed for
+# Hamming distance <= 1, probabilistic above — near-dups at distance d
+# spread over 4 bands still leave a clean pair unless >= 3 bands are
+# touched). The same widen-the-key move MinHash banding makes when a
+# corpus outgrows its band space.
+
+_WIDE_PAIRS = [(i, j) for i in range(PH_BANDS) for j in range(PH_BANDS) if i < j]
+
+
+def phash_pairs_from_sigs_wide(sigs: DataFrame) -> DataFrame:
+    """Near-dup pairs blocked on composite two-band (32-bit) keys — the
+    corpus-scale variant of :func:`phash_pairs_from_sigs`; same capping,
+    same exact Hamming verify and cut-off."""
+    # same one-scan materialization rationale as phash_pairs_from_sigs
+    sigs = sigs.localCheckpoint(eager=True)
+    arms = None
+    for bi, (i, j) in enumerate(_WIDE_PAIRS):
+        arm = sigs.select(
+            "doc_id",
+            F.lit(bi).alias("band"),
+            (
+                F.col(f"band{i}").cast("long") * (1 << PH_BAND_BITS)
+                + F.col(f"band{j}")
+            ).alias("bkey"),
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    ok = (
+        arms.groupBy("band", "bkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= PH_BUCKET_CAP)
+        .select("band", "bkey")
+    )
+    arms = arms.join(ok, ["band", "bkey"])
+    a = arms.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    b = arms.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"band{k}").alias(f"a{k}") for k in range(PH_BANDS)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"band{k}").alias(f"b{k}") for k in range(PH_BANDS)],
+    )
+    hamming = None
+    for k in range(PH_BANDS):
+        term = F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= PH_HAMMING_MAX)
+    )
+
+
+_DUCK_WIDE_ARMS = " UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band,"
+    f" CAST(band{i} AS BIGINT) * {1 << PH_BAND_BITS} + band{j} AS bkey"
+    " FROM sigs"
+    for bi, (i, j) in enumerate(_WIDE_PAIRS)
+)
+
+MEDIA_PHASH_PAIRS_WIDE_SQL = f"""
+    WITH {_duck_sigs_sql()},
+    arms AS ({_DUCK_WIDE_ARMS}),
+    ok AS (
+        SELECT band, bkey FROM arms
+        GROUP BY band, bkey HAVING COUNT(*) <= {PH_BUCKET_CAP}
+    ),
+    arms2 AS (SELECT a.* FROM arms a JOIN ok USING (band, bkey)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM arms2 a JOIN arms2 b USING (band, bkey)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST({_DUCK_HAMMING} AS INT) AS hamming
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = cand.doc_a
+    JOIN sigs sb ON sb.doc_id = cand.doc_b
+    WHERE {_DUCK_HAMMING} <= {PH_HAMMING_MAX}
+"""
+
+
+@register("dedup_media_phash_pairs_wide", oracle=MEDIA_PHASH_PAIRS_WIDE_SQL)
+def dedup_media_phash_pairs_wide(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-scale media near-dup pairs: two-band composite blocking
+    keys (see section comment) — candidate volume linear in corpus size
+    where the single-band twin's random collisions grow quadratically;
+    full program oracle-replayed."""
+    return phash_pairs_from_sigs_wide(media_phash_signatures(spark, sf_dir))
 
 
 PH_SIG_SCHEMA = "doc_id long, band0 int, band1 int, band2 int, band3 int"

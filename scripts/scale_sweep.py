@@ -47,6 +47,8 @@ def classify_scaling(
     data_ratio: float,
     tol: float = 1.25,
     retime_wall: float | None = None,
+    mid_rec: dict | None = None,
+    mid_data_ratio: float | None = None,
 ) -> dict:
     """Scale verdict for one query between the smallest and largest SF.
 
@@ -55,9 +57,22 @@ def classify_scaling(
     - **byte growth** (shuffle_write / input_bytes ratio > tol x data
       ratio) with BOTH scales above the 64 KiB floor — a real shuffle
       growing super-linearly is the engine's fault and is load-immune.
-      A sub-floor -> above-floor transition is recorded as
-      ``byte_flip`` instead (the legitimate AQE broadcast->SMJ regime
-      change at the broadcast threshold): informational, not counted.
+      Two demotions for regime changes that are NOT the engine's fault:
+      a sub-floor -> above-floor transition is ``byte_flip`` (the
+      classic AQE broadcast->SMJ flip at the broadcast threshold), and —
+      when a mid-scale record is available — super-linear growth
+      confined to ONE segment is ``byte_step`` (a one-time plan-regime
+      step somewhere in the range: measured on this harness, joins
+      against the replicated part/customer tables lose their broadcast
+      at different SFs, producing a staircase that looks super-linear
+      end-to-end while each post-flip segment is linear). True
+      super-linear work (quadratic pair expansion, lost pushdown at
+      every scale) grows super-linearly in EVERY segment and stays
+      authoritative. ``scripts/scale_sweep.py`` additionally arbitrates
+      surviving byte flags by re-measuring with broadcast joins disabled
+      (see main): if the no-broadcast bytes scale linearly, the
+      default-config growth was join-strategy staircase, demoted to
+      ``byte_flip_arbitrated``.
     - **wall growth that survives a retime**: a super-linear wall ratio
       with linear bytes is re-measured (``retime_wall``, fresh best-of-N
       at the large SF in a different host minute); only a ratio still
@@ -73,19 +88,33 @@ def classify_scaling(
         wall_hi = min(wall_hi, retime_wall)
     wall_ratio = wall_hi / max(lo_rec["wall"], 1e-9)
     out["wall_ratio"] = round(wall_ratio, 2)
-    byte_reasons, flips = [], []
+    byte_reasons, flips, steps = [], [], []
     for key in ("shuffle_write", "input_bytes"):
         if key not in lo_rec or key not in hi_rec:
             continue
         if hi_rec[key] < _BYTE_FLOOR:
             continue  # tiny either way: jitter, never a scale signal
         ratio = hi_rec[key] / max(lo_rec[key], 1)
-        if ratio > data_ratio * tol:
-            if lo_rec[key] < _BYTE_FLOOR:
-                flips.append(key)
-            else:
-                byte_reasons.append(key)
-                out[f"{key}_ratio"] = round(ratio, 2)
+        if ratio <= data_ratio * tol:
+            continue
+        if lo_rec[key] < _BYTE_FLOOR:
+            flips.append(key)
+            continue
+        if (
+            mid_rec is not None
+            and mid_data_ratio
+            and key in mid_rec
+        ):
+            r1 = mid_rec[key] / max(lo_rec[key], 1)
+            r2 = hi_rec[key] / max(mid_rec[key], 1)
+            seg1_super = r1 > mid_data_ratio * tol
+            seg2_super = r2 > (data_ratio / mid_data_ratio) * tol
+            if not (seg1_super and seg2_super):
+                steps.append(key)
+                out[f"{key}_seg_ratios"] = [round(r1, 2), round(r2, 2)]
+                continue
+        byte_reasons.append(key)
+        out[f"{key}_ratio"] = round(ratio, 2)
     wall_super = wall_ratio > data_ratio * tol
     reasons = list(byte_reasons)
     if wall_super:
@@ -95,10 +124,79 @@ def classify_scaling(
             out["wall_suspect"] = True
     if flips:
         out["byte_flip"] = flips
+    if steps:
+        out["byte_step"] = steps
     out["linear"] = not reasons
     if reasons:
         out["reasons"] = reasons
     return out
+
+
+def arbitrate_bytes_by_pinned_plan(
+    cls: dict,
+    nb_lo: dict,
+    nb_hi: dict,
+    data_ratio: float,
+    pin_tol: float = 1.4,
+    result_ratio: float | None = None,
+) -> dict:
+    """Join-strategy + output-cardinality arbitration for byte flags
+    (pure; pinned in tests/test_bench_flags.py).
+
+    ``nb_lo``/``nb_hi``: one-run metrics at the two endpoint SFs with
+    broadcast joins DISABLED — pinning every join to shuffle removes the
+    broadcast->SMJ staircase from the comparison. The pinned ratio is
+    taken on shuffle RECORDS when available (compression-independent:
+    byte ratios drift with encoding entropy across synthetic SFs), else
+    bytes. Two demotions:
+
+    - pinned ratio within ``pin_tol`` x data ratio: the underlying data
+      movement is ~linear — the default-config growth was planner regime
+      change, ``byte_flip_arbitrated``. ``pin_tol`` is looser than the
+      flag tolerance on purpose: generator round-off sits within ~1.4x,
+      while the quadratic class measures 5-100x over.
+    - pinned ratio within ``pin_tol`` x the RESULT-ROW ratio
+      (``result_ratio``): the movement is carrying the ANSWER. A query
+      whose correct output grows super-linearly in the scaled corpus
+      (measured here: cross-copy media near-dup pairs — replication
+      produces genuinely similar documents, so the pair count itself is
+      super-linear) must move at least proportionally many rows; flagging
+      that would blame the engine for the dataset's answer. Demoted to
+      ``output_cardinality_growth`` with both ratios recorded. An engine
+      moving ~quadratic volume for a LINEAR-sized answer (lost blocking,
+      all-pairs scan) still flags — its result_ratio is small.
+
+    Ratios over both bounds stay authoritative."""
+    flagged = [
+        r for r in cls.get("reasons", [])
+        if r in ("shuffle_write", "input_bytes")
+    ]
+    cleared = {}
+    for key in flagged:
+        if key == "shuffle_write" and nb_lo.get("shuffle_records"):
+            r = nb_hi.get("shuffle_records", 0) / nb_lo["shuffle_records"]
+            basis = "records"
+        else:
+            if not nb_lo.get(key):
+                continue
+            r = nb_hi.get(key, 0) / nb_lo[key]
+            basis = "bytes"
+        cls[f"{key}_pinned_ratio"] = round(r, 2)
+        cls[f"{key}_pinned_basis"] = basis
+        if r <= data_ratio * pin_tol:
+            cls["reasons"].remove(key)
+            cleared[key] = "byte_flip_arbitrated"
+        elif result_ratio is not None and r <= result_ratio * pin_tol:
+            cls["reasons"].remove(key)
+            cleared[key] = "output_cardinality_growth"
+            cls["result_ratio"] = round(result_ratio, 2)
+    for key, label in cleared.items():
+        cls.setdefault(label, []).append(key)
+    if cleared:
+        cls["linear"] = not cls["reasons"]
+        if not cls["reasons"]:
+            del cls["reasons"]
+    return cls
 
 
 def main() -> None:
@@ -139,17 +237,19 @@ def main() -> None:
         for name in names:
             fn = QUERIES[name]
             best = float("inf")
+            n_rows = 0
             metrics_src.snapshot()
             for _ in range(runs):
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).count()
+                n_rows = fn(spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)
-            rec = {"wall": round(best, 3)}
+            rec = {"wall": round(best, 3), "rows": int(n_rows)}
             m = metrics_src.delta()
             if m:
                 rec.update(
                     shuffle_read=m["shuffle_read_bytes"] // runs,
                     shuffle_write=m["shuffle_write_bytes"] // runs,
+                    shuffle_records=m.get("shuffle_write_records", 0) // runs,
                     input_bytes=m["input_bytes"] // runs,
                     spill=m["spill_bytes"] // runs,
                     peak_mem=m["peak_execution_memory"],
@@ -158,16 +258,45 @@ def main() -> None:
             print(f"sf{sf} {name}: {rec['wall']}s", flush=True)
 
     lo, hi = str(sfs[0][1]), str(sfs[-1][1])
-    hi_dir = sfs[-1][0]
+    lo_dir, hi_dir = sfs[0][0], sfs[-1][0]
     data_ratio = sfs[-1][1] / sfs[0][1]
+    mid = str(sfs[1][1]) if len(sfs) > 2 else None
+    mid_data_ratio = sfs[1][1] / sfs[0][1] if len(sfs) > 2 else None
     result["data_ratio"] = data_ratio
+
+    _BCAST = ("spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+    def _no_broadcast_bytes(name: str, sf_dir: str) -> dict | None:
+        """One no-broadcast run's byte/record metrics: the
+        join-strategy-pinned measurement that arbitrates a byte flag (see
+        arbitrate_bytes_by_pinned_plan)."""
+        old = {c: spark.conf.get(c, None) for c in _BCAST}
+        for c in _BCAST:
+            spark.conf.set(c, "-1")
+        try:
+            metrics_src.snapshot()
+            QUERIES[name](spark, sf_dir).count()
+            m = metrics_src.delta()
+        finally:
+            for c, v in old.items():
+                spark.conf.set(c, v) if v is not None else spark.conf.unset(c)
+        if m is None:
+            return None
+        return {"shuffle_write": m["shuffle_write_bytes"],
+                "shuffle_records": m.get("shuffle_write_records", 0),
+                "input_bytes": m["input_bytes"]}
+
     for name, per_sf in result["queries"].items():
         a, b = per_sf[lo], per_sf[hi]
+        m_rec = per_sf.get(mid) if mid else None
         if "shuffle_write" in a and "shuffle_write" in b:
             per_sf["shuffle_ratio"] = round(
                 b["shuffle_write"] / max(a["shuffle_write"], 1), 2
             )
-        cls = classify_scaling(a, b, data_ratio)
+        cls = classify_scaling(
+            a, b, data_ratio, mid_rec=m_rec, mid_data_ratio=mid_data_ratio
+        )
         if cls.get("wall_suspect") and cls["linear"]:
             # wall-only super-linear suspect: arbitrate with a fresh
             # best-of-N retime at the large SF (different host minute)
@@ -177,12 +306,51 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, hi_dir).count()
                 best = min(best, time.perf_counter() - t0)
-            cls = classify_scaling(a, b, data_ratio, retime_wall=best)
+            cls = classify_scaling(
+                a, b, data_ratio, retime_wall=best,
+                mid_rec=m_rec, mid_data_ratio=mid_data_ratio,
+            )
             print(
                 f"retimed {name} at sf{hi}: {best:.3f}s -> "
                 f"{'CONFIRMED superlinear' if not cls['linear'] else 'cleared'}",
                 flush=True,
             )
+        byte_flagged = [
+            r for r in cls.get("reasons", [])
+            if r in ("shuffle_write", "input_bytes")
+        ]
+        if byte_flagged:
+            # Join-strategy arbitration: pin every join to shuffle (no
+            # broadcasts) and re-measure the endpoints on shuffle RECORDS
+            # — see arbitrate_bytes_by_pinned_plan. Still-super pinned
+            # movement stays authoritative (quadratic pair expansion,
+            # combine-decay past tolerance).
+            nb_lo = _no_broadcast_bytes(name, lo_dir)
+            nb_hi = _no_broadcast_bytes(name, hi_dir)
+            result_ratio = (
+                b["rows"] / a["rows"]
+                if a.get("rows") and b.get("rows") is not None
+                else None
+            )
+            if nb_lo and nb_hi:
+                cls = arbitrate_bytes_by_pinned_plan(
+                    cls, nb_lo, nb_hi, data_ratio,
+                    result_ratio=result_ratio,
+                )
+                print(
+                    f"pinned-plan arbitration {name}: "
+                    + ", ".join(
+                        f"{k}={cls.get(f'{k}_pinned_ratio')}x"
+                        f"({cls.get(f'{k}_pinned_basis')})"
+                        for k in byte_flagged
+                    )
+                    + (
+                        f" -> cleared {cls.get('byte_flip_arbitrated')}"
+                        if cls.get("byte_flip_arbitrated")
+                        else " -> CONFIRMED"
+                    ),
+                    flush=True,
+                )
         per_sf.update(cls)
     result["total_wall"] = {
         str(sf): round(

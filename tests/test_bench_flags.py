@@ -386,3 +386,103 @@ def test_scale_subfloor_shuffles_never_flag_bytes():
     hi = {"wall": 0.9, "shuffle_write": 30_000, "input_bytes": 40_000}
     cls = classify_scaling(lo, hi, data_ratio=10.0)
     assert cls["linear"] is True and "byte_flip" not in cls
+
+
+def test_scale_single_segment_step_is_informational():
+    # The broadcast->SMJ staircase: joins against scaled tables lose
+    # their broadcast somewhere in the range, so end-to-end growth looks
+    # super-linear while one segment is linear. byte_step, not counted.
+    lo = {"wall": 0.6, "shuffle_write": 300_000, "input_bytes": 3_000_000}
+    mid = {"wall": 0.8, "shuffle_write": 950_000, "input_bytes": 9_000_000}
+    hi = {"wall": 1.1, "shuffle_write": 65_000_000, "input_bytes": 30_000_000}
+    cls = classify_scaling(
+        lo, hi, data_ratio=10.0, mid_rec=mid, mid_data_ratio=3.0
+    )
+    assert cls["linear"] is True
+    assert cls["byte_step"] == ["shuffle_write"]
+    assert cls["shuffle_write_seg_ratios"][1] > 10
+
+
+def test_scale_every_segment_super_stays_authoritative():
+    # True quadratic pair expansion grows super-linearly in EVERY
+    # segment — no staircase excuse.
+    lo = {"wall": 1.0, "shuffle_write": 500_000, "input_bytes": 5_000_000}
+    mid = {"wall": 4.0, "shuffle_write": 4_500_000, "input_bytes": 15_000_000}
+    hi = {"wall": 30.0, "shuffle_write": 50_000_000, "input_bytes": 50_000_000}
+    cls = classify_scaling(
+        lo, hi, data_ratio=10.0, mid_rec=mid, mid_data_ratio=3.0
+    )
+    assert cls["linear"] is False and cls["reasons"] == ["shuffle_write"]
+
+
+def test_scale_without_mid_record_keeps_single_span_rule():
+    lo = {"wall": 1.0, "shuffle_write": 1_000_000, "input_bytes": 10_000_000}
+    hi = {"wall": 9.0, "shuffle_write": 30_000_000, "input_bytes": 100_000_000}
+    cls = classify_scaling(lo, hi, data_ratio=10.0)
+    assert cls["linear"] is False and "shuffle_write" in cls["reasons"]
+
+
+arbitrate_bytes_by_pinned_plan = _load_scale_sweep().arbitrate_bytes_by_pinned_plan
+
+
+def test_pinned_plan_linear_records_clear_byte_flag():
+    # Measured q17 case: default-config shuffle 95x (broadcast->SMJ flip)
+    # but pinned-strategy RECORDS 12.7x on 10x data -> planner regime
+    # change, cleared with the evidence recorded.
+    cls = {"reasons": ["shuffle_write"], "linear": False}
+    nb_lo = {"shuffle_write": 4_473_348, "shuffle_records": 620_763,
+             "input_bytes": 1}
+    nb_hi = {"shuffle_write": 77_768_289, "shuffle_records": 7_908_007,
+             "input_bytes": 10}
+    out = arbitrate_bytes_by_pinned_plan(cls, nb_lo, nb_hi, data_ratio=10.0)
+    assert out["linear"] is True
+    assert out["byte_flip_arbitrated"] == ["shuffle_write"]
+    assert out["shuffle_write_pinned_basis"] == "records"
+    assert out["shuffle_write_pinned_ratio"] == 12.74
+
+
+def test_pinned_plan_super_records_stay_authoritative():
+    # Measured media-phash case: pinned records 23x on 10x data — the
+    # quadratic candidate class, no demotion.
+    cls = {"reasons": ["shuffle_write"], "linear": False}
+    nb_lo = {"shuffle_write": 2_310_599, "shuffle_records": 197_598}
+    nb_hi = {"shuffle_write": 53_566_255, "shuffle_records": 4_572_212}
+    out = arbitrate_bytes_by_pinned_plan(cls, nb_lo, nb_hi, data_ratio=10.0)
+    assert out["linear"] is False and out["reasons"] == ["shuffle_write"]
+
+
+def test_pinned_plan_falls_back_to_bytes_without_records():
+    cls = {"reasons": ["input_bytes"], "linear": False}
+    nb_lo = {"input_bytes": 1_000_000}
+    nb_hi = {"input_bytes": 12_000_000}
+    out = arbitrate_bytes_by_pinned_plan(cls, nb_lo, nb_hi, data_ratio=10.0)
+    assert out["linear"] is True
+    assert out["input_bytes_pinned_basis"] == "bytes"
+
+
+def test_pinned_plan_output_growth_demotes_with_evidence():
+    # Measured wide-phash case: the scaled corpus genuinely contains
+    # super-linearly many near-dup pairs (result rows 54 -> 181,505 =
+    # 3361x), and the engine moves only 27x records to produce them —
+    # movement is carrying the answer, not wasted.
+    cls = {"reasons": ["shuffle_write"], "linear": False}
+    nb_lo = {"shuffle_write": 2_000_000, "shuffle_records": 170_000}
+    nb_hi = {"shuffle_write": 55_000_000, "shuffle_records": 4_600_000}
+    out = arbitrate_bytes_by_pinned_plan(
+        cls, nb_lo, nb_hi, data_ratio=10.0, result_ratio=3361.2
+    )
+    assert out["linear"] is True
+    assert out["output_cardinality_growth"] == ["shuffle_write"]
+    assert out["result_ratio"] == 3361.2
+
+
+def test_pinned_plan_quadratic_movement_for_linear_answer_still_flags():
+    # Lost blocking: all-pairs volume for a linear-sized answer. The
+    # result_ratio bound cannot excuse it.
+    cls = {"reasons": ["shuffle_write"], "linear": False}
+    nb_lo = {"shuffle_write": 1_000_000, "shuffle_records": 100_000}
+    nb_hi = {"shuffle_write": 100_000_000, "shuffle_records": 10_000_000}
+    out = arbitrate_bytes_by_pinned_plan(
+        cls, nb_lo, nb_hi, data_ratio=10.0, result_ratio=9.8
+    )
+    assert out["linear"] is False and out["reasons"] == ["shuffle_write"]

@@ -110,3 +110,28 @@ def test_fake_decode_path_is_deterministic(spark):
     a = sorted(map(tuple, media_phash_decoded(media, fake=True).collect()))
     b = sorted(map(tuple, media_phash_decoded(media, fake=True).collect()))
     assert a == b and len(a) > 0
+
+
+def test_wide_pairs_are_subset_semantics(spark):
+    # The wide (two-band composite key) twin blocks strictly harder than
+    # the single-band twin: every wide pair must also be a single-band
+    # pair (same cap policy aside, buckets only shrink), and exact
+    # duplicates (Hamming 0: ALL bands equal) always survive widening.
+    from polars_ad_etl_spark.operators.media_dedup import (
+        phash_pairs_from_sigs_wide,
+    )
+
+    sigs = media_phash_signatures(spark, SF)
+    narrow = {
+        (r.doc_a, r.doc_b) for r in phash_pairs_from_sigs(sigs).collect()
+    }
+    wide = {
+        (r.doc_a, r.doc_b)
+        for r in phash_pairs_from_sigs_wide(sigs).collect()
+    }
+    assert wide <= narrow
+    zero_narrow = {
+        (r.doc_a, r.doc_b)
+        for r in phash_pairs_from_sigs(sigs).filter("hamming = 0").collect()
+    }
+    assert zero_narrow <= wide
