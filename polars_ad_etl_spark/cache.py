@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import stat
 import tempfile
 import uuid
 from contextlib import contextmanager
@@ -32,21 +33,45 @@ from pathlib import Path
 
 def private_cache_root(name: str) -> Path:
     """The uid-keyed, 0700 cache root for ``name``. Creation is
-    create-or-verify: a pre-existing directory must be owned by the current
-    uid (and is re-tightened to 0700), otherwise we refuse to use it."""
+    create-or-verify: a pre-existing entry must be a REAL directory (not a
+    symlink — ``stat()``/``chmod()`` follow links, so a symlink planted at
+    the predictable path would redirect the ownership check and every cache
+    IO to an attacker-chosen target; round-10 advice, medium) owned by the
+    current uid, and is re-tightened to 0700 via a directory fd so the
+    check and the chmod bind to the same inode."""
     uid = os.getuid() if hasattr(os, "getuid") else 0
     root = Path(tempfile.gettempdir()) / f"{name}_uid{uid}"
     try:
         root.mkdir(mode=0o700)
     except FileExistsError:
-        st = root.stat()
-        if hasattr(os, "getuid") and st.st_uid != uid:
+        lst = os.lstat(root)
+        if not stat.S_ISDIR(lst.st_mode):
             raise RuntimeError(
-                f"cache root {root} exists but is owned by uid {st.st_uid},"
-                f" not {uid} — refusing to reuse a directory another"
-                " account controls"
+                f"cache root {root} exists but is not a directory"
+                " (symlink or file planted at the predictable path) —"
+                " refusing to follow it"
             )
-        os.chmod(root, 0o700)
+        # Open the directory itself with O_NOFOLLOW so ownership check and
+        # permission tightening are against this inode, not a racy path
+        # re-resolution. O_DIRECTORY/O_NOFOLLOW are POSIX; on platforms
+        # without them (Windows) fall back to the lstat result alone.
+        flags = os.O_RDONLY
+        flags |= getattr(os, "O_DIRECTORY", 0) | getattr(os, "O_NOFOLLOW", 0)
+        fd = os.open(root, flags)
+        try:
+            st = os.fstat(fd)
+            if hasattr(os, "getuid") and st.st_uid != uid:
+                raise RuntimeError(
+                    f"cache root {root} exists but is owned by uid"
+                    f" {st.st_uid}, not {uid} — refusing to reuse a"
+                    " directory another account controls"
+                )
+            if hasattr(os, "fchmod"):
+                os.fchmod(fd, 0o700)
+            else:  # pragma: no cover - non-POSIX fallback
+                os.chmod(root, 0o700)
+        finally:
+            os.close(fd)
     return root
 
 

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -129,14 +130,22 @@ def read_codes(spark: SparkSession, index_dir: Path) -> DataFrame:
     from polars_ad_etl_spark.operators import similarity as S
 
     path = index_dir / "codes"
-    try:
-        return spark.read.parquet(str(path))
-    except Exception:
+    # Empty-corpus detection is EXPLICIT (round-10 advice, low): only a
+    # missing/empty codes directory falls back to the contract-schema empty
+    # frame. A corrupt index, permission error, or transient IO failure
+    # propagates — an *_indexed query must fail loudly, not return empty.
+    has_parquet = path.is_dir() and any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(path)
+        for f in files
+    )
+    if not has_parquet:
         fields = [T.StructField("vec_id", T.LongType())] + [
             T.StructField(f"code{m}", T.IntegerType())
             for m in range(S.PQ_M)
         ] + [T.StructField("cluster", T.IntegerType())]
         return spark.createDataFrame([], T.StructType(fields))
+    return spark.read.parquet(str(path))
 
 
 def read_label_centroids(spark: SparkSession, index_dir: Path) -> DataFrame:

@@ -216,6 +216,90 @@ def incremental_ingest_stream(
 DECISIONS_SCHEMA = "doc_id long, reason string, keep boolean"
 
 
+def _admit_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_ck: DataFrame,
+    corpus_bk: DataFrame,
+    out_dir: str,
+    seen_dir: str,
+) -> None:
+    """One micro-batch of the labeled admission pipeline — module-level so
+    the replay-idempotency contract is directly testable (re-invoking with
+    the SAME batch_id must reproduce identical decisions).
+
+    Replay safety (round-10 advice, high): the seen-index write for batch N
+    lands BEFORE the checkpoint commit, so on a crash-replay of batch N its
+    own hashes are already in ``seen_dir``. The seen read therefore filters
+    to ``batch_id < N`` — the index is partitioned by batch_id, so the
+    filter is partition pruning, and a replayed batch sees exactly the
+    state its first execution saw. Both sinks use PER-WRITE dynamic
+    partition overwrite (no session-conf mutation — round-10 advice, low),
+    so the replay overwrites its own partitions in place.
+    """
+    from pyspark.sql import Window as W
+
+    spark = batch_df.sparkSession
+    s = _prep_ingest(batch_df)
+    try:
+        seen = (
+            spark.read.parquet(seen_dir)
+            .where(F.col("batch_id") < int(batch_id))
+            .select("ck2")
+            .distinct()
+        )
+    except Exception:  # first batch: no admitted-hash index yet
+        seen = spark.createDataFrame([], "ck2 string")
+    w = W.partitionBy("ck2").orderBy("doc_id")
+    s = s.withColumn("rn", F.row_number().over(w))
+    s = s.join(
+        corpus_ck.select("ck", F.lit(1).alias("in_corpus")),
+        "ck",
+        "left_outer",
+    )
+    s = s.join(
+        seen.select("ck2", F.lit(1).alias("in_seen")), "ck2", "left_outer"
+    )
+    s = _with_near_corpus_flag(s, corpus_bk)
+    reason = (
+        F.when(F.col("in_corpus").isNotNull(), F.lit("exact_corpus"))
+        .when(
+            F.col("in_seen").isNotNull() | (F.col("rn") > 1),
+            F.lit("exact_batch"),
+        )
+        .when(F.col("near_hit"), F.lit("near_corpus"))
+        .otherwise(F.lit("kept"))
+    )
+    decisions = s.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
+        F.lit(int(batch_id)).alias("batch_id"),
+    ).localCheckpoint(eager=True)
+    (
+        decisions.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+    # The seen-index records EVERY adjudicated content hash, not just
+    # the kept ones: the batch twin's exact_batch layer fires for
+    # content matching ANY earlier arrival regardless of that
+    # arrival's own fate (its min-doc rule ranks above the near
+    # layers), so a later twin of a near_corpus-dropped doc must
+    # still label exact_batch, not re-run the near probe.
+    (
+        _prep_ingest(batch_df)
+        .select("ck2")
+        .distinct()
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(seen_dir)
+    )
+
+
 def incremental_ingest_decisions(
     docs_stream: DataFrame,
     corpus_ck: DataFrame,
@@ -258,59 +342,9 @@ def incremental_ingest_decisions(
     whenever arrival order follows doc_id order, the same caveat as the
     survivors-only twin.
     """
-    from pyspark.sql import Window as W
-
     def admit(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        s = _prep_ingest(batch_df)
-        try:
-            seen = spark.read.parquet(seen_dir).select("ck2").distinct()
-        except Exception:  # first batch: no admitted-hash index yet
-            seen = spark.createDataFrame([], "ck2 string")
-        w = W.partitionBy("ck2").orderBy("doc_id")
-        s = s.withColumn("rn", F.row_number().over(w))
-        s = s.join(
-            corpus_ck.select("ck", F.lit(1).alias("in_corpus")),
-            "ck",
-            "left_outer",
-        )
-        s = s.join(
-            seen.select("ck2", F.lit(1).alias("in_seen")), "ck2", "left_outer"
-        )
-        s = _with_near_corpus_flag(s, corpus_bk)
-        reason = (
-            F.when(F.col("in_corpus").isNotNull(), F.lit("exact_corpus"))
-            .when(
-                F.col("in_seen").isNotNull() | (F.col("rn") > 1),
-                F.lit("exact_batch"),
-            )
-            .when(F.col("near_hit"), F.lit("near_corpus"))
-            .otherwise(F.lit("kept"))
-        )
-        decisions = s.select(
-            "doc_id",
-            reason.alias("reason"),
-            (reason == "kept").alias("keep"),
-            F.lit(int(batch_id)).alias("batch_id"),
-        ).localCheckpoint(eager=True)
-        decisions.write.mode("overwrite").partitionBy("batch_id").parquet(
-            out_dir
-        )
-        # The seen-index records EVERY adjudicated content hash, not just
-        # the kept ones: the batch twin's exact_batch layer fires for
-        # content matching ANY earlier arrival regardless of that
-        # arrival's own fate (its min-doc rule ranks above the near
-        # layers), so a later twin of a near_corpus-dropped doc must
-        # still label exact_batch, not re-run the near probe.
-        (
-            _prep_ingest(batch_df)
-            .select("ck2")
-            .distinct()
-            .withColumn("batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(seen_dir)
+        _admit_batch(
+            batch_df, batch_id, corpus_ck, corpus_bk, out_dir, seen_dir
         )
 
     return (

@@ -127,6 +127,24 @@ def test_empty_corpus_index_builds_and_serves_empty(spark, tmp_path):
         assert QUERIES[name](spark, str(empty)).count() == 0
 
 
+def test_corrupt_codes_fail_loudly_not_empty(spark, tmp_path):
+    """Round-10 advice (low): only a missing/empty codes directory may fall
+    back to the contract-schema empty frame; a CORRUPT posting store must
+    propagate, never silently serve empty results."""
+    idx = tmp_path / "ivfpq_corrupt"
+    codes = idx / "codes" / "cluster=0"
+    codes.mkdir(parents=True)
+    (codes / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        AI.read_codes(spark, idx).collect()
+    # the legitimate empty cases still return the contract schema
+    missing = AI.read_codes(spark, tmp_path / "ivfpq_missing")
+    assert missing.count() == 0 and "vec_id" in missing.columns
+    empty_dir = tmp_path / "ivfpq_empty"
+    (empty_dir / "codes").mkdir(parents=True)
+    assert AI.read_codes(spark, empty_dir).count() == 0
+
+
 def test_model_json_round_trips_exact_values(spark, built_index):
     # Centroids/codebooks are ints (exact in JSON); label centroids are
     # doubles whose json round-trip must be bit-exact (repr round-trip).

@@ -37,6 +37,41 @@ def test_root_is_uid_keyed_and_0700(tmp_path, monkeypatch):
         tempfile.tempdir = None
 
 
+def test_root_refuses_symlink(tmp_path, monkeypatch):
+    """Round-10 advice (medium): a symlink planted at the predictable path
+    must be refused outright — ``stat()``/``chmod()`` follow links, so the
+    old ownership check could be redirected to a victim-owned target."""
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None
+    try:
+        target = tmp_path / "attacker_target"
+        target.mkdir()  # owned by us, so the OLD follow-link check passed
+        link = tmp_path / f"spark_graft_test_symlink_uid{os.getuid()}"
+        link.symlink_to(target)
+        with pytest.raises(RuntimeError, match="not a directory"):
+            private_cache_root("spark_graft_test_symlink")
+        # the attacker target was not chmod'd through the link
+        assert stat.S_IMODE(target.stat().st_mode) != 0o700
+    finally:
+        tempfile.tempdir = None
+
+
+def test_root_refuses_regular_file(tmp_path, monkeypatch):
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None
+    try:
+        f = tmp_path / f"spark_graft_test_file_uid{os.getuid()}"
+        f.write_text("planted", encoding="utf-8")
+        with pytest.raises(RuntimeError, match="not a directory"):
+            private_cache_root("spark_graft_test_file")
+    finally:
+        tempfile.tempdir = None
+
+
 def test_publish_dir_atomic_success(tmp_path):
     final = tmp_path / "layout"
     with publish_dir(final) as build:

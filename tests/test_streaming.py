@@ -1275,3 +1275,75 @@ def test_incremental_decisions_checkpoint_restart(spark, tmp_path):
         bids[1]: "exact_batch",
         bids[2]: "kept",
     }
+
+
+def test_incremental_decisions_same_batch_replay(spark, tmp_path):
+    """Crash-replay idempotency (round-10 advice, high): foreachBatch
+    re-executes a micro-batch with the SAME batch_id when the failure lands
+    after the sink writes but before the checkpoint commit. By then the
+    batch's own hashes are already in the seen-index, so an unfiltered seen
+    read would relabel every replayed doc exact_batch/keep=false and the
+    dynamic overwrite would REPLACE the correct decisions with wrong ones.
+    Re-invoking the admission with the same batch_id must reproduce
+    byte-identical decisions."""
+    import hashlib
+
+    from polars_ad_etl_spark.operators.dedup import (
+        INCR_SPLIT_PERMILLE,
+        _INCR_SALT,
+    )
+    from polars_ad_etl_spark.streaming import corpus_indexes
+    from polars_ad_etl_spark.streaming.documents import _admit_batch
+
+    def is_batch(doc_id):
+        h = int(
+            hashlib.md5(f"{_INCR_SALT}{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        return h % 1000 >= INCR_SPLIT_PERMILLE
+
+    cids = [i for i in range(1, 200) if not is_batch(i)]
+    bids = [i for i in range(1, 200) if is_batch(i)]
+    t_a = "unique replay text concerning glaciers calving into fjords below"
+    t_b = "another replay text on deserts shifting under midnight winds"
+    t_corpus = "corpus resident replay text about forests regrowing after fire"
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "synthetic", len(t) if t else 0) for i, t in rows],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+
+    corpus_dir = f"{tmp_path}/corpus"
+    frame([(cids[0], t_corpus)]).coalesce(1).write.parquet(
+        f"{corpus_dir}/documents.parquet"
+    )
+    ck, bk = corpus_indexes(spark, corpus_dir)
+
+    out, seen = f"{tmp_path}/decisions", f"{tmp_path}/seen"
+    # batch 0: a kept doc + its within-batch twin + a corpus twin
+    b0 = frame([(bids[0], t_a), (bids[1], t_a), (bids[2], t_corpus)])
+    _admit_batch(b0, 0, ck, bk, out, seen)
+    first = {
+        r.doc_id: (r.reason, r.keep)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert first == {
+        bids[0]: ("kept", True),
+        bids[1]: ("exact_batch", False),
+        bids[2]: ("exact_corpus", False),
+    }
+    # crash-replay: identical batch, identical batch_id
+    _admit_batch(b0, 0, ck, bk, out, seen)
+    replayed = {
+        r.doc_id: (r.reason, r.keep)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert replayed == first
+    # and a LATER batch still sees batch 0's hashes (the filter is
+    # batch_id < current, not batch_id != current)
+    _admit_batch(frame([(bids[3], t_a), (bids[4], t_b)]), 1, ck, bk, out, seen)
+    after = {
+        r.doc_id: r.reason for r in spark.read.parquet(out).collect()
+    }
+    assert after[bids[3]] == "exact_batch" and after[bids[4]] == "kept"
