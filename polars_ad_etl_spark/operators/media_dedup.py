@@ -338,6 +338,175 @@ def dedup_media_phash_pairs_wide(
     return phash_pairs_from_sigs_wide(media_phash_signatures(spark, sf_dir))
 
 
+# ------------------------------------------------- cross-codec dedup proof
+# Round-10 verdict task 3: the real-codec path decodes pixels, but nothing
+# proved the DECODE-NORMALIZED property — the same image stored in two
+# different containers must land in one near-dup cluster. This query is
+# that proof, registry-grade: a deterministic fixture derives one 64x1
+# grayscale image per selected document (pixel values a pure function of
+# doc_id), encodes it BOTH as 24-bit BMP and as zlib/Paeth-filtered PNG,
+# runs the REAL container decoders (media_codecs.decode_bmp / decode_png
+# via multimodal.decode_media(fake=False)) inside mapInPandas, and feeds
+# the decoded signatures through the standard banded pairing. The DuckDB
+# oracle replays the pixel function and the hash program WITHOUT any codec
+# — so a hash match proves both encode→decode round-trips returned the
+# exact source pixels, and every (bmp, png) twin pairs at Hamming 0
+# (asserted by tests/test_media_dedup.py on top of the oracle).
+#
+# Determinism: the decoded luma of a gray pixel (v,v,v) is v/255.0; the
+# signature path reconstructs the INTEGER gray (round(s*255) is exact for
+# 8-bit values) and applies the integer aHash rule 64*g >= sum(g) — no
+# float comparison anywhere, same trick as the ANN family's quantization.
+# The pixel function bumps g[0] when sum(g) % 64 == 0 so the >= rule never
+# sits on an exact tie (a tie requires 64*g_i == sum).
+
+CC_MOD = 101  # fixture density: one image pair per 101 doc_ids
+CC_MAX_ID = 1 << 40  # keeps mid = doc_id*2+1 and the pixel arithmetic
+#   far from int64 overflow under ANSI on fuzzed corpora
+
+
+def _cc_grays(doc_id: int) -> list[int]:
+    g = [(doc_id * 37 + i * 11 + doc_id % 7) % 251 for i in range(PH_BITS)]
+    if sum(g) % PH_BITS == 0:
+        g[0] = (g[0] + 1) % 251
+    return g
+
+
+_CC_SIG_BANDS = []
+for _k in range(PH_BANDS):
+    _terms = " + ".join(
+        f"(CASE WHEN {PH_BITS} * g[{PH_BAND_BITS * _k + _j + 1}] >= t"
+        f" THEN {1 << _j} ELSE 0 END)"
+        for _j in range(PH_BAND_BITS)
+    )
+    _CC_SIG_BANDS.append(f"CAST({_terms} AS INT) AS band{_k}")
+
+MEDIA_CROSS_CODEC_SQL = f"""
+    WITH ids AS (
+        SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id >= 0 AND doc_id < {CC_MAX_ID} AND doc_id % {CC_MOD} = 0
+    ),
+    mids AS (
+        SELECT doc_id * 2 AS mid, doc_id AS src FROM ids
+        UNION ALL
+        SELECT doc_id * 2 + 1 AS mid, doc_id AS src FROM ids
+    ),
+    g0 AS (
+        SELECT mid,
+               list_transform(generate_series(0, {PH_BITS - 1}),
+                   i -> (src * 37 + i * 11 + src % 7) % 251) AS g
+        FROM mids
+    ),
+    gf AS (
+        SELECT mid,
+               CASE WHEN list_sum(g) % {PH_BITS} = 0
+                    THEN list_concat(list_value((g[1] + 1) % 251), g[2:])
+                    ELSE g END AS g
+        FROM g0
+    ),
+    tot AS (SELECT mid, g, list_sum(g) AS t FROM gf),
+    sigs AS (SELECT mid AS doc_id, {", ".join(_CC_SIG_BANDS)} FROM tot),
+    arms AS ({_DUCK_ARMS}),
+    ok AS (
+        SELECT band, bkey FROM arms
+        GROUP BY band, bkey HAVING COUNT(*) <= {PH_BUCKET_CAP}
+    ),
+    arms2 AS (SELECT a.* FROM arms a JOIN ok USING (band, bkey)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM arms2 a JOIN arms2 b USING (band, bkey)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST({_DUCK_HAMMING} AS INT) AS hamming
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = cand.doc_a
+    JOIN sigs sb ON sb.doc_id = cand.doc_b
+    WHERE {_DUCK_HAMMING} <= {PH_HAMMING_MAX}
+"""
+
+
+@register("dedup_media_cross_codec_pairs", oracle=MEDIA_CROSS_CODEC_SQL)
+def dedup_media_cross_codec_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup pairs over a cross-codec twin fixture: each selected
+    document's deterministic 64x1 grayscale image, stored as BOTH BMP
+    (media id ``doc_id*2``) and PNG (``doc_id*2+1``), decoded by the REAL
+    pure-python container decoders at the executors, hashed, and paired by
+    the standard banded program. Every twin pairs at Hamming 0 iff both
+    codecs round-trip pixels exactly — the decode-normalized property (see
+    section comment). The mapInPandas stage is genuine codec work (the
+    documented slow path); everything downstream is the shared JVM pairing
+    plan."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = (
+        d.filter(
+            (F.col("doc_id") >= 0)
+            & (F.col("doc_id") < CC_MAX_ID)
+            & (F.col("doc_id") % CC_MOD == 0)
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    fixture = ids.select(
+        "doc_id",
+        F.explode(F.array(F.lit("bmp"), F.lit("png"))).alias("codec"),
+    )
+
+    # The executor's Python worker does not inherit the driver's sys.path
+    # (a driver launched from an arbitrary cwd imports this package via its
+    # own path entry); ship the package root by value with the closure and
+    # bootstrap it worker-side — the local/shared-FS analogue of
+    # sc.addPyFile. All other registry queries are pure JVM plans and never
+    # ship closures, so this is the only query that needs it.
+    import pathlib
+
+    pkg_root = str(pathlib.Path(__file__).resolve().parents[2])
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from polars_ad_etl_spark.operators import media_codecs as mc
+        from polars_ad_etl_spark.operators.media_dedup import _cc_grays
+        from polars_ad_etl_spark.operators.multimodal import decode_media
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "band0": [], "band1": [], "band2": [], "band3": []
+            }
+            for doc_id, codec in zip(pdf["doc_id"], pdf["codec"]):
+                doc_id = int(doc_id)
+                px = [(v, v, v) for v in _cc_grays(doc_id)]
+                if codec == "bmp":
+                    blob, mid = mc.encode_bmp(PH_BITS, 1, px), doc_id * 2
+                else:
+                    blob, mid = (
+                        mc.encode_png(PH_BITS, 1, px, filter_type=4),
+                        doc_id * 2 + 1,
+                    )
+                s = decode_media(
+                    blob, f"image/{codec}", fake=False, dim=PH_BITS
+                )
+                g = [round(v * 255) for v in s]  # exact for 8-bit grays
+                t = sum(g)
+                out["doc_id"].append(mid)
+                for k in range(PH_BANDS):
+                    out[f"band{k}"].append(
+                        sum(
+                            (1 << j)
+                            if PH_BITS * g[PH_BAND_BITS * k + j] >= t
+                            else 0
+                            for j in range(PH_BAND_BITS)
+                        )
+                    )
+            yield pd.DataFrame(out)
+
+    sigs = fixture.mapInPandas(op, schema=PH_SIG_SCHEMA)
+    return phash_pairs_from_sigs(sigs)
+
+
 PH_SIG_SCHEMA = "doc_id long, band0 int, band1 int, band2 int, band3 int"
 
 

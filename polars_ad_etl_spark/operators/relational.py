@@ -322,6 +322,60 @@ def window_rank_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_rank_parts_by_revenue_prepart",
+    oracle=f"""
+    SELECT * FROM (
+        SELECT l_returnflag, l_partkey, revenue,
+               RANK() OVER (PARTITION BY l_returnflag
+                            ORDER BY revenue DESC, l_partkey) AS rnk
+        FROM (
+            SELECT l_returnflag, l_partkey, {dsum_sql(REVENUE_SQL)} AS revenue
+            FROM lineitem GROUP BY l_returnflag, l_partkey
+        )
+    ) WHERE rnk <= 5
+    """,
+)
+def window_rank_parts_by_revenue_prepart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Combine-decay twin of ``window_rank_parts_by_revenue`` (SCALING.md
+    "partial-aggregation combine decay"): same answer, pre-partitioned
+    aggregation grain.
+
+    The original's ``groupBy(l_returnflag, l_partkey)`` relies on map-side
+    partial aggregation, which emits ~one record per (mapper, group); when
+    group count (≈ parts x 3 flags, grows with SF) outnumbers
+    rows-per-mapper, the partial pass reduces nothing and shuffle records
+    grow like mappers x groups — the measured 62.6x-records-on-10x-data
+    entry in the sf sweep. This twin declares the 100-TB shape instead:
+    project to the three needed columns, ``repartition`` BY THE GROUP KEY
+    (one Exchange carrying exactly the input rows — linear by
+    construction), then aggregate; Catalyst sees the aggregate's required
+    distribution already satisfied and inserts no second exchange
+    (pinned: tests/test_plan_quality.py::test_prepart_twins_single_wide_exchange).
+    The downstream two-phase salted ranking is unchanged — its inputs are
+    one row per part, the already-linear part of the plan."""
+    l = _t(spark, sf_dir, "lineitem")
+    by_part = (
+        l.select("l_returnflag", "l_partkey", _revenue().alias("rev"))
+        .repartition("l_returnflag", "l_partkey")
+        .groupBy("l_returnflag", "l_partkey")
+        .agg(dsum(F.col("rev")).alias("revenue"))
+    )
+    order = (F.col("revenue").desc(), F.col("l_partkey"))
+    w_local = W.partitionBy(
+        "l_returnflag", (F.col("l_partkey") % 64).alias("salt")
+    ).orderBy(*order)
+    pruned = (
+        by_part.withColumn("lrnk", F.rank().over(w_local))
+        .filter(F.col("lrnk") <= 5)
+        .drop("lrnk")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(*order)
+    return pruned.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") <= 5)
+
+
+@register(
     "window_running_customer_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,

@@ -176,6 +176,59 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q18_large_volume_customers_prepart",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    HAVING {dsum_sql('l_quantity')} > 250
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def q18_large_volume_customers_prepart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Combine-decay twin of ``q18_large_volume_customers`` (SCALING.md
+    "partial-aggregation combine decay"): same answer, pre-partitioned
+    ``l_orderkey`` profile.
+
+    The original's ``groupBy(l_orderkey)`` groups on a key with ~4 rows
+    per group scattered across mappers — rows-per-group-per-mapper ≈ 1, so
+    map-side partial aggregation reduces nothing and emits ~one record per
+    (mapper, order): shuffle records grow like mappers x orders (the
+    measured 21x-records-on-10x-data sweep entry). This twin declares the
+    100-TB shape: project to (l_orderkey, l_quantity), ``repartition`` by
+    the group key — ONE exchange carrying exactly the input rows, linear
+    by construction — then aggregate with no second exchange (Catalyst
+    sees the distribution satisfied; pinned by
+    tests/test_plan_quality.py::test_prepart_twins_single_wide_exchange).
+    The HAVING filter still runs before any join, so only qualifying
+    orders (a tiny fraction) reach the orders/customer joins, which AQE
+    broadcasts — identical to the original from there on."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.select("l_orderkey", "l_quantity")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
 # --------------------------------------------------------------- q19 shape
 @register(
     "q19_disjunctive_predicates",

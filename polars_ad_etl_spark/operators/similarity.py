@@ -623,6 +623,7 @@ def _kmeans_oracle_sql(
     dims: int = 64,
     dim_offset: int = 0,
     output: str = "assign",
+    train_where: str | None = None,
 ) -> str:
     """Unrolled fixed-iteration Lloyd as DuckDB SQL, mirroring
     :func:`kmeans_fixed` step for step in the same exact integer arithmetic.
@@ -630,7 +631,11 @@ def _kmeans_oracle_sql(
     the output schema). ``dims``/``dim_offset`` select a subspace slice —
     the product-quantization reuse. ``output='centroids'`` returns the final
     (cluster, dim, cq) codebook instead of the assignment (the PQ-ADC
-    oracle needs both)."""
+    oracle needs both). ``train_where`` restricts TRAINING (init + Lloyd
+    iterations) to a subset of the vectors while the final assignment still
+    covers all of them — the incremental-index oracle, where centroids are
+    frozen on the corpus half and new-batch vectors are assigned to the
+    frozen cells (sinks/ann_index.py::append_ann_batch)."""
     from polars_ad_etl_spark.functions.hashing import portable_hash32_sql
 
     h = portable_hash32_sql("vec_id::VARCHAR")
@@ -646,12 +651,18 @@ def _kmeans_oracle_sql(
                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * {KMEANS_Q_SCALE}) AS BIGINT)
                         + {KMEANS_Q_OFFSET}) AS qe
         FROM embeddings
-    ),
+    ),"""
+    tq = "q"
+    if train_where is not None:
+        tq = "qt"
+        sql += f"""
+    qt AS (SELECT * FROM q WHERE {train_where}),"""
+    sql += f"""
     c0 AS (
         SELECT cluster, t.dim - 1 AS dim, qe[t.dim] AS cq
         FROM (
             SELECT qe, row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cluster
-            FROM q QUALIFY cluster < {k}
+            FROM {tq} QUALIFY cluster < {k}
         ), generate_series(1, {dims}) AS t(dim)
     )"""
     prev = "c0"
@@ -660,7 +671,7 @@ def _kmeans_oracle_sql(
     d{i} AS (
         SELECT v.vec_id, c.cluster,
                SUM((v.qe[c.dim + 1] - c.cq) * (v.qe[c.dim + 1] - c.cq)) AS dist
-        FROM q v CROSS JOIN {prev} c
+        FROM {tq} v CROSS JOIN {prev} c
         GROUP BY v.vec_id, c.cluster
     ),
     a{i} AS (
@@ -677,7 +688,7 @@ def _kmeans_oracle_sql(
         FROM {prev} p LEFT JOIN (
             SELECT a.cluster, t.dim - 1 AS dim,
                    CAST(SUM(v.qe[t.dim]) // COUNT(*) AS BIGINT) AS cq
-            FROM a{i} a JOIN q v USING (vec_id),
+            FROM a{i} a JOIN {tq} v USING (vec_id),
                  generate_series(1, {dims}) AS t(dim)
             GROUP BY a.cluster, t.dim
         ) u ON u.cluster = p.cluster AND u.dim = p.dim
@@ -904,11 +915,12 @@ PQ_SUBDIM = DIM // PQ_M
 PQ_K = KMEANS_K  # centroids per subspace
 
 
-def _pq_oracle_sql() -> str:
+def _pq_oracle_sql(train_where: str | None = None) -> str:
     subs = []
     for m in range(PQ_M):
         sub = _kmeans_oracle_sql(
-            k=PQ_K, iters=2, dims=PQ_SUBDIM, dim_offset=m * PQ_SUBDIM
+            k=PQ_K, iters=2, dims=PQ_SUBDIM, dim_offset=m * PQ_SUBDIM,
+            train_where=train_where,
         )
         subs.append(f"a{m} AS (SELECT * FROM ({sub}))")
     joins = " ".join(f"JOIN a{m} USING (vec_id)" for m in range(1, PQ_M))
@@ -921,7 +933,10 @@ def _pq_oracle_sql() -> str:
 
 
 def _pq_train(
-    spark: SparkSession, sf_dir: str, q_full: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    q_full: DataFrame | None = None,
+    q_train: DataFrame | None = None,
 ) -> tuple[DataFrame, list[list[list[int]]]]:
     """(quantized frame, per-subspace codebooks) — shared by the code
     emitter and the ADC search.
@@ -938,16 +953,21 @@ def _pq_train(
     the data instead of 3*PQ_M — at corpus scale, M fewer full scans per
     iteration; on the local harness, 4x fewer job round-trips. Pass an
     existing quantized (vec_id, qe) frame via ``q_full`` to share the
-    scan/quantize subplan with a caller that already built it (IVF-PQ)."""
+    scan/quantize subplan with a caller that already built it (IVF-PQ);
+    pass ``q_train`` to train on a SUBSET of that frame (the
+    incremental-index base build trains on the corpus half only —
+    sinks/ann_index.py)."""
     if q_full is None:
         e = load_embeddings(spark, sf_dir).select(
             "vec_id", "embedding"
         )
         q_full = _quantized(e)
+    if q_train is None:
+        q_train = q_full
     from polars_ad_etl_spark.functions.hashing import portable_hash32
 
     init = (
-        q_full.select(
+        q_train.select(
             "vec_id",
             "qe",
             portable_hash32(F.col("vec_id").cast("string")).alias("h"),
@@ -974,7 +994,7 @@ def _pq_train(
             )
             for m in range(PQ_M)
         ]
-        assigned = q_full.select(
+        assigned = q_train.select(
             "qe", F.array(*cluster_cols).alias("cl")
         ).select(F.posexplode("qe").alias("pos", "v"), "cl")
         rows = (
@@ -1176,12 +1196,12 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFPQ_NPROBE = 2
 
 
-def _ivfpq_oracle_sql() -> str:
-    codes = _pq_oracle_sql()
-    coarse_assign = _kmeans_oracle_sql()
-    coarse_cent = _kmeans_oracle_sql(output="centroids")
+def _ivfpq_oracle_sql(train_where: str | None = None) -> str:
+    codes = _pq_oracle_sql(train_where)
+    coarse_assign = _kmeans_oracle_sql(train_where=train_where)
+    coarse_cent = _kmeans_oracle_sql(output="centroids", train_where=train_where)
     cbs = ",\n    ".join(
-        f"cb{m} AS (SELECT * FROM ({_kmeans_oracle_sql(PQ_K, 2, PQ_SUBDIM, m * PQ_SUBDIM, output='centroids')}))"
+        f"cb{m} AS (SELECT * FROM ({_kmeans_oracle_sql(PQ_K, 2, PQ_SUBDIM, m * PQ_SUBDIM, output='centroids', train_where=train_where)}))"
         for m in range(PQ_M)
     )
     dms = ",\n    ".join(

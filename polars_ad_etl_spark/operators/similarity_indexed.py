@@ -33,8 +33,10 @@ from polars_ad_etl_spark.operators.registry import ORACLES, register
 from polars_ad_etl_spark.operators import similarity as S
 from polars_ad_etl_spark.sinks.ann_index import (
     build_ann_index,
+    build_ann_index_incremental,
     load_ann_model,
     read_codes,
+    read_codes_incremental,
     read_label_centroids,
 )
 
@@ -102,6 +104,56 @@ def sim_ivfpq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = read_codes(spark, idx)
     # empty probe set (empty corpus / no query vectors): isin([]) is not
     # analyzable — the correct candidate set is empty.
+    codes = codes.where(
+        F.col("cluster").isin(probed) if probed else F.lit(False)
+    )
+    return S._ivfpq_rank(spark, codes, lut_rows)
+
+
+def _corpus_train_where() -> str:
+    """The 80/20 split's CORPUS predicate over the oracle's quantized ``q``
+    CTE — the exact complement of operators/dedup.py::_vec_is_batch, so the
+    incremental index and the delta dedup paths partition vectors
+    identically."""
+    from polars_ad_etl_spark.functions.hashing import portable_hash32_sql
+    from polars_ad_etl_spark.operators.dedup import (
+        INCR_SPLIT_PERMILLE,
+        _VEC_INCR_SALT,
+    )
+
+    h = portable_hash32_sql(
+        f"'{_VEC_INCR_SALT}' || CAST(vec_id AS VARCHAR)"
+    )
+    return f"({h} % 1000) < {INCR_SPLIT_PERMILLE}"
+
+
+@register(
+    "sim_ivfpq_topk_indexed_incremental",
+    oracle=S._ivfpq_oracle_sql(train_where=_corpus_train_where()),
+)
+def sim_ivfpq_topk_indexed_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-PQ served from the INCREMENTALLY-MAINTAINED index
+    (sinks/ann_index.py): base build trains coarse centroids + codebooks on
+    the CORPUS half of the standard 80/20 hash split and encodes corpus
+    vectors; the new-batch half is APPENDED as an immutable segment —
+    assigned to frozen cells, encoded with frozen codebooks, zero training
+    jobs. Query phase reads base + segment posting lists (both
+    hive-partitioned by cluster, probed-cluster directory pruning in each
+    branch). The oracle replays the same semantics: unrolled Lloyd with
+    training restricted to the corpus predicate, assignments over all
+    vectors — so incremental maintenance is proven equal to a one-shot
+    corpus-trained rebuild, the same contract the delta dedup paths pin.
+    Reference parity: the reference has no vector indexes; this extends the
+    commissioned ANN family's production-delta story."""
+    idx = build_ann_index_incremental(spark, sf_dir)
+    model = load_ann_model(idx)
+    coarse, codebooks = model["coarse"], model["codebooks"]
+    qrows = S._pq_query_rows(spark, sf_dir)
+    lut_rows = S._ivfpq_luts(qrows, coarse, codebooks)
+    probed = sorted({cl for _, cl, _ in lut_rows})
+    codes = read_codes_incremental(spark, idx)
     codes = codes.where(
         F.col("cluster").isin(probed) if probed else F.lit(False)
     )

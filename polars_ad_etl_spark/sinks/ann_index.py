@@ -116,6 +116,189 @@ def build_ann_index(spark: SparkSession, sf_dir: str | Path) -> Path:
     return out
 
 
+# ------------------------------------------------- incremental maintenance
+# The full-build path above retrains whenever the embeddings mtime moves —
+# correct but a from-scratch job per ingest. Production appends instead
+# (round-10 verdict task 2): the BASE build trains coarse centroids + PQ
+# codebooks on the CORPUS half of the standard 80/20 hash split (the same
+# split the batch/streaming dedup delta paths use — operators/dedup.py::
+# _vec_is_batch) and encodes only corpus vectors; APPEND assigns each
+# new-batch vector to its existing coarse cell and PQ-encodes it with the
+# FROZEN codebooks — no Lloyd pass, no training scan — publishing the new
+# codes as a self-describing SEGMENT directory (the LSM shape: immutable
+# base + appended segments, compacted by the next full build). Readers
+# union base + segments; the oracle twin
+# (operators/similarity_indexed.py::sim_ivfpq_topk_indexed_incremental)
+# proves the composition equals a one-shot corpus-trained build over all
+# vectors.
+#
+# Staleness contract: frozen models drift as appends accumulate —
+# centroids stop reflecting the corpus distribution. Each segment manifest
+# records its vector count; STALENESS_BUDGET is the appended/base fraction
+# above which `index_staleness` flags the index for rebuild (the scheduled
+# compaction's trigger). The artifact dir itself stays mtime-keyed, so a
+# REGENERATED source file still can never be served stale.
+
+STALENESS_BUDGET = 0.25
+
+
+def incr_index_dir(sf_dir: str | Path) -> Path:
+    """Artifact directory for the incrementally-maintained index (base +
+    segments). Distinct key-space from the full build: same source + params
+    hash, ``incr`` prefix."""
+    src = Path(sf_dir) / "embeddings.parquet"
+    p = _index_params()
+    key = (
+        f"incr:{src.resolve()}:{src.stat().st_mtime_ns}:"
+        + ":".join(f"{k}={v}" for k, v in sorted(p.items()))
+    )
+    root = private_cache_root("spark_graft_ann_index")
+    return root / f"ivfpq_incr_{hashlib.md5(key.encode()).hexdigest()[:12]}"
+
+
+def build_ann_index_base(spark: SparkSession, sf_dir: str | Path) -> Path:
+    """Train-and-persist the corpus-half base index (or reuse). Training
+    data = corpus half of the 80/20 split; encoded vectors = corpus half
+    only. Idempotent per (file, mtime, params); atomic publish."""
+    out = incr_index_dir(sf_dir)
+    if (out / "model.json").exists():
+        return out
+    from polars_ad_etl_spark.operators import dedup as D
+    from polars_ad_etl_spark.operators import similarity as S
+
+    e = S.load_embeddings(spark, str(sf_dir)).select("vec_id", "embedding")
+    q_full = S._quantized(e)
+    q_corpus = q_full.filter(~D._vec_is_batch(F.col("vec_id")))
+    coarse = S._kmeans_fixed_on(q_corpus, S.KMEANS_K, 2)
+    _, codebooks = S._pq_train(
+        spark, str(sf_dir), q_full=q_corpus, q_train=q_corpus
+    )
+    lists = S._assign_quantized(q_corpus, coarse).select("vec_id", "cluster")
+    codes = S._pq_codes_df(q_corpus, codebooks).join(lists, "vec_id")
+    model = {
+        "params": _index_params(),
+        "mode": "incremental-base",
+        "train_split": "corpus (hash permille < 800, salt vincr3)",
+        "staleness_budget": STALENESS_BUDGET,
+        "coarse": coarse,
+        "codebooks": codebooks,
+        "label_centroids": [],
+    }
+    n_base = codes.count()
+    with publish_dir(out) as tmp:
+        codes.write.mode("overwrite").partitionBy("cluster").parquet(
+            str(tmp / "codes")
+        )
+        (tmp / "model.json").write_text(json.dumps(model), encoding="utf-8")
+        (tmp / "manifest.json").write_text(
+            json.dumps({"base_n_vectors": n_base}), encoding="utf-8"
+        )
+    return out
+
+
+def append_ann_batch(
+    spark: SparkSession,
+    sf_dir: str | Path,
+    index_dir: Path,
+    segment: str = "batch-0",
+) -> Path:
+    """Append the new-batch half to an existing base index: assign each
+    vector to its nearest FROZEN coarse centroid, PQ-encode with the FROZEN
+    codebooks — two pure projections, zero training jobs — and publish the
+    codes as an immutable segment (atomic build-then-rename; re-invoking
+    with the same segment name is a no-op, so replays cannot duplicate
+    codes). The segment manifest records its vector count for the
+    staleness accounting."""
+    seg_dir = index_dir / "segments" / segment
+    if (seg_dir / "manifest.json").exists():
+        return seg_dir
+    from polars_ad_etl_spark.operators import dedup as D
+    from polars_ad_etl_spark.operators import similarity as S
+
+    model = load_ann_model(index_dir)
+    coarse, codebooks = model["coarse"], model["codebooks"]
+    e = S.load_embeddings(spark, str(sf_dir)).select("vec_id", "embedding")
+    q_batch = S._quantized(e).filter(D._vec_is_batch(F.col("vec_id")))
+    lists = S._assign_quantized(q_batch, coarse).select("vec_id", "cluster")
+    # empty-base guard: with no corpus centroids the assignment is NULL —
+    # unservable (no probe can reach a NULL cell) and, written as a hive
+    # null partition, it would poison the partition-column type on read.
+    codes = (
+        S._pq_codes_df(q_batch, codebooks)
+        .join(lists, "vec_id")
+        .filter(F.col("cluster").isNotNull())
+    )
+    n = codes.count()
+    (index_dir / "segments").mkdir(exist_ok=True)
+    with publish_dir(seg_dir) as tmp:
+        codes.write.mode("overwrite").partitionBy("cluster").parquet(
+            str(tmp / "codes")
+        )
+        (tmp / "manifest.json").write_text(
+            json.dumps(
+                {
+                    "segment": segment,
+                    "n_vectors": n,
+                    "codebooks_frozen": True,
+                    "trained_on": "base corpus",
+                }
+            ),
+            encoding="utf-8",
+        )
+    return seg_dir
+
+
+def build_ann_index_incremental(
+    spark: SparkSession, sf_dir: str | Path
+) -> Path:
+    """Base build + batch append, both idempotent — the lazily-invoked
+    composition the ``*_indexed_incremental`` twins call (in production the
+    base is the scheduled compaction and appends run per ingest batch)."""
+    out = build_ann_index_base(spark, sf_dir)
+    append_ann_batch(spark, sf_dir, out)
+    return out
+
+
+def index_staleness(index_dir: Path) -> dict:
+    """Appended-fraction accounting against the recorded budget: the
+    compaction trigger. ``fraction`` is appended/base (infinity when the
+    base is empty but appends exist — an immediately-stale index)."""
+    base = json.loads(
+        (index_dir / "manifest.json").read_text(encoding="utf-8")
+    )["base_n_vectors"]
+    appended = 0
+    seg_root = index_dir / "segments"
+    if seg_root.is_dir():
+        for m in sorted(seg_root.glob("*/manifest.json")):
+            appended += json.loads(m.read_text(encoding="utf-8"))["n_vectors"]
+    budget = load_ann_model(index_dir).get(
+        "staleness_budget", STALENESS_BUDGET
+    )
+    fraction = (
+        0.0 if appended == 0
+        else (float("inf") if base == 0 else appended / base)
+    )
+    return {
+        "base_n_vectors": base,
+        "appended_n_vectors": appended,
+        "fraction": fraction,
+        "budget": budget,
+        "within_budget": fraction <= budget,
+    }
+
+
+def read_codes_incremental(spark: SparkSession, index_dir: Path) -> DataFrame:
+    """Base posting lists unioned with every appended segment — all sides
+    hive-partitioned by cluster, so probe pruning stays directory pruning
+    in each branch."""
+    out = read_codes(spark, index_dir)
+    seg_root = index_dir / "segments"
+    if seg_root.is_dir():
+        for seg in sorted(p for p in seg_root.iterdir() if p.is_dir()):
+            out = out.unionByName(read_codes(spark, seg))
+    return out
+
+
 def load_ann_model(index_dir: Path) -> dict:
     """Driver-side model state (coarse centroids, codebooks, label
     centroids) — a pure file read, no Spark jobs."""

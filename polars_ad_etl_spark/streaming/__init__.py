@@ -5,6 +5,11 @@ from polars_ad_etl_spark.streaming.documents import (
     incremental_ingest_stream_bounded,
     read_documents_stream,
 )
+from polars_ad_etl_spark.streaming.embeddings import (
+    corpus_vector_indexes,
+    embedding_ingest_decisions,
+    read_embeddings_stream,
+)
 from polars_ad_etl_spark.streaming.events import (
     read_events_stream,
     hourly_rollup_stream,
@@ -22,6 +27,9 @@ from polars_ad_etl_spark.streaming.events import (
 
 __all__ = [
     "corpus_indexes",
+    "corpus_vector_indexes",
+    "embedding_ingest_decisions",
+    "read_embeddings_stream",
     "incremental_ingest_decisions",
     "incremental_ingest_stream",
     "incremental_ingest_stream_bounded",

@@ -127,6 +127,104 @@ def test_empty_corpus_index_builds_and_serves_empty(spark, tmp_path):
         assert QUERIES[name](spark, str(empty)).count() == 0
 
 
+# ---------------------------------------------- incremental maintenance
+# Contract (round-11): base trains/encodes the corpus half; append encodes
+# the batch half against FROZEN models with zero training jobs; the
+# composition equals a one-shot corpus-trained build; segments are
+# immutable and idempotent; staleness is accounted against the budget.
+
+
+@pytest.fixture(scope="module")
+def built_incr_index(spark):
+    # module-scoped like built_index; the cache root may already hold the
+    # full-build artifact — distinct key prefixes keep them apart.
+    return AI.build_ann_index_incremental(spark, SF)
+
+
+def test_incremental_twin_matches_one_shot_corpus_build(
+    spark, built_incr_index
+):
+    """base + appended segment must serve exactly the codes a single-shot
+    corpus-trained build over ALL vectors would: train on corpus half,
+    assign/encode everything with the trained models."""
+    from polars_ad_etl_spark.operators import dedup as D
+    from pyspark.sql import functions as F2
+
+    e = S.load_embeddings(spark, SF).select("vec_id", "embedding")
+    q_full = S._quantized(e)
+    q_corpus = q_full.filter(~D._vec_is_batch(F2.col("vec_id")))
+    coarse = S._kmeans_fixed_on(q_corpus, S.KMEANS_K, 2)
+    _, codebooks = S._pq_train(spark, SF, q_full=q_full, q_train=q_corpus)
+    lists = S._assign_quantized(q_full, coarse).select("vec_id", "cluster")
+    want = _rows(S._pq_codes_df(q_full, codebooks).join(lists, "vec_id"))
+    got = _rows(
+        AI.read_codes_incremental(spark, built_incr_index).select(
+            *[f.name for f in S._pq_codes_df(q_full, codebooks).schema]
+            + ["cluster"]
+        )
+    )
+    assert got == want and got
+
+
+def test_incremental_query_phase_runs_no_training(
+    spark, built_incr_index, monkeypatch
+):
+    def _boom(*a, **k):
+        raise AssertionError("training invoked on the incremental query path")
+
+    monkeypatch.setattr(S, "kmeans_fixed", _boom)
+    monkeypatch.setattr(S, "_pq_train", _boom)
+    monkeypatch.setattr(S, "_kmeans_fixed_on", _boom)
+    monkeypatch.setattr(S, "_label_centroid_arrays", _boom)
+    assert QUERIES["sim_ivfpq_topk_indexed_incremental"](spark, SF).count() > 0
+
+
+def test_append_is_idempotent_and_segment_immutable(spark, built_incr_index):
+    import os
+
+    seg = built_incr_index / "segments" / "batch-0"
+    before = {
+        p: os.path.getmtime(p)
+        for p in [str(f) for f in seg.rglob("*") if f.is_file()]
+    }
+    assert before
+    again = AI.append_ann_batch(spark, SF, built_incr_index)
+    assert again == seg
+    after = {
+        p: os.path.getmtime(p)
+        for p in [str(f) for f in seg.rglob("*") if f.is_file()]
+    }
+    assert after == before  # replayed append rewrote nothing
+
+
+def test_incremental_reuse_and_mtime_staleness(
+    spark, built_incr_index, tmp_path
+):
+    assert AI.build_ann_index_incremental(spark, SF) == built_incr_index
+    twin = tmp_path / "sf"
+    twin.mkdir()
+    shutil.copyfile(f"{SF}/embeddings.parquet", twin / "embeddings.parquet")
+    d1 = AI.incr_index_dir(twin)
+    import os
+
+    os.utime(twin / "embeddings.parquet", ns=(1, 1))
+    assert AI.incr_index_dir(twin) != d1
+    # and the incremental key-space never collides with the full build's
+    assert AI.incr_index_dir(twin) != AI.ann_index_dir(twin)
+
+
+def test_staleness_accounting_against_budget(spark, built_incr_index):
+    st = AI.index_staleness(built_incr_index)
+    assert st["base_n_vectors"] > 0 and st["appended_n_vectors"] > 0
+    # the standard split appends 20 against 80: within the 0.25 budget,
+    # but only just — the accounting must see every segment vector
+    assert st["fraction"] == pytest.approx(
+        st["appended_n_vectors"] / st["base_n_vectors"]
+    )
+    assert st["budget"] == AI.STALENESS_BUDGET
+    assert st["within_budget"] == (st["fraction"] <= st["budget"])
+
+
 def test_corrupt_codes_fail_loudly_not_empty(spark, tmp_path):
     """Round-10 advice (low): only a missing/empty codes directory may fall
     back to the contract-schema empty frame; a CORRUPT posting store must

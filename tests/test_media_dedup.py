@@ -135,3 +135,52 @@ def test_wide_pairs_are_subset_semantics(spark):
         for r in phash_pairs_from_sigs(sigs).filter("hamming = 0").collect()
     }
     assert zero_narrow <= wide
+
+
+def test_cross_codec_twins_pair_at_hamming_zero(spark):
+    """The decode-normalized property (round-11): the same pixels stored as
+    BMP and as PNG must land in one near-dup cluster — every fixture doc's
+    (bmp=2d, png=2d+1) twin appears as a pair at Hamming 0, because both
+    REAL container decoders round-trip the source pixels exactly. Also pins
+    that the fixture actually exercised both codecs (non-empty)."""
+    from polars_ad_etl_spark.operators.media_dedup import CC_MOD
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    n_fixture = (
+        d.filter((F.col("doc_id") >= 0) & (F.col("doc_id") % CC_MOD == 0))
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_fixture > 0, "fixture empty at this SF — densify CC_MOD"
+    pairs = QUERIES["dedup_media_cross_codec_pairs"](spark, SF)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    ids = [
+        r.doc_id
+        for r in d.filter(
+            (F.col("doc_id") >= 0) & (F.col("doc_id") % CC_MOD == 0)
+        )
+        .select("doc_id")
+        .distinct()
+        .collect()
+    ]
+    for doc_id in ids:
+        twin = (doc_id * 2, doc_id * 2 + 1)
+        assert got.get(twin) == 0, f"cross-codec twin {twin} not paired"
+
+
+def test_cross_codec_decoders_see_different_bytes(spark):
+    """Guard against a degenerate fixture: the BMP and PNG blobs for the
+    same pixels must be genuinely different byte streams (different
+    container, different compression), so Hamming-0 pairing above can only
+    come from pixel-exact decoding, never byte-identical blobs."""
+    from polars_ad_etl_spark.operators import media_codecs as mc
+    from polars_ad_etl_spark.operators.media_dedup import PH_BITS, _cc_grays
+
+    px = [(v, v, v) for v in _cc_grays(0)]
+    bmp = mc.encode_bmp(PH_BITS, 1, px)
+    png = mc.encode_png(PH_BITS, 1, px, filter_type=4)
+    assert bmp != png and bmp[:2] == b"BM" and png[1:4] == b"PNG"
+    _, pa = mc.decode_bmp(bmp)
+    _, pb = mc.decode_png(png)
+    assert pa == pb == px

@@ -55,11 +55,17 @@ def test_semi_join_stays_semi(spark):
 
 
 def test_no_python_udfs_in_jvm_path_queries(spark):
-    """Everything except the multimodal decode must run fully JVM-side."""
+    """Everything except genuine codec work must run fully JVM-side: no
+    row-at-a-time or Arrow-batch Python evaluation anywhere, and the
+    mapInPandas slow path is allowlisted to exactly the cross-codec decode
+    proof (real container decoders are Python by necessity)."""
+    allowed_map_in_pandas = {"dedup_media_cross_codec_pairs"}
     for name, fn in QUERIES.items():
         plan = formatted_plan(fn(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+        if name not in allowed_map_in_pandas:
+            assert "MapInPandas" not in plan, name
 
 
 def test_minhash_signatures_pure_projection(spark):
@@ -119,6 +125,65 @@ def test_q18_aggregates_before_join(spark):
     join_pos = plan.find("Join")
     assert agg_pos != -1 and join_pos != -1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_prepart_twins_single_wide_exchange(spark):
+    """Combine-decay mitigation pins (round-11; SCALING.md
+    "partial-aggregation combine decay"): the ``_prepart`` twins declare a
+    pre-partitioned aggregation grain, so the WIDE shuffle is the explicit
+    ``REPARTITION_BY_COL`` exchange carrying exactly the projected input
+    rows — linear in data by construction. The pins:
+
+    - exactly one REPARTITION_BY_COL exchange, keyed on the group columns;
+    - NO aggregate below it (nothing may reintroduce a per-(mapper, group)
+      partial pass whose record count decays to mappers x groups);
+    - no ENSURE_REQUIREMENTS exchange between the partial and final
+      aggregates above it (Catalyst must see the distribution satisfied —
+      otherwise the twin pays two wide shuffles and is strictly worse);
+    - the scan reads only the projected columns (the repartition must not
+      widen the shuffled rows)."""
+    cases = {
+        "window_rank_parts_by_revenue_prepart": (
+            ["l_returnflag", "l_partkey"],
+            {"l_partkey", "l_extendedprice", "l_discount", "l_returnflag"},
+        ),
+        "q18_large_volume_customers_prepart": (
+            ["l_orderkey"],
+            {"l_orderkey", "l_quantity"},
+        ),
+    }
+    for name, (keys, cols) in cases.items():
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        assert plan.count("REPARTITION_BY_COL") == 1, name
+        repart_line = next(
+            l for l in plan.splitlines() if "REPARTITION_BY_COL" in l
+        )
+        for k in keys:
+            assert k in repart_line, (name, k)
+        # the partial aggregate sits ABOVE the repartition exchange: no
+        # per-(mapper, group) partial pass runs before the wide shuffle
+        # (formatted-plan detail blocks print bottom-up — node (1) is the
+        # leaf scan — so "above" means textually AFTER)
+        assert "partial_sum" in plan, name
+        assert plan.find("REPARTITION_BY_COL") < plan.find("partial_sum"), name
+        # exactly ONE exchange keyed on the full group-key set: an
+        # ENSURE_REQUIREMENTS duplicate between partial and final aggregate
+        # (two wide shuffles — strictly worse than the original) would add
+        # a second hashpartitioning on the same keys
+        key_pat = ", ".join(rf"{k}#\d+L?" for k in keys)
+        import re as _re
+
+        assert (
+            len(_re.findall(rf"hashpartitioning\({key_pat}, \d+\)", plan))
+            == 1
+        ), name
+        # column pruning through the explicit repartition
+        schema_line = next(
+            l for l in plan.splitlines()
+            if "ReadSchema" in l and "lineitem" in plan
+        )
+        for c in cols:
+            assert c in schema_line, (name, c)
 
 
 def test_window_rank_two_phase(spark):
