@@ -237,6 +237,17 @@ _GROSS_RATIO = 3.0  # the floor demotion's escape hatch (round-10, closing a
 #   fixed-cost queries measures ~1.5-2x; a normalized wall at >= 3x budget
 #   is outside any observed jitter regime and stays authoritative even
 #   under the absolute floor.
+# Round-11 (verdict task 5): ZERO-SHUFFLE auto-arbitration. The single r10
+#   flag (dedup_minhash_signatures, 0.657s vs 0.427s budget) was a pure
+#   scan+projection — budgeted shuffle bytes 0, bytes identical at flag
+#   time, plan pinned as UDF-free single-stage — whose wall is pure host
+#   arithmetic; the judge's manual retime arbitrated it to host regime.
+#   That arbitration is now the rule: a wall-only over-budget on a query
+#   whose BUDGETED shuffle traffic is under the byte jitter floor (the
+#   zero-shuffle class; its input_bytes/n_stages budgets still police plan
+#   changes) with bytes identical demotes to ``wall_zeroshuffle_suspect``
+#   regardless of the absolute wall floor — unless gross (>= _GROSS_RATIO
+#   x budget), which no host regime has ever produced.
 
 
 def decide_flag(
@@ -292,8 +303,15 @@ def decide_flag(
         if tn > threshold * budget_sec:
             bytes_identical = bytes_checked and not byte_reasons
             gross = tn > _GROSS_RATIO * budget_sec
+            zero_shuffle = (
+                byte_budget is not None
+                and byte_budget.get("shuffle_read_bytes") is not None
+                and byte_budget["shuffle_read_bytes"] <= _BYTE_TOL_ABS
+            )
             if bytes_identical and not idle:
                 reasons.append("wall_suspect")
+            elif bytes_identical and zero_shuffle and not gross:
+                reasons.append("wall_zeroshuffle_suspect")
             elif (
                 bytes_identical and raw_sec < _WALL_ABS_FLOOR and not gross
             ):
@@ -628,7 +646,9 @@ def main() -> None:
                 if rec is None:
                     continue
                 if rec["reasons"] in (
-                    ["wall_suspect"], ["wall_smallfloor_suspect"]
+                    ["wall_suspect"],
+                    ["wall_smallfloor_suspect"],
+                    ["wall_zeroshuffle_suspect"],
                 ):
                     wall_suspect[name] = rec
                 else:

@@ -177,6 +177,117 @@ def _quote(range_str: str) -> str:
     return urllib.parse.quote(range_str, safe="")
 
 
+# ------------------------------------------------ live signed-JWT transport
+# Round-10 verdict task 7: outside this sandbox the connector must be
+# drop-in like the reference's (google_cloud_client.py:30-42) without
+# requiring gspread — a service-account JSON plus an importable
+# ``google.auth`` is enough. The flow is the standard OAuth2 JWT-bearer
+# grant: build the RS256-signed assertion (iss = client_email, scope =
+# requested scopes, aud = the key's token_uri), exchange it at the token
+# endpoint for a Bearer access token (stdlib urllib POST — no ``requests``
+# dependency), and hand that token to the same ``_RestSheetsClient`` the
+# wire-level tests drive against the fake v4 server. Only the SIGNER comes
+# from google.auth (the RSA crypto), so the request shape is unit-testable
+# with a stubbed signer and no google deps (tests/test_sheets_auth.py).
+
+GOOGLE_SHEETS_V4 = "https://sheets.googleapis.com"
+_JWT_BEARER_GRANT = "urn:ietf:params:oauth:grant-type:jwt-bearer"
+
+
+def _b64url(data: bytes) -> str:
+    import base64
+
+    return base64.urlsafe_b64encode(data).rstrip(b"=").decode("ascii")
+
+
+def build_jwt_assertion(
+    sa_info: dict, scopes: list[str], signer, now: int
+) -> str:
+    """The RS256 JWT-bearer assertion for a service account: header +
+    claims signed by ``signer`` (anything with ``.sign(bytes) -> bytes`` —
+    google.auth's RSASigner in production, a stub in tests)."""
+    import json as _json
+
+    header = {"alg": "RS256", "typ": "JWT"}
+    if sa_info.get("private_key_id"):
+        header["kid"] = sa_info["private_key_id"]
+    payload = {
+        "iss": sa_info["client_email"],
+        "scope": " ".join(scopes),
+        "aud": sa_info.get("token_uri", "https://oauth2.googleapis.com/token"),
+        "iat": now,
+        "exp": now + 3600,
+    }
+    signing_input = (
+        _b64url(_json.dumps(header, separators=(",", ":")).encode())
+        + "."
+        + _b64url(_json.dumps(payload, separators=(",", ":")).encode())
+    )
+    return signing_input + "." + _b64url(signer.sign(signing_input.encode()))
+
+
+def exchange_jwt_for_token(assertion: str, token_uri: str, opener=None) -> str:
+    """POST the assertion to the token endpoint (JWT-bearer grant) and
+    return the access token. ``opener`` injects a fake endpoint in tests;
+    default is stdlib urllib."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    data = urllib.parse.urlencode(
+        {"grant_type": _JWT_BEARER_GRANT, "assertion": assertion}
+    ).encode("ascii")
+    req = urllib.request.Request(
+        token_uri,
+        data=data,
+        method="POST",
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    open_fn = opener or (lambda r: urllib.request.urlopen(r, timeout=30))
+    with open_fn(req) as resp:
+        body = _json.loads(resp.read())
+    return body["access_token"]
+
+
+def fetch_service_account_token(
+    credentials_path: str,
+    scopes: list[str],
+    signer=None,
+    now: int | None = None,
+    opener=None,
+) -> str:
+    """Service-account JSON -> Bearer access token. The default signer
+    requires ``google.auth`` (its RSA crypto); tests inject a stub. Raises
+    ImportError when google.auth is absent and no signer is given — the
+    caller's cue to stay credential-gated."""
+    import json as _json
+    import time as _time
+
+    with open(credentials_path, encoding="utf-8") as f:
+        sa_info = _json.load(f)
+    if signer is None:
+        from google.auth import crypt as _crypt  # gated: sandbox lacks it
+
+        signer = _crypt.RSASigner.from_service_account_info(sa_info)
+    assertion = build_jwt_assertion(
+        sa_info, scopes, signer, int(now if now is not None else _time.time())
+    )
+    return exchange_jwt_for_token(
+        assertion,
+        sa_info.get("token_uri", "https://oauth2.googleapis.com/token"),
+        opener=opener,
+    )
+
+
+def _google_auth_available() -> bool:
+    import importlib.util
+
+    try:  # find_spec raises when the parent package itself is absent
+        return importlib.util.find_spec("google.auth") is not None
+    except ModuleNotFoundError:
+        return False
+
+
 class GoogleSheetService:
     """Same public surface as the reference connector: ``get_dataframe``,
     ``clear_range``, ``upload_dataframe`` (``google_cloud_client.py:44-197``).
@@ -218,11 +329,22 @@ class GoogleSheetService:
                     self._client = _RestSheetsClient(
                         self._api_endpoint, self._api_token
                     )
+                elif self._credentials_path and _google_auth_available():
+                    # live path without gspread: signed-JWT token exchange
+                    # (google.auth supplies only the RSA signer), then the
+                    # same stdlib REST transport the wire tests exercise
+                    self._client = _RestSheetsClient(
+                        GOOGLE_SHEETS_V4,
+                        fetch_service_account_token(
+                            self._credentials_path, self.scopes
+                        ),
+                    )
                 else:
                     raise NotImplementedError(
-                        "Google Sheets connector requires gspread + "
-                        "google-auth and network access (or an explicit "
-                        "api_endpoint for the stdlib REST transport)"
+                        "Google Sheets connector requires gspread, or "
+                        "google-auth + a service-account JSON (signed-JWT "
+                        "transport), or an explicit api_endpoint for the "
+                        "stdlib REST transport"
                     ) from exc
         return self._client
 

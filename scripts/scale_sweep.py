@@ -209,7 +209,10 @@ def main() -> None:
             (".localdata/sf0.3", 0.3),
             (".localdata/sf1.0", 1.0),
         ]
-    names = list(dict.fromkeys(HEADLINE + FAMILY))
+    # the combine-decay mitigation twins (round-11) scale-sweep alongside
+    # their originals even though they are in neither HEADLINE nor FAMILY
+    extra = sorted(n for n in QUERIES if n.endswith("_prepart"))
+    names = list(dict.fromkeys(HEADLINE + FAMILY + extra))
     # SPARK_GRAFT_EXCLUDE: comma list to drop (e.g. the documented
     # quadratic small-scale ground-truth controls on a big-SF stretch run)
     exclude = set(
@@ -218,6 +221,13 @@ def main() -> None:
     if exclude:
         print(f"excluding {sorted(exclude & set(names))}", flush=True)
         names = [n for n in names if n not in exclude]
+    # SPARK_GRAFT_ONLY: comma list to restrict (the sf3 stretch run sweeps
+    # just the confirmed-decay queries + twins + the media-phash pair set)
+    only = set(
+        x for x in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if x
+    )
+    if only:
+        names = [n for n in names if n in only]
     spark = get_spark(
         "scale-sweep",
         extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "0"},

@@ -262,6 +262,60 @@ def run_decisions_bench(spark, sf_dir: str, n_files: int) -> dict:
     }
 
 
+def run_embedding_decisions_bench(spark, sf_dir: str, n_files: int) -> dict:
+    """Decision throughput for the labeled VECTOR admission sibling
+    (streaming/embeddings.py::embedding_ingest_decisions, round-11). Same
+    lake-resident-state rationale as the document row: no state-store
+    axis; the row records per-batch decision throughput including the
+    exact-key joins and the bucketed cosine layer."""
+    from polars_ad_etl_spark.streaming.embeddings import (
+        corpus_vector_indexes,
+        embedding_ingest_decisions,
+        read_embeddings_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="vec_decisions_bench_")
+    (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(f"{work}/embeddings.parquet")
+    )
+    vk, bv = corpus_vector_indexes(spark, sf_dir)
+    vecs = read_embeddings_stream(spark, work, max_files_per_trigger=2)
+    out = tempfile.mkdtemp(prefix="vec_decisions_out_")
+    t0 = time.perf_counter()
+    q = embedding_ingest_decisions(
+        vecs, vk, bv,
+        out_dir=f"{out}/decisions",
+        seen_dir=f"{out}/seen",
+        checkpoint=f"{out}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    wall = time.perf_counter() - t0
+    batches = [
+        {"rows": p["numInputRows"],
+         "ms": p["durationMs"].get("triggerExecution", 0)}
+        for p in q.recentProgress
+        if p["numInputRows"] > 0
+    ]
+    n_decisions = spark.read.parquet(f"{out}/decisions").count()
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    total_rows = sum(b["rows"] for b in batches)
+    ms = sorted(b["ms"] for b in batches) or [0]
+    return {
+        "variant": "embedding_decisions",
+        "wall_sec": round(wall, 2),
+        "total_rows": total_rows,
+        "n_decisions": n_decisions,
+        "n_batches": len(batches),
+        "rows_per_sec": round(total_rows / wall, 1) if wall else None,
+        "batch_ms_p50": statistics.median(ms),
+    }
+
+
 def run_rate_stress(
     spark,
     name: str,
@@ -465,6 +519,13 @@ def main() -> None:
     result["ingest_decisions"] = r
     print(
         f"ingest_decisions: {r['rows_per_sec']} rows/s, "
+        f"p50 {r['batch_ms_p50']}ms, {r['n_decisions']} decisions",
+        flush=True,
+    )
+    r = run_embedding_decisions_bench(spark, sf_dir, n_files)
+    result["ingest_embedding_decisions"] = r
+    print(
+        f"ingest_embedding_decisions: {r['rows_per_sec']} rows/s, "
         f"p50 {r['batch_ms_p50']}ms, {r['n_decisions']} decisions",
         flush=True,
     )

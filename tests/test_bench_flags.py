@@ -267,6 +267,49 @@ def test_subfloor_under_gross_ratio_still_demotes():
     assert rec["reasons"] == ["wall_smallfloor_suspect"]
 
 
+# ------------------------------------- zero-shuffle wall auto-arbitration
+# Round-11 (verdict task 5): the r10 flag — dedup_minhash_signatures,
+# 0.657s vs 0.427s budget, 0-byte shuffle, plan pinned, manually retimed to
+# host regime — is now arbitrated by rule: budgeted shuffle under the byte
+# jitter floor + bytes identical + idle demotes the wall regardless of the
+# absolute floor, keeping the gross escape hatch and byte policing.
+
+_ZS = {"shuffle_read_bytes": 0, "input_bytes": 5_000_000}
+
+
+def test_zeroshuffle_overfloor_wall_demotes():
+    # the exact r10 flag shape: 0.657s raw (over the 0.5s floor), 1.54x
+    # budget, zero-shuffle budget, bytes identical, idle
+    rec = decide_flag(0.657, 0.427, 1.0, dict(_ZS), dict(_ZS), idle=True)
+    assert rec is not None
+    assert rec["reasons"] == ["wall_zeroshuffle_suspect"]
+
+
+def test_zeroshuffle_gross_regression_stays_authoritative():
+    rec = decide_flag(1.5, 0.427, 1.0, dict(_ZS), dict(_ZS), idle=True)
+    assert rec is not None and rec["reasons"] == ["wall"]
+
+
+def test_zeroshuffle_input_byte_growth_still_flags():
+    # zero-shuffle queries are still policed for plan changes through
+    # their input-bytes budget (lost pushdown/pruning reads more)
+    now = {"shuffle_read_bytes": 0, "input_bytes": 20_000_000}
+    rec = decide_flag(0.657, 0.427, 1.0, now, dict(_ZS), idle=True)
+    assert rec is not None
+    assert "input_bytes" in rec["reasons"] and "wall" in rec["reasons"]
+
+
+def test_zeroshuffle_class_is_budget_keyed_not_measurement_keyed():
+    # the class membership comes from the BUDGET (the recorded plan), not
+    # the current run: a query that newly grew a real shuffle cannot
+    # self-demote by having had one in this run only
+    now = {"shuffle_read_bytes": 10_000_000, "input_bytes": 5_000_000}
+    rec = decide_flag(0.657, 0.427, 1.0, now, dict(_ZS), idle=True)
+    assert rec is not None
+    assert "shuffle_read_bytes" in rec["reasons"]  # byte growth flags
+    assert "wall_zeroshuffle_suspect" not in rec["reasons"]
+
+
 # ---------------------------------------------- epoch budget re-basing
 update_budgets = bench.update_budgets
 

@@ -117,6 +117,13 @@ def test_streaming_bench_artifact_has_all_stateful_rows():
             f"{p.name} {row} recorded no completed batches"
         )
         assert not block.get("query_error"), f"{p.name} {row}: {block['query_error']}"
+    if int(re.search(r"_r(\d+)", p.stem).group(1)) >= 11:
+        # round 11+: the labeled VECTOR admission sibling must carry a
+        # measured row alongside the document decisions pipeline
+        blk = art.get("ingest_embedding_decisions")
+        assert isinstance(blk, dict) and blk.get("n_decisions", 0) > 0, (
+            f"{p.name} missing/empty ingest_embedding_decisions: {blk}"
+        )
 
 
 def test_edge_sweep_artifact_is_current_and_green():
