@@ -229,6 +229,52 @@ def q18_large_volume_customers_prepart(
     )
 
 
+@register(
+    "q18_large_volume_customers_bucketed",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    HAVING {dsum_sql('l_quantity')} > 250
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def q18_large_volume_customers_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zero-shuffle layout twin of ``q18_large_volume_customers``: the
+    per-order quantity profile aggregates over the l_orderkey-bucketed
+    (l_orderkey, l_quantity) store (sources/star.py::
+    load_lineitem_qty_bucketed), so the wide shuffle the ``_prepart`` twin
+    pays per run — and the decaying partial pass the original pays — is
+    paid ONCE at layout-write time and never again (pinned: no
+    hashpartitioning exchange anywhere in the plan,
+    tests/test_plan_quality.py::test_q18_bucketed_zero_wide_exchange).
+    The production day-to-day shape when the order profile is a recurring
+    workload; same reuse/staleness contract as every bucketed store."""
+    from polars_ad_etl_spark.sources.star import load_lineitem_qty_bucketed
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = load_lineitem_qty_bucketed(spark, sf_dir)
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
 # --------------------------------------------------------------- q19 shape
 @register(
     "q19_disjunctive_predicates",

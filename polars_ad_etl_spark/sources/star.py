@@ -230,6 +230,32 @@ def load_documents_bucketed_by_hash(
     )
 
 
+def lineitem_qty_bucketed_table(
+    spark: SparkSession, sf_dir: str | Path, n_buckets: int = 8
+) -> str:
+    """Materialize (or reuse) the (l_orderkey, l_quantity) workload
+    projection bucketed by ``l_orderkey``; returns its catalog table
+    name."""
+    src = Path(sf_dir) / "lineitem.parquet"
+    l = spark.read.parquet(str(src)).select("l_orderkey", "l_quantity")
+    return _materialized_bucketed(
+        spark, src, l, "lineitem_qty_by_okey", "l_orderkey", n_buckets
+    )
+
+
+def load_lineitem_qty_bucketed(
+    spark: SparkSession, sf_dir: str | Path, n_buckets: int = 8
+) -> DataFrame:
+    """The order-profile layout for q18-class aggregates: lineitem's
+    (l_orderkey, l_quantity) projection bucketed by the group key, so
+    ``groupBy(l_orderkey)`` needs NO Exchange at all — the combine-decay
+    shuffle (SCALING.md) is paid ONCE at write time and amortized over
+    every per-order profile pass. The third point on the mitigation
+    spectrum: original (decaying partial agg) -> ``_prepart`` twin (one
+    linear shuffle per run) -> this layout (zero shuffles per run)."""
+    return spark.table(lineitem_qty_bucketed_table(spark, sf_dir, n_buckets))
+
+
 def embeddings_bucketed_table(
     spark: SparkSession, sf_dir: str | Path, n_buckets: int = 8
 ) -> str:

@@ -57,14 +57,19 @@ def test_semi_join_stays_semi(spark):
 def test_no_python_udfs_in_jvm_path_queries(spark):
     """Everything except genuine codec work must run fully JVM-side: no
     row-at-a-time or Arrow-batch Python evaluation anywhere, and the
-    mapInPandas slow path is allowlisted to exactly the cross-codec decode
-    proof (real container decoders are Python by necessity)."""
-    allowed_map_in_pandas = {"dedup_media_cross_codec_pairs"}
+    mapInPandas slow path is allowlisted to exactly the queries that
+    decode media containers (the ``multimodal_*`` family and the
+    cross-codec dedup proof — real pure-python decoders by necessity).
+    Every other query growing a MapInPandas node is a regression into the
+    Python slow path."""
     for name, fn in QUERIES.items():
         plan = formatted_plan(fn(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
-        if name not in allowed_map_in_pandas:
+        if not (
+            name.startswith("multimodal_")
+            or name == "dedup_media_cross_codec_pairs"
+        ):
             assert "MapInPandas" not in plan, name
 
 
@@ -184,6 +189,21 @@ def test_prepart_twins_single_wide_exchange(spark):
         )
         for c in cols:
             assert c in schema_line, (name, c)
+
+
+def test_q18_bucketed_zero_wide_exchange(spark):
+    """The layout twin's payoff: groupBy(l_orderkey) over the bucketed
+    order-profile store satisfies the aggregate's distribution straight
+    off the scan — NO hashpartitioning exchange anywhere in the plan (the
+    only exchanges are the broadcasts AQE picks for the tiny post-HAVING
+    joins), and the HAVING filter still runs below the joins."""
+    plan = formatted_plan(
+        QUERIES["q18_large_volume_customers_bucketed"](spark, SF_DIR)
+    )
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("lineitem") >= 1
 
 
 def test_window_rank_two_phase(spark):
