@@ -121,6 +121,37 @@ def corpus_vector_indexes(
     return corpus_vk, corpus_bv
 
 
+def corpus_vector_indexes_persisted(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Materialized twin of :func:`corpus_vector_indexes` — the static
+    side of a stream-static join is re-evaluated every micro-batch, so
+    the derived indexes cost a corpus scan per trigger; this variant
+    computes them once per (embeddings file, mtime) into the uid-keyed
+    private cache (atomic publish) and serves parquet readers, the
+    production compaction-maintained shape. Output-equivalent to the
+    derived variant (pinned by tests/test_streaming_embeddings.py)."""
+    import hashlib
+    from pathlib import Path
+
+    from polars_ad_etl_spark.cache import private_cache_root, publish_dir
+
+    src = Path(f"{sf_dir}/embeddings.parquet")
+    key = f"{src.resolve()}:{src.stat().st_mtime_ns}"
+    root = private_cache_root("spark_graft_stream_indexes")
+    out = root / f"vecs_{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    if not (out / "_PUBLISHED").exists():
+        vk, bv = corpus_vector_indexes(spark, sf_dir)
+        with publish_dir(out) as tmp:
+            vk.write.mode("overwrite").parquet(str(tmp / "vk"))
+            bv.write.mode("overwrite").parquet(str(tmp / "bv"))
+            (tmp / "_PUBLISHED").write_text("", encoding="utf-8")
+    return (
+        spark.read.parquet(str(out / "vk")),
+        spark.read.parquet(str(out / "bv")),
+    )
+
+
 def _admit_vec_batch(
     batch_df: DataFrame,
     batch_id: int,

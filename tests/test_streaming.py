@@ -1347,3 +1347,79 @@ def test_incremental_decisions_same_batch_replay(spark, tmp_path):
         r.doc_id: r.reason for r in spark.read.parquet(out).collect()
     }
     assert after[bids[3]] == "exact_batch" and after[bids[4]] == "kept"
+
+
+def test_persisted_corpus_indexes(spark, tmp_path):
+    """The materialized static-side indexes (corpus_indexes_persisted) must
+    be row-identical to the derived ones, be reused without recompute on a
+    second call (artifact untouched — mtime-keyed like every derived
+    layout), and go stale when the source file's mtime moves."""
+    import os
+    import shutil
+
+    from polars_ad_etl_spark.streaming import (
+        corpus_indexes,
+        corpus_indexes_persisted,
+    )
+
+    ck_d, bk_d = corpus_indexes(spark, SF_DIR)
+    ck_p, bk_p = corpus_indexes_persisted(spark, SF_DIR)
+    assert sorted(map(tuple, ck_d.collect())) == sorted(
+        map(tuple, ck_p.collect())
+    )
+    assert sorted(map(tuple, bk_d.collect())) == sorted(
+        map(tuple, bk_p.collect())
+    )
+    # reuse: the artifact files are untouched by a second call
+    src_file = next(
+        p for p in ck_p.inputFiles() if p.endswith(".parquet")
+    ).replace("file:", "")
+    before = os.path.getmtime(src_file)
+    corpus_indexes_persisted(spark, SF_DIR)
+    assert os.path.getmtime(src_file) == before
+    # staleness: a touched source file keys a different artifact
+    twin = tmp_path / "sf"
+    twin.mkdir()
+    shutil.copyfile(
+        f"{SF_DIR}/documents.parquet", twin / "documents.parquet"
+    )
+    d1 = corpus_indexes_persisted(spark, str(twin))[0].inputFiles()
+    os.utime(twin / "documents.parquet", ns=(1, 1))
+    d2 = corpus_indexes_persisted(spark, str(twin))[0].inputFiles()
+    assert set(d1) != set(d2)
+
+
+def test_decisions_identical_with_persisted_indexes(spark, tmp_path):
+    """The admission pipeline must adjudicate identically whether its
+    static side is derived or materialized — the persisted variant exists
+    so a 100 TB deployment doesn't rescan the corpus every micro-batch
+    (stream-static joins re-evaluate the static side per trigger)."""
+    from polars_ad_etl_spark.streaming import (
+        corpus_indexes,
+        corpus_indexes_persisted,
+        incremental_ingest_decisions,
+        read_documents_stream,
+    )
+
+    results = {}
+    for label, (ck, bk) in (
+        ("derived", corpus_indexes(spark, SF_DIR)),
+        ("persisted", corpus_indexes_persisted(spark, SF_DIR)),
+    ):
+        q = incremental_ingest_decisions(
+            read_documents_stream(spark, SF_DIR), ck, bk,
+            out_dir=f"{tmp_path}/{label}/decisions",
+            seen_dir=f"{tmp_path}/{label}/seen",
+            checkpoint=f"{tmp_path}/{label}/ckpt",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        results[label] = {
+            r.doc_id: (r.reason, r.keep)
+            for r in spark.read.parquet(
+                f"{tmp_path}/{label}/decisions"
+            ).collect()
+        }
+    assert results["derived"] == results["persisted"] and results["derived"]

@@ -260,3 +260,74 @@ def test_embedding_decisions_checkpoint_restart(spark, tmp_path):
         bids[1]: "exact_batch",
         bids[2]: "kept",
     }
+
+
+def test_persisted_vector_indexes_match_derived(spark, tmp_path):
+    """Materialized static-side vector indexes (corpus_vector_indexes_
+    persisted) must be row-identical to the derived ones, reuse the
+    artifact on a second call, and go stale with the source mtime — the
+    100 TB shape where a micro-batch reads a compaction-maintained table
+    instead of rescanning the corpus per trigger."""
+    import os
+    import shutil
+
+    from polars_ad_etl_spark.streaming import (
+        corpus_vector_indexes,
+        corpus_vector_indexes_persisted,
+    )
+
+    vk_d, bv_d = corpus_vector_indexes(spark, SF)
+    vk_p, bv_p = corpus_vector_indexes_persisted(spark, SF)
+    assert sorted(map(tuple, vk_d.collect())) == sorted(
+        map(tuple, vk_p.collect())
+    )
+    assert sorted(
+        (r.cid, r.bucket, tuple(r.ce)) for r in bv_d.collect()
+    ) == sorted((r.cid, r.bucket, tuple(r.ce)) for r in bv_p.collect())
+    src_file = next(
+        p for p in vk_p.inputFiles() if p.endswith(".parquet")
+    ).replace("file:", "")
+    before = os.path.getmtime(src_file)
+    corpus_vector_indexes_persisted(spark, SF)
+    assert os.path.getmtime(src_file) == before
+    twin = tmp_path / "sf"
+    twin.mkdir()
+    shutil.copyfile(f"{SF}/embeddings.parquet", twin / "embeddings.parquet")
+    d1 = corpus_vector_indexes_persisted(spark, str(twin))[0].inputFiles()
+    os.utime(twin / "embeddings.parquet", ns=(1, 1))
+    d2 = corpus_vector_indexes_persisted(spark, str(twin))[0].inputFiles()
+    assert set(d1) != set(d2)
+
+
+def test_embedding_decisions_identical_with_persisted_indexes(
+    spark, tmp_path
+):
+    from polars_ad_etl_spark.streaming import (
+        corpus_vector_indexes,
+        corpus_vector_indexes_persisted,
+        embedding_ingest_decisions,
+        read_embeddings_stream,
+    )
+
+    results = {}
+    for label, (vk, bv) in (
+        ("derived", corpus_vector_indexes(spark, SF)),
+        ("persisted", corpus_vector_indexes_persisted(spark, SF)),
+    ):
+        q = embedding_ingest_decisions(
+            read_embeddings_stream(spark, SF), vk, bv,
+            out_dir=f"{tmp_path}/{label}/decisions",
+            seen_dir=f"{tmp_path}/{label}/seen",
+            checkpoint=f"{tmp_path}/{label}/ckpt",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        results[label] = {
+            r.vec_id: (r.reason, r.keep)
+            for r in spark.read.parquet(
+                f"{tmp_path}/{label}/decisions"
+            ).collect()
+        }
+    assert results["derived"] == results["persisted"] and results["derived"]
