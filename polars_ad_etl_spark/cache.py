@@ -53,25 +53,36 @@ def private_cache_root(name: str) -> Path:
             )
         # Open the directory itself with O_NOFOLLOW so ownership check and
         # permission tightening are against this inode, not a racy path
-        # re-resolution. O_DIRECTORY/O_NOFOLLOW are POSIX; on platforms
-        # without them (Windows) fall back to the lstat result alone.
-        flags = os.O_RDONLY
-        flags |= getattr(os, "O_DIRECTORY", 0) | getattr(os, "O_NOFOLLOW", 0)
-        fd = os.open(root, flags)
-        try:
-            st = os.fstat(fd)
-            if hasattr(os, "getuid") and st.st_uid != uid:
+        # re-resolution. The fd-based path needs O_DIRECTORY (opening a
+        # directory without it fails outright on Windows — round-11
+        # advice, low), so it is capability-gated: platforms without
+        # O_DIRECTORY use the lstat result (already symlink-proof above)
+        # plus the plain chmod.
+        if hasattr(os, "O_DIRECTORY"):
+            flags = os.O_RDONLY | os.O_DIRECTORY | getattr(os, "O_NOFOLLOW", 0)
+            fd = os.open(root, flags)
+            try:
+                st = os.fstat(fd)
+                if hasattr(os, "getuid") and st.st_uid != uid:
+                    raise RuntimeError(
+                        f"cache root {root} exists but is owned by uid"
+                        f" {st.st_uid}, not {uid} — refusing to reuse a"
+                        " directory another account controls"
+                    )
+                if hasattr(os, "fchmod"):
+                    os.fchmod(fd, 0o700)
+                else:  # pragma: no cover - O_DIRECTORY without fchmod
+                    os.chmod(root, 0o700)
+            finally:
+                os.close(fd)
+        else:  # pragma: no cover - non-POSIX fallback (no dir fds)
+            if hasattr(os, "getuid") and lst.st_uid != uid:
                 raise RuntimeError(
                     f"cache root {root} exists but is owned by uid"
-                    f" {st.st_uid}, not {uid} — refusing to reuse a"
+                    f" {lst.st_uid}, not {uid} — refusing to reuse a"
                     " directory another account controls"
                 )
-            if hasattr(os, "fchmod"):
-                os.fchmod(fd, 0o700)
-            else:  # pragma: no cover - non-POSIX fallback
-                os.chmod(root, 0o700)
-        finally:
-            os.close(fd)
+            os.chmod(root, 0o700)
     return root
 
 

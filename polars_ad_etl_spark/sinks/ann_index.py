@@ -267,10 +267,10 @@ def index_staleness(index_dir: Path) -> dict:
         (index_dir / "manifest.json").read_text(encoding="utf-8")
     )["base_n_vectors"]
     appended = 0
-    seg_root = index_dir / "segments"
-    if seg_root.is_dir():
-        for m in sorted(seg_root.glob("*/manifest.json")):
-            appended += json.loads(m.read_text(encoding="utf-8"))["n_vectors"]
+    for seg in published_segments(index_dir):
+        appended += json.loads(
+            (seg / "manifest.json").read_text(encoding="utf-8")
+        )["n_vectors"]
     budget = load_ann_model(index_dir).get(
         "staleness_budget", STALENESS_BUDGET
     )
@@ -292,11 +292,29 @@ def read_codes_incremental(spark: SparkSession, index_dir: Path) -> DataFrame:
     hive-partitioned by cluster, so probe pruning stays directory pruning
     in each branch."""
     out = read_codes(spark, index_dir)
-    seg_root = index_dir / "segments"
-    if seg_root.is_dir():
-        for seg in sorted(p for p in seg_root.iterdir() if p.is_dir()):
-            out = out.unionByName(read_codes(spark, seg))
+    for seg in published_segments(index_dir):
+        out = out.unionByName(read_codes(spark, seg))
     return out
+
+
+def published_segments(index_dir: Path) -> list[Path]:
+    """The PUBLISHED segment directories, in name order. Dot-prefixed
+    entries are in-flight ``publish_dir`` builds (or the debris of a
+    hard-killed one — SIGKILL skips the cleanup), and a non-dot directory
+    without its manifest is a partial publish that never completed; both
+    must be invisible to readers, or a later successful re-append would
+    serve the real segment AND the stale partial — duplicate vec_ids
+    silently skewing top-k (round-11 advice, low)."""
+    seg_root = index_dir / "segments"
+    if not seg_root.is_dir():
+        return []
+    return sorted(
+        p
+        for p in seg_root.iterdir()
+        if p.is_dir()
+        and not p.name.startswith(".")
+        and (p / "manifest.json").exists()
+    )
 
 
 def load_ann_model(index_dir: Path) -> dict:

@@ -134,20 +134,52 @@ class _RestSpreadsheet:
 
 class _RestSheetsClient:
     """gspread.Client-shaped stdlib transport. ``token`` becomes a Bearer
-    header; the fake test endpoint ignores it, a real endpoint requires it."""
+    header; the fake test endpoint ignores it, a real endpoint requires it.
+    ``token_provider`` (a zero-arg callable yielding ``(token,
+    refresh_after_epoch)``) makes the transport self-refreshing: the token
+    is re-fetched past its expiry and once more on a surprise 401 (revoked
+    mid-lifetime) — without it a driver alive past the OAuth hour would
+    401 forever (round-11 advice, low)."""
 
-    def __init__(self, base_url: str, token: str | None = None):
+    def __init__(
+        self,
+        base_url: str,
+        token: str | None = None,
+        token_provider=None,
+    ):
         self.base_url = base_url.rstrip("/")
         self.token = token
+        self._token_provider = token_provider
+        self._token_expiry: float | None = None
 
     def open_by_key(self, key: str) -> _RestSpreadsheet:
         return _RestSpreadsheet(self, key)
 
-    def _request(self, method: str, path: str, body: dict | None = None) -> dict:
+    def _bearer(self) -> str | None:
+        import time
+
+        if self._token_provider is not None and (
+            self.token is None
+            or (
+                self._token_expiry is not None
+                and time.time() >= self._token_expiry
+            )
+        ):
+            self.token, self._token_expiry = self._token_provider()
+        return self.token
+
+    def _request(
+        self,
+        method: str,
+        path: str,
+        body: dict | None = None,
+        _retried: bool = False,
+    ) -> dict:
         import json
         import urllib.error
         import urllib.request
 
+        token = self._bearer()
         req = urllib.request.Request(
             self.base_url + path,
             data=json.dumps(body).encode() if body is not None else None,
@@ -155,8 +187,8 @@ class _RestSheetsClient:
             headers={
                 "Content-Type": "application/json",
                 **(
-                    {"Authorization": f"Bearer {self.token}"}
-                    if self.token
+                    {"Authorization": f"Bearer {token}"}
+                    if token
                     else {}
                 ),
             },
@@ -165,6 +197,16 @@ class _RestSheetsClient:
             with urllib.request.urlopen(req, timeout=30) as r:
                 raw = r.read()
         except urllib.error.HTTPError as exc:
+            if (
+                exc.code == 401
+                and self._token_provider is not None
+                and not _retried
+            ):
+                # token revoked/expired ahead of its stated lifetime:
+                # force ONE refresh and replay the request
+                self.token = None
+                self._token_expiry = None
+                return self._request(method, path, body, _retried=True)
             raise SheetsApiError(
                 f"{method} {path} -> {exc.code}: {exc.read()[:200]!r}"
             ) from exc
@@ -226,10 +268,12 @@ def build_jwt_assertion(
     return signing_input + "." + _b64url(signer.sign(signing_input.encode()))
 
 
-def exchange_jwt_for_token(assertion: str, token_uri: str, opener=None) -> str:
-    """POST the assertion to the token endpoint (JWT-bearer grant) and
-    return the access token. ``opener`` injects a fake endpoint in tests;
-    default is stdlib urllib."""
+def _exchange_jwt(
+    assertion: str, token_uri: str, opener=None
+) -> tuple[str, int]:
+    """POST the assertion to the token endpoint (JWT-bearer grant); returns
+    ``(access_token, expires_in_seconds)``. ``opener`` injects a fake
+    endpoint in tests; default is stdlib urllib."""
     import json as _json
     import urllib.parse
     import urllib.request
@@ -246,7 +290,13 @@ def exchange_jwt_for_token(assertion: str, token_uri: str, opener=None) -> str:
     open_fn = opener or (lambda r: urllib.request.urlopen(r, timeout=30))
     with open_fn(req) as resp:
         body = _json.loads(resp.read())
-    return body["access_token"]
+    return body["access_token"], int(body.get("expires_in", 3600))
+
+
+def exchange_jwt_for_token(assertion: str, token_uri: str, opener=None) -> str:
+    """Token-only wrapper over :func:`_exchange_jwt` (the pinned public
+    shape); the refreshing transport uses the expiry-aware variant."""
+    return _exchange_jwt(assertion, token_uri, opener=opener)[0]
 
 
 def fetch_service_account_token(
@@ -277,6 +327,46 @@ def fetch_service_account_token(
         sa_info.get("token_uri", "https://oauth2.googleapis.com/token"),
         opener=opener,
     )
+
+
+# Refresh this many seconds BEFORE the token's stated expiry — covers clock
+# skew between driver and token endpoint plus in-flight request latency.
+_TOKEN_REFRESH_SKEW = 300
+
+
+def service_account_token_provider(
+    credentials_path: str, scopes: list[str], signer=None, opener=None
+):
+    """A zero-arg callable yielding ``(access_token, refresh_after_epoch)``
+    for the refreshing REST transport. The JWT assertion's ``exp`` is
+    now+3600, so a driver alive past ~1h must re-run the whole grant —
+    caching one static Bearer string forever starts 401ing after an hour
+    (round-11 advice, low; the reference's google-auth credentials
+    auto-refresh, ``google_cloud_client.py:30-42``). Each call re-reads the
+    key file and re-signs a fresh assertion; the expiry it returns is the
+    endpoint's ``expires_in`` minus a skew margin."""
+
+    def provide() -> tuple[str, float]:
+        import json as _json
+        import time as _time
+
+        with open(credentials_path, encoding="utf-8") as f:
+            sa_info = _json.load(f)
+        s = signer
+        if s is None:
+            from google.auth import crypt as _crypt  # gated: sandbox lacks it
+
+            s = _crypt.RSASigner.from_service_account_info(sa_info)
+        now = int(_time.time())
+        assertion = build_jwt_assertion(sa_info, scopes, s, now)
+        token, expires_in = _exchange_jwt(
+            assertion,
+            sa_info.get("token_uri", "https://oauth2.googleapis.com/token"),
+            opener=opener,
+        )
+        return token, now + max(expires_in - _TOKEN_REFRESH_SKEW, 1)
+
+    return provide
 
 
 def _google_auth_available() -> bool:
@@ -332,10 +422,14 @@ class GoogleSheetService:
                 elif self._credentials_path and _google_auth_available():
                     # live path without gspread: signed-JWT token exchange
                     # (google.auth supplies only the RSA signer), then the
-                    # same stdlib REST transport the wire tests exercise
+                    # same stdlib REST transport the wire tests exercise.
+                    # The PROVIDER (not a static token) is handed over, so
+                    # the transport re-runs the grant past each expiry /
+                    # on 401 — long-lived drivers keep working past the
+                    # OAuth hour (round-11 advice, low).
                     self._client = _RestSheetsClient(
                         GOOGLE_SHEETS_V4,
-                        fetch_service_account_token(
+                        token_provider=service_account_token_provider(
                             self._credentials_path, self.scopes
                         ),
                     )

@@ -40,7 +40,7 @@ from polars_ad_etl_spark.operators.dedup import (
     _incr_is_batch,
     minhash_signatures,
 )
-from polars_ad_etl_spark.streaming.events import _is_directory
+from polars_ad_etl_spark.streaming.events import _dir_has_parquet, _is_directory
 
 _DOCS_SCHEMA = T.StructType(
     [
@@ -277,14 +277,19 @@ def _admit_batch(
 
     spark = batch_df.sparkSession
     s = _prep_ingest(batch_df)
-    try:
+    # First-batch detection is an EXPLICIT directory probe (round-11
+    # advice, low): only a missing/empty seen-index directory falls back
+    # to the empty frame. A transient IO/permission failure mid-stream
+    # must propagate — swallowing it would yield an empty seen set and
+    # permanently mislabel exact_batch duplicates as kept.
+    if _dir_has_parquet(spark, seen_dir):
         seen = (
             spark.read.parquet(seen_dir)
             .where(F.col("batch_id") < int(batch_id))
             .select("ck2")
             .distinct()
         )
-    except Exception:  # first batch: no admitted-hash index yet
+    else:  # first batch: no admitted-hash index yet
         seen = spark.createDataFrame([], "ck2 string")
     w = W.partitionBy("ck2").orderBy("doc_id")
     s = s.withColumn("rn", F.row_number().over(w))

@@ -50,7 +50,7 @@ from polars_ad_etl_spark.operators.dedup import (
     _vec_is_batch,
 )
 from polars_ad_etl_spark.sources.star import EMBEDDING_MAX_ABS
-from polars_ad_etl_spark.streaming.events import _is_directory
+from polars_ad_etl_spark.streaming.events import _dir_has_parquet, _is_directory
 
 _EMB_SCHEMA = T.StructType(
     [
@@ -172,14 +172,19 @@ def _admit_vec_batch(
     s = _contract(batch_df).filter(_vec_is_batch(F.col("vec_id"))).select(
         "vec_id", "embedding", _vector_key(F.col("embedding")).alias("vk")
     )
-    try:
+    # First-batch detection is an EXPLICIT directory probe (round-11
+    # advice, low): only a missing/empty seen-index directory falls back
+    # to the empty frame. A transient IO/permission failure mid-stream
+    # must propagate — swallowing it would yield an empty seen set and
+    # permanently mislabel exact_batch duplicates as kept.
+    if _dir_has_parquet(spark, seen_dir):
         seen = (
             spark.read.parquet(seen_dir)
             .where(F.col("batch_id") < int(batch_id))
             .select("vk")
             .distinct()
         )
-    except Exception:  # first batch: no adjudicated-key index yet
+    else:  # first batch: no adjudicated-key index yet
         seen = spark.createDataFrame([], "vk string")
     w = W.partitionBy("vk").orderBy("vec_id")
     s = s.withColumn("rn", F.row_number().over(w))

@@ -77,6 +77,39 @@ def _is_directory(spark: SparkSession, path: str) -> bool:
         raise
 
 
+def _dir_has_parquet(spark: SparkSession, path: str) -> bool:
+    """Explicit "does this lake-resident index exist yet" probe for the
+    foreachBatch seen-index sinks (documents/embeddings): True iff ``path``
+    is a directory containing at least one parquet file (recursing through
+    hive partition dirs). Only MISSING/EMPTY answers False — a genuine IO
+    or permission failure while LISTING an existing directory propagates,
+    same fail-loudly contract as sinks/ann_index.py::read_codes (round-11
+    advice, low: a swallowed transient error would silently serve an empty
+    seen set and mislabel duplicates as kept). Uses the Hadoop FileSystem
+    API when available so remote URIs probe correctly; falls back to a
+    local walk otherwise."""
+    if not _is_directory(spark, path):
+        return False
+    try:
+        jvm = spark._jvm
+        jsc = spark._jsc
+        if jvm is None or jsc is None:
+            raise AttributeError("no JVM gateway")
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    except AttributeError:
+        return any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(path)
+            for f in files
+        )
+    it = fs.listFiles(hpath, True)  # recursive; listing errors propagate
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:

@@ -213,6 +213,34 @@ def test_incremental_reuse_and_mtime_staleness(
     assert AI.incr_index_dir(twin) != AI.ann_index_dir(twin)
 
 
+def test_unpublished_segment_debris_is_invisible(spark, built_incr_index):
+    """Round-11 advice (low): a hard-killed append leaves a dot-prefixed
+    ``.build-*`` dir under segments/ (``publish_dir``'s cleanup never runs
+    on SIGKILL), and a manifest-less non-dot dir is a publish that never
+    completed. Readers and the staleness accounting must see NEITHER — a
+    later successful re-append would otherwise serve the real segment AND
+    the stale partial, duplicating vec_ids in the posting lists."""
+    seg_root = built_incr_index / "segments"
+    real = seg_root / "batch-0"
+    n_before = AI.read_codes_incremental(spark, built_incr_index).count()
+    st_before = AI.index_staleness(built_incr_index)
+    debris = seg_root / ".build-batch-0-999-deadbeef"
+    partial = seg_root / "batch-partial"
+    shutil.copytree(real, debris)
+    shutil.copytree(real, partial)
+    (partial / "manifest.json").unlink()
+    try:
+        assert AI.published_segments(built_incr_index) == [real]
+        assert (
+            AI.read_codes_incremental(spark, built_incr_index).count()
+            == n_before
+        )
+        assert AI.index_staleness(built_incr_index) == st_before
+    finally:
+        shutil.rmtree(debris)
+        shutil.rmtree(partial)
+
+
 def test_staleness_accounting_against_budget(spark, built_incr_index):
     st = AI.index_staleness(built_incr_index)
     assert st["base_n_vectors"] > 0 and st["appended_n_vectors"] > 0

@@ -127,8 +127,9 @@ def test_fetch_token_without_google_auth_raises_import_error(tmp_path):
 def test_authorize_gating(spark, tmp_path, monkeypatch):
     """With neither gspread nor google.auth nor an endpoint, the connector
     stays credential-gated; with google.auth 'present' (stubbed detection +
-    token fetch), it constructs the REST client against the live v4 base
-    with the fetched Bearer token."""
+    token provider), it constructs the self-refreshing REST client against
+    the live v4 base — the token is fetched lazily through the provider,
+    not baked in as a static string (round-11 advice, low)."""
     import polars_ad_etl_spark.sources.sheets as sh
 
     svc = GoogleSheetService(spark, credentials_path=str(tmp_path / "x.json"))
@@ -138,10 +139,114 @@ def test_authorize_gating(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(sh, "_google_auth_available", lambda: True)
     monkeypatch.setattr(
-        sh, "fetch_service_account_token", lambda path, scopes: "tok-7"
+        sh,
+        "service_account_token_provider",
+        lambda path, scopes: (lambda: ("tok-7", 2_000_000_000.0)),
     )
     client = GoogleSheetService(
         spark, credentials_path=str(tmp_path / "x.json")
     )._authorize()
     assert client.base_url == GOOGLE_SHEETS_V4
+    assert client.token is None  # nothing fetched before the first request
+    assert client._bearer() == "tok-7"
     assert client.token == "tok-7"
+
+
+def test_provider_returns_token_and_skewed_expiry(tmp_path):
+    """The provider re-runs the full grant per call and returns the
+    endpoint's expires_in minus the skew margin as the refresh deadline."""
+    import time
+
+    from polars_ad_etl_spark.sources.sheets import (
+        _TOKEN_REFRESH_SKEW,
+        service_account_token_provider,
+    )
+
+    creds = tmp_path / "sa.json"
+    creds.write_text(json.dumps(SA_INFO), encoding="utf-8")
+    calls = []
+
+    def opener(req):
+        calls.append(dict(urllib.parse.parse_qsl(req.data.decode("ascii"))))
+        return io.BytesIO(
+            json.dumps(
+                {"access_token": f"tok-{len(calls)}", "expires_in": 1800}
+            ).encode()
+        )
+
+    provide = service_account_token_provider(
+        str(creds), ["s1"], signer=StubSigner(), opener=opener
+    )
+    before = time.time()
+    tok, expiry = provide()
+    assert tok == "tok-1"
+    assert before + 1800 - _TOKEN_REFRESH_SKEW - 5 <= expiry
+    assert expiry <= time.time() + 1800 - _TOKEN_REFRESH_SKEW + 5
+    # each call is a fresh grant (fresh assertion, fresh token)
+    tok2, _ = provide()
+    assert tok2 == "tok-2"
+    assert calls[0]["assertion"] != "" and len(calls) == 2
+
+
+def test_rest_client_refreshes_past_expiry(monkeypatch):
+    """A transport older than its token's refresh deadline re-fetches
+    before the next request instead of serving the stale Bearer."""
+    from polars_ad_etl_spark.sources.sheets import _RestSheetsClient
+
+    tokens = iter([("t1", 0.0), ("t2", 2_000_000_000.0)])
+    client = _RestSheetsClient(
+        "https://x.example", token_provider=lambda: next(tokens)
+    )
+    assert client._bearer() == "t1"  # first fetch
+    # t1's refresh deadline (0.0) is already past -> next bearer re-fetches
+    assert client._bearer() == "t2"
+    # t2 is fresh -> no further provider call (iterator would StopIteration)
+    assert client._bearer() == "t2"
+
+
+def test_rest_client_retries_once_on_401(monkeypatch):
+    """A surprise 401 (token revoked before its stated lifetime) forces
+    exactly one refresh + replay; a second 401 surfaces as SheetsApiError."""
+    import urllib.error
+    import urllib.request
+
+    from polars_ad_etl_spark.sources.sheets import (
+        SheetsApiError,
+        _RestSheetsClient,
+    )
+
+    fetched = []
+
+    def provider():
+        fetched.append(f"t{len(fetched) + 1}")
+        return fetched[-1], 2_000_000_000.0
+
+    attempts = []
+
+    def fake_urlopen(req, timeout=None):
+        attempts.append(req.headers.get("Authorization"))
+        if len(attempts) == 1:
+            raise urllib.error.HTTPError(
+                req.full_url, 401, "unauthorized", {}, io.BytesIO(b"expired")
+            )
+        return io.BytesIO(json.dumps({"ok": True}).encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    client = _RestSheetsClient("https://x.example", token_provider=provider)
+    out = client._request("GET", "/v4/whatever")
+    assert out == {"ok": True}
+    assert attempts == ["Bearer t1", "Bearer t2"]  # one refresh, one replay
+
+    # persistent 401 -> exactly one retry, then the documented error
+    attempts.clear()
+
+    def always_401(req, timeout=None):
+        attempts.append(1)
+        raise urllib.error.HTTPError(
+            req.full_url, 401, "unauthorized", {}, io.BytesIO(b"nope")
+        )
+
+    monkeypatch.setattr(urllib.request, "urlopen", always_401)
+    with pytest.raises(SheetsApiError, match="401"):
+        client._request("GET", "/v4/whatever")
+    assert len(attempts) == 2

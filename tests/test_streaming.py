@@ -1277,6 +1277,37 @@ def test_incremental_decisions_checkpoint_restart(spark, tmp_path):
     }
 
 
+def test_doc_seen_index_read_failure_propagates(spark, tmp_path):
+    """Round-11 advice (low), document twin of the embeddings pin: a
+    corrupt/unreadable seen-index on a mid-stream batch must propagate —
+    only a MISSING/EMPTY directory means 'first batch'."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from polars_ad_etl_spark.streaming import corpus_indexes
+    from polars_ad_etl_spark.streaming.documents import _admit_batch
+
+    corpus_dir = f"{tmp_path}/corpus"
+    spark.createDataFrame(
+        [(1, "corpus text about rivers", "en", "synthetic", 24)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{corpus_dir}/documents.parquet")
+    ck, bk = corpus_indexes(spark, corpus_dir)
+    out, seen = f"{tmp_path}/decisions", f"{tmp_path}/seen"
+    bad = f"{seen}/batch_id=0"
+    _os.makedirs(bad)
+    with open(f"{bad}/part-00000.parquet", "wb") as f:
+        f.write(b"not a parquet file")
+    b = spark.createDataFrame(
+        [(2, "new text about mountains", "en", "synthetic", 24)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with _pytest.raises(Exception):
+        _admit_batch(b, 1, ck, bk, out, seen)
+    assert not _os.path.isdir(out)
+
+
 def test_incremental_decisions_same_batch_replay(spark, tmp_path):
     """Crash-replay idempotency (round-10 advice, high): foreachBatch
     re-executes a micro-batch with the SAME batch_id when the failure lands

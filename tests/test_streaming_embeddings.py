@@ -262,6 +262,33 @@ def test_embedding_decisions_checkpoint_restart(spark, tmp_path):
     }
 
 
+def test_seen_index_read_failure_propagates(spark, tmp_path):
+    """Round-11 advice (low): 'first batch' is an EXPLICIT missing/empty
+    probe of the seen dir; a CORRUPT/unreadable index on a mid-stream batch
+    must fail loudly — a swallowed read error would serve an empty seen set
+    and permanently mislabel exact_batch duplicates as kept."""
+    import pytest
+
+    cids = [i for i in range(1, 100) if not _is_batch(i)]
+    bids = [i for i in range(1, 100) if _is_batch(i)]
+    corpus_dir = f"{tmp_path}/corpus"
+    _frame(spark, [(cids[0], _basis(0))]).coalesce(1).write.parquet(
+        f"{corpus_dir}/embeddings.parquet"
+    )
+    vk, bv = corpus_vector_indexes(spark, corpus_dir)
+    out, seen = f"{tmp_path}/decisions", f"{tmp_path}/seen"
+    bad = f"{seen}/batch_id=0"
+    os.makedirs(bad)
+    with open(f"{bad}/part-00000.parquet", "wb") as f:
+        f.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        _admit_vec_batch(
+            _frame(spark, [(bids[0], _basis(1))]), 1, vk, bv, out, seen
+        )
+    # nothing was adjudicated: the decisions sink stayed unwritten
+    assert not os.path.isdir(out)
+
+
 def test_persisted_vector_indexes_match_derived(spark, tmp_path):
     """Materialized static-side vector indexes (corpus_vector_indexes_
     persisted) must be row-identical to the derived ones, reuse the
