@@ -212,6 +212,10 @@ def append_ann_batch(
     seg_dir = index_dir / "segments" / segment
     if (seg_dir / "manifest.json").exists():
         return seg_dir
+    if segment in _folded_segments(index_dir):
+        # this segment's vectors already live in the compacted base — a
+        # replayed append after GC must not re-encode them as duplicates
+        return seg_dir
     from polars_ad_etl_spark.operators import dedup as D
     from polars_ad_etl_spark.operators import similarity as S
 
@@ -264,10 +268,15 @@ def index_staleness(index_dir: Path) -> dict:
     compaction trigger. ``fraction`` is appended/base (infinity when the
     base is empty but appends exist — an immediately-stale index)."""
     base = json.loads(
-        (index_dir / "manifest.json").read_text(encoding="utf-8")
+        (_primary_root(index_dir) / "manifest.json").read_text(
+            encoding="utf-8"
+        )
     )["base_n_vectors"]
     appended = 0
+    folded = _folded_segments(index_dir)
     for seg in published_segments(index_dir):
+        if seg.name in folded:
+            continue
         appended += json.loads(
             (seg / "manifest.json").read_text(encoding="utf-8")
         )["n_vectors"]
@@ -290,10 +299,16 @@ def index_staleness(index_dir: Path) -> dict:
 def read_codes_incremental(spark: SparkSession, index_dir: Path) -> DataFrame:
     """Base posting lists unioned with every appended segment — all sides
     hive-partitioned by cluster, so probe pruning stays directory pruning
-    in each branch."""
-    out = read_codes(spark, index_dir)
+    in each branch. The base is the PRIMARY generation (compaction flips
+    the pointer); segments already folded into it are skipped even if
+    their directories still exist (GC is best-effort, the manifest is the
+    truth — a crash between pointer flip and segment deletion must not
+    double-serve folded vectors)."""
+    out = read_codes(spark, _primary_root(index_dir))
+    folded = _folded_segments(index_dir)
     for seg in published_segments(index_dir):
-        out = out.unionByName(read_codes(spark, seg))
+        if seg.name not in folded:
+            out = out.unionByName(read_codes(spark, seg))
     return out
 
 
@@ -317,10 +332,131 @@ def published_segments(index_dir: Path) -> list[Path]:
     )
 
 
+def _primary_root(index_dir: Path) -> Path:
+    """The directory holding the CURRENT base generation's model.json /
+    manifest.json / codes. Before any compaction that is ``index_dir``
+    itself (generation 0, the legacy layout); each compaction publishes a
+    ``gen-N`` subdirectory and flips the ``PRIMARY`` pointer file to it
+    with an atomic ``os.replace`` — readers always see a complete,
+    self-consistent (model, codes, manifest) triple."""
+    ptr = index_dir / "PRIMARY"
+    if ptr.exists():
+        rel = ptr.read_text(encoding="utf-8").strip()
+        if rel and rel != ".":
+            return index_dir / rel
+    return index_dir
+
+
+def _folded_segments(index_dir: Path) -> set[str]:
+    """Segment names the primary generation's manifest records as already
+    folded into its base. Their on-disk directories are garbage awaiting
+    best-effort GC; serving or re-appending them would duplicate
+    vectors."""
+    manifest = _primary_root(index_dir) / "manifest.json"
+    if not manifest.exists():
+        return set()
+    return set(
+        json.loads(manifest.read_text(encoding="utf-8")).get(
+            "folded_segments", []
+        )
+    )
+
+
+def compact_ann_index(
+    spark: SparkSession,
+    sf_dir: str | Path,
+    index_dir: Path,
+    force: bool = False,
+) -> dict:
+    """The scheduled fold the staleness budget triggers (round-11 verdict
+    task 3 — previously "compacted by the next full build" was only a
+    comment): when appended segments exceed the manifest's budget (or
+    ``force``), retrain coarse centroids + PQ codebooks over ALL vectors
+    the index serves, re-encode everything into a fresh base generation,
+    publish it atomically, and drop the folded segments.
+
+    Mechanics (LSM major compaction):
+
+    - the new generation is built in a ``publish_dir`` temp and lands as
+      ``gen-N/{model.json, codes/, manifest.json}``;
+    - the ``PRIMARY`` pointer file flips to it via ``os.replace`` — the
+      one atomic step; a crash before the flip leaves the old generation
+      serving, a crash after it leaves folded segment dirs as garbage
+      that the manifest's ``folded_segments`` list keeps invisible;
+    - segment deletion afterwards is pure GC (best-effort).
+
+    Idempotent: after a fold the appended fraction is 0, so a replay is a
+    no-op; under budget it is a no-op too (returns the accounting either
+    way, with ``compacted`` marking what happened). Post-compaction
+    appends encode against the NEW frozen models (``append_ann_batch``
+    loads the primary model), and folded segment names can never be
+    re-appended."""
+    st = index_staleness(index_dir)
+    if st["within_budget"] and not force:
+        return {"compacted": False, **st}
+    from polars_ad_etl_spark.operators import similarity as S
+
+    prev_model = load_ann_model(index_dir)
+    # Retrain on every vector the index serves — admitted batches ARE
+    # corpus now, exactly the "next full build" the append path's frozen
+    # models were a stand-in for (training = exact integer arithmetic,
+    # same init/tie-breaks as the one-shot full build).
+    coarse, q_full = S.kmeans_fixed(spark, str(sf_dir))
+    _, codebooks = S._pq_train(spark, str(sf_dir), q_full=q_full)
+    lists = S._assign_quantized(q_full, coarse).select("vec_id", "cluster")
+    codes = S._pq_codes_df(q_full, codebooks).join(lists, "vec_id")
+    n_all = codes.count()
+    folded = sorted(
+        {p.name for p in published_segments(index_dir)}
+        | _folded_segments(index_dir)
+    )
+    gen = 1 + sum(
+        1
+        for p in index_dir.iterdir()
+        if p.is_dir() and p.name.startswith("gen-")
+    )
+    gen_dir = index_dir / f"gen-{gen}"
+    model = {
+        "params": _index_params(),
+        "mode": "incremental-compacted",
+        "train_split": "all served vectors (folded full rebuild)",
+        "staleness_budget": prev_model.get(
+            "staleness_budget", STALENESS_BUDGET
+        ),
+        "coarse": coarse,
+        "codebooks": codebooks,
+        "label_centroids": prev_model.get("label_centroids", []),
+    }
+    with publish_dir(gen_dir) as tmp:
+        codes.write.mode("overwrite").partitionBy("cluster").parquet(
+            str(tmp / "codes")
+        )
+        (tmp / "model.json").write_text(json.dumps(model), encoding="utf-8")
+        (tmp / "manifest.json").write_text(
+            json.dumps(
+                {"base_n_vectors": n_all, "folded_segments": folded}
+            ),
+            encoding="utf-8",
+        )
+    # the atomic step: readers switch generations all-or-nothing
+    ptr_tmp = index_dir / f".PRIMARY-{os.getpid()}"
+    ptr_tmp.write_text(gen_dir.name, encoding="utf-8")
+    os.replace(ptr_tmp, index_dir / "PRIMARY")
+    # GC the folded segments — pure cleanup, the manifest already hides them
+    import shutil
+
+    for name in folded:
+        shutil.rmtree(index_dir / "segments" / name, ignore_errors=True)
+    return {"compacted": True, **index_staleness(index_dir)}
+
+
 def load_ann_model(index_dir: Path) -> dict:
     """Driver-side model state (coarse centroids, codebooks, label
-    centroids) — a pure file read, no Spark jobs."""
-    return json.loads((index_dir / "model.json").read_text(encoding="utf-8"))
+    centroids) of the PRIMARY generation — a pure file read, no Spark
+    jobs."""
+    return json.loads(
+        (_primary_root(index_dir) / "model.json").read_text(encoding="utf-8")
+    )
 
 
 def read_codes(spark: SparkSession, index_dir: Path) -> DataFrame:

@@ -271,6 +271,92 @@ def test_corrupt_codes_fail_loudly_not_empty(spark, tmp_path):
     assert AI.read_codes(spark, empty_dir).count() == 0
 
 
+# ------------------------------------------------------- compaction job
+# Contract (round-12): when the appended fraction exceeds the manifest
+# budget, compact_ann_index retrains over ALL served vectors, publishes a
+# new base generation atomically (PRIMARY pointer flip), and drops the
+# folded segments; under budget (and on replay) it is a no-op.
+
+
+def _twin_sf(tmp_path):
+    twin = tmp_path / "sf"
+    twin.mkdir()
+    shutil.copyfile(f"{SF}/embeddings.parquet", twin / "embeddings.parquet")
+    return twin
+
+
+def test_compaction_triggers_at_threshold_and_folds(
+    spark, tmp_path, monkeypatch
+):
+    """Over-budget index folds: accounting resets, segments disappear,
+    replays (of the compaction AND of the folded append) are no-ops, and
+    a resurrected folded-segment directory (crash between pointer flip
+    and GC) stays invisible to readers."""
+    monkeypatch.setattr(AI, "STALENESS_BUDGET", 0.1)
+    twin = _twin_sf(tmp_path)
+    idx = AI.build_ann_index_incremental(spark, twin)
+    st = AI.index_staleness(idx)
+    assert not st["within_budget"]  # ~20/80 appended vs the 0.1 budget
+    n_served = AI.read_codes_incremental(spark, idx).count()
+    seg_backup = tmp_path / "seg_backup"
+    shutil.copytree(idx / "segments" / "batch-0", seg_backup)
+
+    res = AI.compact_ann_index(spark, twin, idx)
+    assert res["compacted"] is True
+    st2 = AI.index_staleness(idx)
+    assert st2["appended_n_vectors"] == 0 and st2["within_budget"]
+    assert (
+        st2["base_n_vectors"]
+        == st["base_n_vectors"] + st["appended_n_vectors"]
+    )
+    assert AI.read_codes_incremental(spark, idx).count() == n_served
+    assert not (idx / "segments" / "batch-0").exists()  # GC ran
+
+    # replay no-op: already under budget
+    assert AI.compact_ann_index(spark, twin, idx)["compacted"] is False
+    # a replayed append of the FOLDED segment must not re-encode it
+    AI.append_ann_batch(spark, twin, idx)
+    assert AI.index_staleness(idx)["appended_n_vectors"] == 0
+    assert AI.read_codes_incremental(spark, idx).count() == n_served
+    # crash window: folded segment dir resurfaces after the pointer flip —
+    # the manifest's folded_segments list must keep it invisible
+    shutil.copytree(seg_backup, idx / "segments" / "batch-0")
+    assert AI.read_codes_incremental(spark, idx).count() == n_served
+    assert AI.index_staleness(idx)["appended_n_vectors"] == 0
+
+
+def test_compaction_noop_under_budget(spark, tmp_path):
+    twin = _twin_sf(tmp_path)
+    idx = AI.build_ann_index_incremental(spark, twin)
+    st = AI.index_staleness(idx)
+    assert st["within_budget"]  # 20/80 is inside the default 0.25 budget
+    res = AI.compact_ann_index(spark, twin, idx)
+    assert res["compacted"] is False
+    assert (idx / "segments" / "batch-0").exists()  # nothing folded
+    assert not (idx / "PRIMARY").exists()  # generation 0 still primary
+
+
+def test_compaction_query_phase_equals_full_training(spark, tmp_path):
+    """Query-phase equivalence through the fold: before compaction the
+    incremental twin serves the corpus-trained composition; after, it
+    must serve EXACTLY what per-call training over all vectors serves
+    (training is deterministic exact integer arithmetic) — the compacted
+    index IS the one-shot full build, bit for bit."""
+    twin = _twin_sf(tmp_path)
+    sfd = str(twin)
+    idx = AI.build_ann_index_incremental(spark, twin)
+    before = _rows(QUERIES["sim_ivfpq_topk_indexed_incremental"](spark, sfd))
+    assert before
+    res = AI.compact_ann_index(spark, twin, idx, force=True)
+    assert res["compacted"] is True
+    after = _rows(QUERIES["sim_ivfpq_topk_indexed_incremental"](spark, sfd))
+    want = _rows(QUERIES["sim_ivfpq_topk"](spark, sfd))
+    assert after == want
+    # and post-compaction queries still run zero training jobs
+    model = AI.load_ann_model(idx)
+    assert model["mode"] == "incremental-compacted"
+
+
 def test_model_json_round_trips_exact_values(spark, built_index):
     # Centroids/codebooks are ints (exact in JSON); label centroids are
     # doubles whose json round-trip must be bit-exact (repr round-trip).
