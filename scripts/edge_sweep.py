@@ -8,7 +8,7 @@ exercise them. The first run of this sweep found 20 real defects in 5
 classes (see tests/test_edge_inputs.py's docstring for the taxonomy and
 fixes). Round-6 result after fixes: empty 283/283, tiny 283/283.
 
-Usage: python scripts/edge_sweep.py [empty|tiny|nulls|fuzz|textfuzz|all] [out.json]
+Usage: python scripts/edge_sweep.py [empty|tiny|nulls|fuzz|textfuzz|longdoc|all] [out.json]
 
 With ``all`` (+ an output path) every variant runs in one Spark session and
 the per-variant verdict blocks are written as a JSON artifact
@@ -45,7 +45,7 @@ from gen_edge_data import generate  # noqa: E402
 from oracle_util import compare, duckdb_conn  # noqa: E402
 from polars_ad_etl_spark.operators import ORACLES, QUERIES  # noqa: E402
 
-ALL_VARIANTS = ("empty", "tiny", "nulls", "fuzz", "textfuzz")
+ALL_VARIANTS = ("empty", "tiny", "nulls", "fuzz", "textfuzz", "longdoc")
 
 
 def sweep_variant(spark, variant: str) -> dict:

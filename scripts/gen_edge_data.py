@@ -48,6 +48,17 @@ Variants:
            shingle / regex / hashing surface at its extremes. Heavy
            payloads sit on wide strides (a few rows each) so the sweep
            stays minutes, not hours.
+  longdoc — per-row text VOLUME on the documents table (round-11 verdict
+           task 4): a few documents at 1-8 MB — a ~1 MB high-vocabulary
+           token stream (shingle/minhash array width), a ~4 MB highly
+           repetitive body (CDC chunking, dedup signatures, compression-
+           ratio quality gates), and an 8 MB single token with no
+           whitespace at all (tokenizer/regex scan cost, Arrow batch
+           sizing through mapInPandas, single-shingle degenerate case).
+           The other ~500 documents stay normal, so per-row blow-ups
+           surface as wall/heap cliffs against an otherwise ordinary
+           corpus. Everything else (strides, both-engines-read-one-file
+           fairness) mirrors textfuzz.
 
 Usage:  python scripts/gen_edge_data.py <variant> <out_dir> [src_dir]
 """
@@ -240,6 +251,38 @@ TEXTFUZZ_PLAN: dict[str, dict[str, list]] = {
 }
 
 
+# longdoc plan: documents.text only. Three MB-scale bodies on stride 167
+# (~3 rows each at sf0.001's ~500 docs) — volume, not adversarial bytes;
+# textfuzz owns the byte-level edges. All deterministic, no RNG.
+def _longdoc_stream(n_tokens: int) -> str:
+    # high-vocabulary token stream: ~1009*97 distinct tokens, so shingle
+    # and minhash arrays are as wide as the token count allows
+    return " ".join(f"w{i % 1009}a{i % 97}" for i in range(n_tokens))
+
+
+_LONGDOC_TEXTS = [
+    # ~1.1 MB, 140k tokens, high vocabulary: the token-COUNT stressor
+    # (shingle/minhash arrays, BPE pair counting, surprisal tables). Kept
+    # as the only six-figure token count on purpose — the shingle oracles
+    # explode one row per token on BOTH engines, so token count is the
+    # sweep-wall driver while BYTE volume is nearly free.
+    _longdoc_stream(140_000),
+    # ~3.9 MB from 60k LONG (64-char) tokens over a 41-word vocabulary:
+    # the byte-volume + repetition stressor (CDC chunk boundaries,
+    # compression-ratio quality gates, signature hashing over MB bodies)
+    # without multiplying the explode row count
+    " ".join("blk" + "x" * 56 + f"{i % 41:02d}" for i in range(60_000)),
+    # 8 MB, ONE token: no whitespace anywhere (tokenizer/regex scan cost,
+    # Arrow batch sizing, the single-shingle degenerate case)
+    "z" * 8_000_000,
+]
+LONGDOC_PLAN: dict[str, dict[str, list]] = {
+    "documents": {
+        "text": [(167, 50 + k, t) for k, t in enumerate(_LONGDOC_TEXTS)],
+    },
+}
+
+
 def _with_fuzz(tbl: pa.Table, plan: dict[str, list]) -> pa.Table:
     tbl = tbl.combine_chunks()
     n = tbl.num_rows
@@ -299,6 +342,8 @@ def generate(variant: str, out_dir: str | Path, src_dir: str | Path = "/root/tes
             tbl = _with_fuzz(tbl, FUZZ_PLAN.get(t, {}))
         elif variant == "textfuzz":
             tbl = _with_fuzz(tbl, TEXTFUZZ_PLAN.get(t, {}))
+        elif variant == "longdoc":
+            tbl = _with_fuzz(tbl, LONGDOC_PLAN.get(t, {}))
         elif variant in ("dupkeys", "nullkeys"):
             tbl = tbl.combine_chunks()
             idx = list(range(tbl.num_rows)) + list(

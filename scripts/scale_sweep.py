@@ -209,9 +209,14 @@ def main() -> None:
             (".localdata/sf0.3", 0.3),
             (".localdata/sf1.0", 1.0),
         ]
-    # the combine-decay mitigation twins (round-11) scale-sweep alongside
-    # their originals even though they are in neither HEADLINE nor FAMILY
-    extra = sorted(n for n in QUERIES if n.endswith("_prepart"))
+    # the combine-decay mitigation twins (rounds 11-12) scale-sweep
+    # alongside their originals even though they are in neither HEADLINE
+    # nor FAMILY — the _prepart repartition twins and the zero-shuffle
+    # bucketed layout twins of the two confirmed-decay aggregates
+    extra = sorted(n for n in QUERIES if n.endswith("_prepart")) + [
+        "q18_large_volume_customers_bucketed",
+        "window_rank_parts_by_revenue_bucketed",
+    ]
     names = list(dict.fromkeys(HEADLINE + FAMILY + extra))
     # SPARK_GRAFT_EXCLUDE: comma list to drop (e.g. the documented
     # quadratic small-scale ground-truth controls on a big-SF stretch run)

@@ -207,113 +207,149 @@ def run_ingest_bench(spark, sf_dir: str, n_files: int, bounded: bool) -> dict:
     }
 
 
-def run_decisions_bench(spark, sf_dir: str, n_files: int) -> dict:
-    """Decision throughput for the LABELED foreachBatch admission twin
-    (streaming/documents.py::incremental_ingest_decisions). No
-    heap-vs-RocksDB axis on purpose: this pipeline's cross-batch state is
-    the lake-resident seen-hash index, not a streaming state store (see
-    its docstring), so the row records per-batch decision throughput and
-    the sink/index write cost instead."""
+def _run_foreach_decisions(
+    spark,
+    table: str,
+    reader,
+    pipeline,
+    indexes: tuple,
+    sf_dir: str,
+    n_files: int,
+    files_per_trigger: int,
+    static_side: str,
+    metrics=None,
+) -> dict:
+    """Shared driver for both labeled foreachBatch admission benches. No
+    heap-vs-RocksDB axis on purpose: these pipelines' cross-batch state is
+    the lake-resident seen index, not a streaming state store, so each row
+    records per-batch decision throughput plus the sink/index write cost.
+
+    Round-11 verdict tasks 2+5: ``files_per_trigger`` scales the
+    micro-batch size (the ~2s fixed per-trigger overhead must amortize —
+    rows/s near-linear in batch size, or the pipeline cannot keep up at
+    100 TB by batching alone), ``static_side`` selects the derived
+    (corpus-rescanning) vs persisted (compaction-maintained parquet)
+    corpus indexes, and ``metrics`` (bench._StageMetrics) attributes total
+    INPUT BYTES to the run — the static side is re-evaluated every
+    trigger, so input_bytes_per_trigger is the direct measure of what the
+    persisted indexes save."""
+    import os
+
+    work = tempfile.mkdtemp(prefix=f"{table}_decisions_bench_")
+    (
+        spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(f"{work}/{table}.parquet")
+    )
+    # the stream side is read exactly once across all triggers — its size
+    # lets the artifact decompose input_bytes into stream vs static-side
+    # (static = what the corpus indexes re-cost EVERY trigger)
+    stream_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(work)
+        for f in fs
+    )
+    stream = reader(spark, work, max_files_per_trigger=files_per_trigger)
+    out = tempfile.mkdtemp(prefix=f"{table}_decisions_out_")
+    if metrics is not None:
+        metrics.snapshot()
+    t0 = time.perf_counter()
+    q = pipeline(
+        stream, *indexes,
+        out_dir=f"{out}/decisions",
+        seen_dir=f"{out}/seen",
+        checkpoint=f"{out}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    wall = time.perf_counter() - t0
+    m = metrics.delta() if metrics is not None else None
+    batches = [
+        {"rows": p["numInputRows"],
+         "ms": p["durationMs"].get("triggerExecution", 0)}
+        for p in q.recentProgress
+        if p["numInputRows"] > 0
+    ]
+    n_decisions = spark.read.parquet(f"{out}/decisions").count()
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    total_rows = sum(b["rows"] for b in batches)
+    ms = sorted(b["ms"] for b in batches) or [0]
+    n_batches = len(batches)
+    return {
+        "variant": f"{table}_decisions",
+        "static_side": static_side,
+        "files_per_trigger": files_per_trigger,
+        "wall_sec": round(wall, 2),
+        "total_rows": total_rows,
+        "n_decisions": n_decisions,
+        "n_batches": n_batches,
+        "rows_per_sec": round(total_rows / wall, 1) if wall else None,
+        "batch_ms_p50": statistics.median(ms),
+        "input_bytes_total": m["input_bytes"] if m else None,
+        "input_bytes_per_trigger": (
+            round(m["input_bytes"] / n_batches) if m and n_batches else None
+        ),
+        "stream_source_bytes": stream_bytes,
+        "static_bytes_per_trigger": (
+            round(max(m["input_bytes"] - stream_bytes, 0) / n_batches)
+            if m and n_batches
+            else None
+        ),
+    }
+
+
+def run_decisions_bench(
+    spark, sf_dir: str, n_files: int,
+    files_per_trigger: int = 2, persisted: bool = True, metrics=None,
+) -> dict:
+    """Document admission decisions
+    (streaming/documents.py::incremental_ingest_decisions). Persisted
+    corpus indexes by default (round-11 verdict task 5) — the derived
+    variant re-scans the corpus every trigger and is recorded once as the
+    comparison row."""
     from polars_ad_etl_spark.streaming.documents import (
         corpus_indexes,
+        corpus_indexes_persisted,
         incremental_ingest_decisions,
         read_documents_stream,
     )
 
-    work = tempfile.mkdtemp(prefix="decisions_bench_")
-    (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .repartition(n_files)
-        .write.mode("overwrite")
-        .parquet(f"{work}/documents.parquet")
+    idx_fn = corpus_indexes_persisted if persisted else corpus_indexes
+    return _run_foreach_decisions(
+        spark, "documents", read_documents_stream,
+        incremental_ingest_decisions, idx_fn(spark, sf_dir),
+        sf_dir, n_files, files_per_trigger,
+        "persisted" if persisted else "derived", metrics,
     )
-    ck, bk = corpus_indexes(spark, sf_dir)
-    docs = read_documents_stream(spark, work, max_files_per_trigger=2)
-    out = tempfile.mkdtemp(prefix="decisions_out_")
-    t0 = time.perf_counter()
-    q = incremental_ingest_decisions(
-        docs, ck, bk,
-        out_dir=f"{out}/decisions",
-        seen_dir=f"{out}/seen",
-        checkpoint=f"{out}/ckpt",
-    )
-    q.processAllAvailable()
-    q.stop()
-    wall = time.perf_counter() - t0
-    batches = [
-        {"rows": p["numInputRows"],
-         "ms": p["durationMs"].get("triggerExecution", 0)}
-        for p in q.recentProgress
-        if p["numInputRows"] > 0
-    ]
-    n_decisions = spark.read.parquet(f"{out}/decisions").count()
-    shutil.rmtree(work, ignore_errors=True)
-    shutil.rmtree(out, ignore_errors=True)
-    total_rows = sum(b["rows"] for b in batches)
-    ms = sorted(b["ms"] for b in batches) or [0]
-    return {
-        "variant": "decisions",
-        "wall_sec": round(wall, 2),
-        "total_rows": total_rows,
-        "n_decisions": n_decisions,
-        "n_batches": len(batches),
-        "rows_per_sec": round(total_rows / wall, 1) if wall else None,
-        "batch_ms_p50": statistics.median(ms),
-    }
 
 
-def run_embedding_decisions_bench(spark, sf_dir: str, n_files: int) -> dict:
-    """Decision throughput for the labeled VECTOR admission sibling
-    (streaming/embeddings.py::embedding_ingest_decisions, round-11). Same
-    lake-resident-state rationale as the document row: no state-store
-    axis; the row records per-batch decision throughput including the
-    exact-key joins and the bucketed cosine layer."""
+def run_embedding_decisions_bench(
+    spark, sf_dir: str, n_files: int,
+    files_per_trigger: int = 2, persisted: bool = True, metrics=None,
+) -> dict:
+    """Vector admission decisions
+    (streaming/embeddings.py::embedding_ingest_decisions) — same axes as
+    the document row (exact-key joins + bucketed cosine layer)."""
     from polars_ad_etl_spark.streaming.embeddings import (
         corpus_vector_indexes,
+        corpus_vector_indexes_persisted,
         embedding_ingest_decisions,
         read_embeddings_stream,
     )
 
-    work = tempfile.mkdtemp(prefix="vec_decisions_bench_")
-    (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .repartition(n_files)
-        .write.mode("overwrite")
-        .parquet(f"{work}/embeddings.parquet")
+    idx_fn = (
+        corpus_vector_indexes_persisted if persisted else corpus_vector_indexes
     )
-    vk, bv = corpus_vector_indexes(spark, sf_dir)
-    vecs = read_embeddings_stream(spark, work, max_files_per_trigger=2)
-    out = tempfile.mkdtemp(prefix="vec_decisions_out_")
-    t0 = time.perf_counter()
-    q = embedding_ingest_decisions(
-        vecs, vk, bv,
-        out_dir=f"{out}/decisions",
-        seen_dir=f"{out}/seen",
-        checkpoint=f"{out}/ckpt",
+    r = _run_foreach_decisions(
+        spark, "embeddings", read_embeddings_stream,
+        embedding_ingest_decisions, idx_fn(spark, sf_dir),
+        sf_dir, n_files, files_per_trigger,
+        "persisted" if persisted else "derived", metrics,
     )
-    q.processAllAvailable()
-    q.stop()
-    wall = time.perf_counter() - t0
-    batches = [
-        {"rows": p["numInputRows"],
-         "ms": p["durationMs"].get("triggerExecution", 0)}
-        for p in q.recentProgress
-        if p["numInputRows"] > 0
-    ]
-    n_decisions = spark.read.parquet(f"{out}/decisions").count()
-    shutil.rmtree(work, ignore_errors=True)
-    shutil.rmtree(out, ignore_errors=True)
-    total_rows = sum(b["rows"] for b in batches)
-    ms = sorted(b["ms"] for b in batches) or [0]
-    return {
-        "variant": "embedding_decisions",
-        "wall_sec": round(wall, 2),
-        "total_rows": total_rows,
-        "n_decisions": n_decisions,
-        "n_batches": len(batches),
-        "rows_per_sec": round(total_rows / wall, 1) if wall else None,
-        "batch_ms_p50": statistics.median(ms),
-    }
+    r["variant"] = "embedding_decisions"
+    return r
 
 
 def run_rate_stress(
@@ -486,7 +522,12 @@ def main() -> None:
     # before the JVM starts: workers inherit PYTHONPATH now (the stress
     # subprocesses re-resolve protobuf themselves in _stress_cli)
     ensure_protobuf()
-    spark = get_spark("streaming-bench")
+    # UI on: bench._StageMetrics attributes input bytes via the monitoring
+    # REST API (the static-side-rescan evidence for the decisions grid)
+    spark = get_spark(
+        "streaming-bench",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "0"},
+    )
     src = prepare_source(spark, sf_dir, n_files)
     # JIT warmup on a tiny slice: one throwaway run per pipeline shape
     warm = prepare_source(spark, "/root/testdata/sf0.001", 2)
@@ -515,20 +556,38 @@ def main() -> None:
             f"p50 {r['batch_ms_p50']}ms, max_state {r['max_state_rows']} rows",
             flush=True,
         )
-    r = run_decisions_bench(spark, sf_dir, n_files)
-    result["ingest_decisions"] = r
-    print(
-        f"ingest_decisions: {r['rows_per_sec']} rows/s, "
-        f"p50 {r['batch_ms_p50']}ms, {r['n_decisions']} decisions",
-        flush=True,
-    )
-    r = run_embedding_decisions_bench(spark, sf_dir, n_files)
-    result["ingest_embedding_decisions"] = r
-    print(
-        f"ingest_embedding_decisions: {r['rows_per_sec']} rows/s, "
-        f"p50 {r['batch_ms_p50']}ms, {r['n_decisions']} decisions",
-        flush=True,
-    )
+    # Labeled admission decisions — rounds 11-12. The grid per pipeline:
+    # the PERSISTED-index default at the base trigger size plus 5x/10x
+    # batch-size rows (near-linear rows/s vs batch size = the fixed
+    # per-trigger overhead amortizes), and ONE derived-index comparison
+    # row at the base size quantifying the static-side rescans the
+    # persisted indexes eliminate (input_bytes_per_trigger).
+    from bench import _StageMetrics
+
+    metrics = _StageMetrics(spark)
+    for fn, base_key in (
+        (run_decisions_bench, "ingest_decisions"),
+        (run_embedding_decisions_bench, "ingest_embedding_decisions"),
+    ):
+        for key, fpt_mult, persisted in (
+            (base_key, 1, True),
+            (f"{base_key}_derived", 1, False),
+            (f"{base_key}_fpt5x", 5, True),
+            (f"{base_key}_fpt10x", 10, True),
+        ):
+            r = fn(
+                spark, sf_dir, n_files,
+                files_per_trigger=fpt * fpt_mult, persisted=persisted,
+                metrics=metrics,
+            )
+            result[key] = r
+            print(
+                f"{key} [{r['static_side']}, fpt={r['files_per_trigger']}]: "
+                f"{r['rows_per_sec']} rows/s, p50 {r['batch_ms_p50']}ms, "
+                f"{r['n_decisions']} decisions, "
+                f"{r['input_bytes_per_trigger']} input B/trigger",
+                flush=True,
+            )
     spark.stop()
     # Rate-source stresses (state-store rows/s ceiling with zero source
     # cost), each in its OWN subprocess/JVM via --stress — see _stress_cli

@@ -124,6 +124,24 @@ def test_streaming_bench_artifact_has_all_stateful_rows():
         assert isinstance(blk, dict) and blk.get("n_decisions", 0) > 0, (
             f"{p.name} missing/empty ingest_embedding_decisions: {blk}"
         )
+    if int(re.search(r"_r(\d+)", p.stem).group(1)) >= 12:
+        # round 12+: each decisions pipeline carries the full grid — the
+        # persisted-index default, the derived comparison row, and the
+        # 5x/10x batch-size rows proving the per-trigger overhead
+        # amortizes (rows/s must IMPROVE with batch size, or batching
+        # cannot be the keep-up lever at scale)
+        for base in ("ingest_decisions", "ingest_embedding_decisions"):
+            rows_ps = {}
+            for sfx in ("", "_derived", "_fpt5x", "_fpt10x"):
+                blk = art.get(base + sfx)
+                assert isinstance(blk, dict) and blk.get(
+                    "n_decisions", 0
+                ) > 0, f"{p.name} missing/empty {base + sfx}: {blk}"
+                rows_ps[sfx] = blk["rows_per_sec"]
+            assert rows_ps["_fpt10x"] > 1.5 * rows_ps[""], (
+                f"{p.name} {base}: 10x batches did not amortize the "
+                f"per-trigger overhead: {rows_ps}"
+            )
 
 
 def test_edge_sweep_artifact_is_current_and_green():
@@ -131,7 +149,13 @@ def test_edge_sweep_artifact_is_current_and_green():
     art = json.loads(p.read_text())
     names = _registry_names()
     variants = art["variants"]
-    assert set(variants) >= {"empty", "tiny", "nulls", "fuzz", "textfuzz"}, (
+    required = {"empty", "tiny", "nulls", "fuzz", "textfuzz"}
+    if int(re.search(r"_r(\d+)", p.stem).group(1)) >= 12:
+        # round 12+: per-row text VOLUME joins the robustness bar — MB-scale
+        # documents stress shingle width, CDC chunking, and Arrow batch
+        # sizing in ways the byte-level textfuzz variant cannot
+        required |= {"longdoc"}
+    assert set(variants) >= required, (
         f"{p.name} missing variants: have {sorted(variants)}"
     )
     for v, block in variants.items():
