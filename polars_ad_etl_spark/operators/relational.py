@@ -376,6 +376,57 @@ def window_rank_parts_by_revenue_prepart(
 
 
 @register(
+    "window_rank_parts_by_revenue_bucketed",
+    oracle=f"""
+    SELECT * FROM (
+        SELECT l_returnflag, l_partkey, revenue,
+               RANK() OVER (PARTITION BY l_returnflag
+                            ORDER BY revenue DESC, l_partkey) AS rnk
+        FROM (
+            SELECT l_returnflag, l_partkey, {dsum_sql(REVENUE_SQL)} AS revenue
+            FROM lineitem GROUP BY l_returnflag, l_partkey
+        )
+    ) WHERE rnk <= 5
+    """,
+)
+def window_rank_parts_by_revenue_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zero-shuffle layout twin of ``window_rank_parts_by_revenue`` — the
+    last point on its combine-decay mitigation spectrum (round-11 verdict
+    task 1, mirroring q18's: original -> ``_prepart`` -> bucketed store).
+
+    The per-part revenue aggregate runs over the l_partkey-bucketed
+    (l_returnflag, l_partkey, rev) store (sources/star.py::
+    load_lineitem_rev_bucketed): hashpartitioning(l_partkey) satisfies the
+    aggregate's clustered distribution on (l_returnflag, l_partkey), so
+    the decaying mappers x groups shuffle the original pays — the ONE
+    remaining superlinear sweep entry, 28.9x records on 10x data
+    (BENCH_r11_sf3.json) — is paid once at layout-write time and NEVER per
+    run (pinned: no exchange below the aggregate,
+    tests/test_plan_quality.py::test_window_rank_bucketed_zero_wide_exchange).
+    The two-phase salted ranking above it is unchanged; its exchanges
+    carry one row per part — the already-linear portion of the plan."""
+    from polars_ad_etl_spark.sources.star import load_lineitem_rev_bucketed
+
+    l = load_lineitem_rev_bucketed(spark, sf_dir)
+    by_part = l.groupBy("l_returnflag", "l_partkey").agg(
+        dsum(F.col("rev")).alias("revenue")
+    )
+    order = (F.col("revenue").desc(), F.col("l_partkey"))
+    w_local = W.partitionBy(
+        "l_returnflag", (F.col("l_partkey") % 64).alias("salt")
+    ).orderBy(*order)
+    pruned = (
+        by_part.withColumn("lrnk", F.rank().over(w_local))
+        .filter(F.col("lrnk") <= 5)
+        .drop("lrnk")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(*order)
+    return pruned.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") <= 5)
+
+
+@register(
     "window_running_customer_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,

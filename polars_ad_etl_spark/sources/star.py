@@ -256,6 +256,40 @@ def load_lineitem_qty_bucketed(
     return spark.table(lineitem_qty_bucketed_table(spark, sf_dir, n_buckets))
 
 
+def lineitem_rev_bucketed_table(
+    spark: SparkSession, sf_dir: str | Path, n_buckets: int = 8
+) -> str:
+    """Materialize (or reuse) the (l_returnflag, l_partkey, rev) workload
+    projection bucketed by ``l_partkey``; returns its catalog table name.
+    ``rev`` is the per-row revenue expression evaluated at write time —
+    summing stored per-row values is identical to summing the expression."""
+    src = Path(sf_dir) / "lineitem.parquet"
+    l = spark.read.parquet(str(src)).select(
+        "l_returnflag",
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    return _materialized_bucketed(
+        spark, src, l, "lineitem_rev_by_pkey", "l_partkey", n_buckets
+    )
+
+
+def load_lineitem_rev_bucketed(
+    spark: SparkSession, sf_dir: str | Path, n_buckets: int = 8
+) -> DataFrame:
+    """The part-revenue layout for window_rank-class aggregates: lineitem's
+    (l_returnflag, l_partkey, rev) projection bucketed by ``l_partkey``, so
+    ``groupBy(l_returnflag, l_partkey)`` needs NO Exchange at all —
+    hashpartitioning on l_partkey satisfies the aggregate's clustered
+    distribution on (l_returnflag, l_partkey) because every row of a group
+    shares one l_partkey value, hence one bucket. The write-time shuffle is
+    paid ONCE and amortized over every per-part revenue pass — the third
+    point on the combine-decay mitigation spectrum (SCALING.md): original
+    (decaying partial agg) -> ``_prepart`` twin (one linear shuffle per
+    run) -> this layout (zero wide shuffles per run)."""
+    return spark.table(lineitem_rev_bucketed_table(spark, sf_dir, n_buckets))
+
+
 def embeddings_bucketed_table(
     spark: SparkSession, sf_dir: str | Path, n_buckets: int = 8
 ) -> str:

@@ -206,6 +206,34 @@ def test_q18_bucketed_zero_wide_exchange(spark):
     assert plan.count("lineitem") >= 1
 
 
+def test_window_rank_bucketed_zero_wide_exchange(spark):
+    """The layout twin's payoff (round-11 verdict task 1, mirroring
+    test_q18_bucketed_zero_wide_exchange): groupBy(l_returnflag, l_partkey)
+    over the l_partkey-bucketed revenue store satisfies the aggregate's
+    distribution straight off the scan — NO exchange below the aggregate,
+    so the decaying mappers x groups shuffle is gone. The only exchanges
+    left are the two salted-ranking ones ABOVE it, each carrying one row
+    per part with rank-limit pruning (WindowGroupLimit) below it."""
+    import re as _re
+
+    plan = formatted_plan(
+        QUERIES["window_rank_parts_by_revenue_bucketed"](spark, SF_DIR)
+    )
+    assert "Bucketed: true" in plan
+    # detail blocks print bottom-up — the aggregate's partial_sum block
+    # must precede every hashpartitioning exchange textually
+    assert "partial_sum" in plan
+    first_ex = plan.find("Arguments: hashpartitioning")
+    assert plan.find("partial_sum") > -1
+    assert first_ex > plan.find("partial_sum")
+    # exactly the two ranking exchanges (salted local + global), nothing
+    # keyed on the raw store's full width, pruned below each exchange
+    assert len(_re.findall(r"Arguments: hashpartitioning", plan)) == 2
+    assert "% 64)" in plan
+    assert plan.count("WindowGroupLimit") >= 2
+    assert plan.count("Window (") >= 2
+
+
 def test_window_rank_two_phase(spark):
     """Salted top-k: two Window nodes (local prune + global), so the global
     window only sees pruned rows — the 3-partition bottleneck is gone."""
