@@ -276,9 +276,19 @@ _LONGDOC_TEXTS = [
     # Arrow batch sizing, the single-shingle degenerate case)
     "z" * 8_000_000,
 ]
+# Copy counts are deliberate: the MB volume PER ROW is the stressor, so
+# the stream and single-token bodies appear once (modulus 499 > row count
+# at sf0.001 = exactly one row), while the repetitive body appears twice
+# (modulus 251 -> two rows) so cross-document duplicate chunks/signatures
+# still have a twin to pair with. Tripling every text only multiplied the
+# linear-but-constant-heavy consumers' wall (CDC: ~260s/copy-set).
 LONGDOC_PLAN: dict[str, dict[str, list]] = {
     "documents": {
-        "text": [(167, 50 + k, t) for k, t in enumerate(_LONGDOC_TEXTS)],
+        "text": [
+            (499, 50, _LONGDOC_TEXTS[0]),
+            (251, 60, _LONGDOC_TEXTS[1]),
+            (499, 70, _LONGDOC_TEXTS[2]),
+        ],
     },
 }
 
