@@ -1803,6 +1803,97 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Positioned windows for the span merge below: same {_PASSAGE_N}-token
+# windows as _PASSAGES_DUCK but keeping the 0-based start offset, via a
+# lateral generate_series (empty when the doc is shorter than one window).
+# Indexed elements, not a list slice, for the same O(offset)-per-element
+# reason as _PASSAGES_DUCK.
+_PASSAGES_POS_DUCK = (
+    "concat_ws(' ', "
+    + ", ".join(f"toks[i+{k}]" if k else "toks[i]" for k in range(_PASSAGE_N))
+    + ")"
+)
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    g AS (
+        -- list-form generate_series takes the per-row column bound (the
+        -- TABLE function rejects lateral columns); empty when the doc is
+        -- shorter than one window
+        SELECT doc_id, i - 1 AS pos, {portable_hash60_sql(_PASSAGES_POS_DUCK)} AS h
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - {_PASSAGE_N - 1}))
+                         AS i
+              FROM t)
+    ),
+    shared AS (
+        SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    occ AS (SELECT doc_id, pos FROM g JOIN shared USING (h)),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM occ
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + {_PASSAGE_N - 1} AS span_end,
+           MAX(pos) - MIN(pos) + {_PASSAGE_N} AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated spans — the actionable output of
+    substring-granular dedup (what [[dedup_duplicate_passages]] profiles,
+    this emits as cut lists): per document, every maximal run of
+    consecutive {_PASSAGE_N}-token windows whose window text also appears
+    in at least one OTHER document, merged into one (span_start, span_end)
+    token interval. Lee et al. 2022 do this with a corpus suffix array —
+    single-machine; the distributed re-expression keeps the window-hash
+    plan of the passage profile and adds the classic islands merge
+    (pos - row_number() is constant within a consecutive run).
+
+    Scale (100 TB): windows move as 8-byte hashes (never text); the shared
+    filter is one combinable shuffle on the hash; the islands window
+    partitions by doc_id — per-task state is ONE document's shared
+    positions, bounded by doc length, and documents hash-spread across
+    tasks. Nothing quadratic; output is bounded by input windows."""
+    from pyspark.sql import Window as W
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    g = t.select(
+        "doc_id", F.posexplode(F.expr(_PASSAGES_SPARK)).alias("pos", "p")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        portable_hash60(F.col("p")).alias("h"),
+    )
+    shared = (
+        g.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    occ = g.join(shared, "h").select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    isl = occ.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w).cast("long")
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(_PASSAGE_N - 1)).alias("span_end"),
+        (F.max("pos") - F.min("pos") + F.lit(_PASSAGE_N)).alias("span_tokens"),
+        F.count("*").alias("n_windows"),
+    ).drop("grp")
+
+
 # ------------------------------------------------------ shingle containment
 # Asymmetric near-dup: containment C(A in B) = |A ∩ B| / |A| over 3-gram
 # shingle sets. Jaccard misses subset relationships (a tweet quoted inside

@@ -207,6 +207,96 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multiprobe: in addition to the query's own bucket, probe every bucket at
+# Hamming distance 1 in sign space (flip one of the 8 plane bits). The
+# standard recall lever (Lv et al. 2007, "Multi-Probe LSH") — a near
+# neighbor that lands one hyperplane-sign away is found WITHOUT adding
+# hash tables (compare [[sim_lsh_multitable_topk]], which pays a full
+# extra signature per table). Probe set = 1 + N_PLANES buckets per query.
+_PROBE_FLIPS = [0] + [1 << p for p in range(N_PLANES)]
+
+LSH_MULTIPROBE_SQL = f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qid, e AS qe, xor(bucket, flip) AS probe_bucket
+        FROM bucketed, (SELECT unnest({_PROBE_FLIPS}) AS flip)
+        WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (SELECT vec_id AS cid, e AS ce, bucket FROM bucketed),
+    scored AS (
+        SELECT qid, cid,
+               round(list_dot_product(qe, ce) /
+                     (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 4) AS cos
+        FROM q JOIN c ON c.bucket = q.probe_bucket
+        WHERE cid != qid
+    ),
+    ranked AS (
+        SELECT qid AS query_id, cid AS neighbor_id, cos AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@register("sim_lsh_topk_multiprobe", oracle=LSH_MULTIPROBE_SQL)
+def sim_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe sign-LSH top-k: the query side fans out to its own bucket
+    plus the {N_PLANES} Hamming-1 neighbors (one bit-flip each), then the
+    same bucket equi-join as [[sim_lsh_bucketed_topk]]. A candidate lives
+    in exactly one bucket and the probe buckets of one query are distinct,
+    so no candidate is scored twice — no dedup step needed.
+
+    Scale (100 TB): the fan-out multiplies only the QUERY side (tiny,
+    broadcast) by 1 + N_PLANES; the corpus side is still scanned once and
+    joined on a small int key. Recall rises toward multitable LSH at zero
+    extra signature cost — the probe set is a projection, not a new hash
+    family."""
+    e = load_embeddings(spark, sf_dir)
+    bucketed = e.select(
+        "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    q = (
+        bucketed.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(
+                F.array(*[F.lit(f) for f in _PROBE_FLIPS])
+            ).alias("flip"),
+            "bucket",
+        )
+        .select(
+            "query_id",
+            "qe",
+            F.col("bucket").bitwiseXOR(F.col("flip")).alias("probe_bucket"),
+        )
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), c["bucket"] == q["probe_bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
 # ----------------------------------------------------------- IVF probe
 NPROBE = 3
 

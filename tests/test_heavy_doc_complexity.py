@@ -39,6 +39,10 @@ QUERIES_UNDER_TEST = [
     "text_pii_redaction",
     "text_token_counts",
     "text_boilerplate_ngrams",
+    # window-hash text paths: one hash per 8-token window, windows move as
+    # 8-byte hashes — must stay linear in token count per doc
+    "dedup_duplicate_passages",
+    "dedup_duplicate_spans",
     # regex projections that must stay linear on long runs (bounded
     # classes / literal anchors — see the PII local-part lesson)
     "text_encoding_quality",

@@ -319,6 +319,35 @@ def test_ann_recall_vs_exact_baseline(spark):
     assert mt > recall("sim_lsh_bucketed_topk")
     assert recall("sim_pq_adc_topk") >= 0.08
     assert recall("sim_ivfpq_topk") >= 0.08
+    # Hamming-1 multiprobe widens the single-table candidate set (measured
+    # .075 vs the single bucket's .0) at zero extra signature cost
+    assert recall("sim_lsh_topk_multiprobe") >= 0.05
+    assert recall("sim_lsh_topk_multiprobe") > recall("sim_lsh_bucketed_topk")
+
+
+def test_multiprobe_topk_dominates_single_bucket(spark):
+    """The multiprobe candidate set is a strict superset of the query's own
+    bucket (flip=0 is in the probe set), so per query the multiprobe top-k
+    must (a) have at least as many rows and (b) rank-for-rank dominate the
+    single-bucket top-k on (cosine, -neighbor_id) — a top-k over a superset
+    can only improve. This is the structural invariant behind the recall
+    floor above, checkable without the exact baseline."""
+    from polars_ad_etl_spark.operators.registry import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+
+    def ranked(name):
+        out: dict = {}
+        for r in QUERIES[name](spark, sf).collect():
+            out.setdefault(r.query_id, []).append((r.rnk, r.cosine, r.neighbor_id))
+        return {q: sorted(v) for q, v in out.items()}
+
+    single = ranked("sim_lsh_bucketed_topk")
+    multi = ranked("sim_lsh_topk_multiprobe")
+    for q, rows in single.items():
+        assert q in multi and len(multi[q]) >= len(rows)
+        for (_, s_cos, s_nb), (_, m_cos, m_nb) in zip(rows, multi[q]):
+            assert (m_cos, -m_nb) >= (s_cos, -s_nb), (q, rows, multi[q])
 
 
 def test_ann_recall_curve_shape(spark):
@@ -762,6 +791,62 @@ def test_business_day_closed_form_matches_naive_loop(spark):
         " AS closed_form",
     ).collect()
     assert all(r.expected == r.closed_form for r in got)
+
+
+def test_duplicate_spans_exact_islands(spark, tmp_path):
+    """dedup_duplicate_spans on a crafted corpus: a 12-token block shared
+    by three documents must come back as ONE maximal span per occurrence
+    (5 consecutive 8-token windows merged), with exact token offsets —
+    including the doc that carries the block twice (two islands, never
+    merged across the 4-token gap, and the gap-crossing windows are unique
+    to that doc so they cannot bridge). A short doc (< one window) and the
+    DuckDB oracle parity are checked on the same corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oracle_util import compare, duckdb_conn
+    from polars_ad_etl_spark.operators.registry import ORACLES, QUERIES
+
+    shared = " ".join(f"dup{i}" for i in range(12))  # 12 shared tokens
+    docs = {
+        1: " ".join(f"apre{i}" for i in range(5)) + " " + shared + " "
+           + " ".join(f"asuf{i}" for i in range(5)),
+        2: " ".join(f"bpre{i}" for i in range(3)) + " " + shared + " "
+           + " ".join(f"bsuf{i}" for i in range(7)),
+        3: shared + " " + " ".join(f"cgap{i}" for i in range(4)) + " " + shared,
+        4: "too short for one window",
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(docs), pa.int64()),
+                "text": [docs[k] for k in sorted(docs)],
+                "lang": ["en"] * len(docs),
+                "source": ["synthetic"] * len(docs),
+                "n_chars": pa.array(
+                    [len(docs[k]) for k in sorted(docs)], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = QUERIES["dedup_duplicate_spans"](spark, str(tmp_path)).collect()
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_windows)
+        for r in rows
+    )
+    assert got == [
+        (1, 5, 16, 12, 5),
+        (2, 3, 14, 12, 5),
+        (3, 0, 11, 12, 5),
+        (3, 16, 27, 12, 5),
+    ]
+    diff = compare(
+        QUERIES["dedup_duplicate_spans"](spark, str(tmp_path)),
+        duckdb_conn(str(tmp_path)),
+        ORACLES["dedup_duplicate_spans"],
+    )
+    assert diff is None, diff
 
 
 def test_cdc_chunks_reassemble_to_original(spark):
