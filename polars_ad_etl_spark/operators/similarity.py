@@ -1652,6 +1652,18 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CURVE_TABLES = (1, 2, 4, 8)
 CURVE_PROBES = (1, 2, 4, 8)
+# Third knob (round 12): multiprobe Hamming radius on the PRODUCTION
+# single 8-plane table (the same planes as sim_lsh_bucketed_topk /
+# sim_lsh_topk_multiprobe) — radius 1 is the registry multiprobe query,
+# radius 0 the plain bucket, radius 2 the 37-probe point. Probe masks are
+# enumerable (sum of C(8,d) for d <= max radius), so candidates come from
+# one query-side fan-out join, and min_r = popcount(bq XOR bc) is exact
+# because each candidate is reachable via exactly one mask.
+CURVE_RADII = (0, 1, 2)
+_PROBE_MASKS = [
+    m for m in range(1 << N_PLANES)
+    if bin(m).count("1") <= max(CURVE_RADII)
+]
 _CURVE_MAX_T = max(CURVE_TABLES)
 _CURVE_PLANES = 4  # per table -> 16 buckets/table (matches MT_PLANES)
 
@@ -1774,12 +1786,53 @@ _RECALL_CURVE_SQL = f"""
         LEFT JOIN itop i
           ON i.param = pcfg.param AND i.qid = e.qid AND i.cid = e.cid
         GROUP BY pcfg.param
+    ),
+    pbkt AS MATERIALIZED (
+        -- MATERIALIZED for the same round-9 kernel-on-prefilter-batch
+        -- reason as `b` above
+        SELECT vec_id, {_bucket_sql('embedding')} AS bucket FROM embeddings
+    ),
+    pmasks AS (SELECT unnest([{', '.join(str(m) for m in _PROBE_MASKS)}])
+               AS mask),
+    mq AS (
+        SELECT p.vec_id AS qid, xor(p.bucket, m.mask) AS bucket,
+               bit_count(m.mask) AS r
+        FROM pbkt p, pmasks m WHERE p.vec_id < {N_QUERIES}
+    ),
+    mpairs AS (
+        SELECT mq.qid, pc.vec_id AS cid, CAST(MIN(mq.r) AS INT) AS min_r
+        FROM mq JOIN pbkt pc ON pc.bucket = mq.bucket
+        WHERE pc.vec_id != mq.qid
+        GROUP BY 1, 2
+    ),
+    mscored AS (
+        SELECT p.qid, p.cid, p.min_r, {_CURVE_COS} AS cos
+        FROM mpairs p JOIN q USING (qid) JOIN c USING (cid)
+    ),
+    rcfg AS (SELECT unnest([{', '.join(str(r) for r in CURVE_RADII)}])
+             AS param),
+    mtop AS (
+        SELECT param, qid, cid FROM (
+            SELECT rcfg.param, s.qid, s.cid,
+                   ROW_NUMBER() OVER (PARTITION BY rcfg.param, s.qid
+                       ORDER BY s.cos DESC, s.cid) AS rnk
+            FROM mscored s JOIN rcfg ON s.min_r <= rcfg.param
+        ) WHERE rnk <= {TOP_K}
+    ),
+    mrec AS (
+        SELECT 'lsh_probe_radius' AS method, rcfg.param,
+               COUNT(*) AS n_exact, COUNT(m.cid) AS n_overlap
+        FROM exact e CROSS JOIN rcfg
+        LEFT JOIN mtop m
+          ON m.param = rcfg.param AND m.qid = e.qid AND m.cid = e.cid
+        GROUP BY rcfg.param
     )
     SELECT method, CAST(param AS INT) AS param,
            CAST(n_exact AS BIGINT) AS n_exact,
            CAST(n_overlap AS BIGINT) AS n_overlap,
            CAST((1000 * n_overlap) // n_exact AS BIGINT) AS recall_permille
-    FROM (SELECT * FROM lrec UNION ALL SELECT * FROM irec)
+    FROM (SELECT * FROM lrec UNION ALL SELECT * FROM irec
+          UNION ALL SELECT * FROM mrec)
     ORDER BY method, param
 """
 
@@ -1921,7 +1974,54 @@ def sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     itop = iranked.filter(F.col("rnk") <= TOP_K).select("param", "qid2", "cid2")
     irec = _curve_recall_rows(exact, itop, pcfg, "ivf_probes")
 
-    return lrec.unionByName(irec).orderBy("method", "param")
+    # --- single-table multiprobe: candidates within Hamming radius `param`
+    # of the query's production 8-plane bucket (see CURVE_RADII comment)
+    pb = e.select("vec_id", _bucket_expr(F.col("embedding")).alias("bucket"))
+    mq = (
+        pb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid2"),
+            F.explode(
+                F.array(*[F.lit(m) for m in _PROBE_MASKS])
+            ).alias("mask"),
+            "bucket",
+        )
+        .select(
+            "qid2",
+            F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket"),
+            F.bit_count("mask").cast("int").alias("r"),
+        )
+    )
+    mc = pb.select(F.col("vec_id").alias("cid2"), "bucket")
+    mpairs = (
+        mc.join(F.broadcast(mq), "bucket")
+        .filter(F.col("cid2") != F.col("qid2"))
+        .groupBy("qid2", "cid2")
+        .agg(F.min("r").cast("int").alias("min_r"))
+    )
+    mscored = (
+        mpairs.join(F.broadcast(qv), "qid2")
+        .join(cv, "cid2")
+        .select(
+            "qid2", "cid2", "min_r",
+            F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cos"),
+        )
+    )
+    rcfg = _curve_configs(spark, CURVE_RADII)
+    mranked = mscored.join(
+        F.broadcast(rcfg), F.col("min_r") <= F.col("param")
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("param", "qid2").orderBy(
+                F.col("cos").desc(), "cid2"
+            )
+        ),
+    )
+    mtop = mranked.filter(F.col("rnk") <= TOP_K).select("param", "qid2", "cid2")
+    mrec = _curve_recall_rows(exact, mtop, rcfg, "lsh_probe_radius")
+
+    return lrec.unionByName(irec).unionByName(mrec).orderBy("method", "param")
 
 
 @register(

@@ -365,7 +365,7 @@ def test_ann_recall_curve_shape(spark):
     by_method: dict = {}
     for r in rows:
         by_method.setdefault(r.method, []).append((r.param, r.recall_permille))
-    assert set(by_method) == {"lsh_tables", "ivf_probes"}
+    assert set(by_method) == {"lsh_tables", "ivf_probes", "lsh_probe_radius"}
     for method, pts in by_method.items():
         pts.sort()
         vals = [v for _, v in pts]
@@ -388,6 +388,11 @@ def test_ann_recall_curve_shape(spark):
     n_exact = sum(len(e) for e in exact.values())
     n_overlap = sum(len(mt.get(q, set()) & e) for q, e in exact.items())
     assert dict(by_method["lsh_tables"])[4] == (1000 * n_overlap) // n_exact
+    # same-measurement pin for the radius knob: radius=1 IS the standalone
+    # multiprobe registry query (same single 8-plane table)
+    mp = nbrs("sim_lsh_topk_multiprobe")
+    n_mp = sum(len(mp.get(q, set()) & e) for q, e in exact.items())
+    assert dict(by_method["lsh_probe_radius"])[1] == (1000 * n_mp) // n_exact
 
 
 def test_containment_dominates_jaccard(spark):
