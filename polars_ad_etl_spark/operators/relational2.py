@@ -255,7 +255,19 @@ def q18_large_volume_customers_bucketed(
     hashpartitioning exchange anywhere in the plan,
     tests/test_plan_quality.py::test_q18_bucketed_zero_wide_exchange).
     The production day-to-day shape when the order profile is a recurring
-    workload; same reuse/staleness contract as every bucketed store."""
+    workload; same reuse/staleness contract as every bucketed store.
+
+    The enrichment joins broadcast EXPLICITLY: ``big`` is selective by
+    construction (the HAVING > 250 keeps a sliver of orders — TPC-H Q18's
+    defining property), so hinting it keeps orders/customer on their scan
+    side at ANY scale. Without the hint the r12 sf-sweep measured the
+    static planner flipping big-join-orders to a sort-merge at sf1.0 —
+    1.5M orders rows re-shuffled per run, silently voiding the zero-
+    wide-exchange contract the layout exists for (AQE re-broadcasts from
+    runtime stats, but only after the map-side shuffle write is paid).
+    Static hints are size-independent, so the sf0.01 plan pin
+    (test_q18_bucketed_zero_wide_exchange) now proves the shape at every
+    SF."""
     from polars_ad_etl_spark.sources.star import load_lineitem_qty_bucketed
 
     c = _t(spark, sf_dir, "customer")
@@ -266,9 +278,10 @@ def q18_large_volume_customers_bucketed(
         .agg(dsum("l_quantity").alias("sum_qty"))
         .filter(F.col("sum_qty") > 250)
     )
+    bigo = F.broadcast(big).join(o, big.l_orderkey == o.o_orderkey)
     return (
-        big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        F.broadcast(bigo)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(25)

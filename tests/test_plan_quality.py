@@ -194,14 +194,20 @@ def test_prepart_twins_single_wide_exchange(spark):
 def test_q18_bucketed_zero_wide_exchange(spark):
     """The layout twin's payoff: groupBy(l_orderkey) over the bucketed
     order-profile store satisfies the aggregate's distribution straight
-    off the scan — NO hashpartitioning exchange anywhere in the plan (the
-    only exchanges are the broadcasts AQE picks for the tiny post-HAVING
-    joins), and the HAVING filter still runs below the joins."""
+    off the scan — NO hashpartitioning exchange anywhere in the plan, and
+    the HAVING filter still runs below the joins. The post-HAVING joins
+    are EXPLICIT broadcast hints (round-12: the static planner flipped
+    big-join-orders to sort-merge at sf1.0, re-shuffling 1.5M orders rows
+    per run); hints are size-independent, so requiring BroadcastHashJoin
+    and forbidding SortMergeJoin here proves the plan shape at every
+    SF."""
     plan = formatted_plan(
         QUERIES["q18_large_volume_customers_bucketed"](spark, SF_DIR)
     )
     assert "Bucketed: true" in plan
     assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert plan.count("lineitem") >= 1
 
