@@ -1729,12 +1729,20 @@ _PASSAGES_SPARK = f"""
     ELSE array() END
 """
 
-# Indexed elements, not a list slice: a slice inside a DuckDB comprehension
-# costs O(offset) per element → quadratic in doc length (see _SHINGLES_DUCK)
-_PASSAGES_DUCK = (
-    "[concat_ws(' ', "
+# One {_PASSAGE_N}-token window's text at (1-based) token offset i —
+# indexed elements, not a list slice: a slice inside a DuckDB
+# comprehension costs O(offset) per element -> quadratic in doc length
+# (see _SHINGLES_DUCK). dedup_duplicate_spans uses it with an explicit
+# position column; _PASSAGES_DUCK wraps it in the positionless
+# comprehension the passage profile consumes.
+_PASSAGES_POS_DUCK = (
+    "concat_ws(' ', "
     + ", ".join(f"toks[i+{k}]" if k else "toks[i]" for k in range(_PASSAGE_N))
-    + f") for i in generate_series(1, len(toks) - {_PASSAGE_N - 1})]"
+    + ")"
+)
+_PASSAGES_DUCK = (
+    f"[{_PASSAGES_POS_DUCK}"
+    f" for i in generate_series(1, len(toks) - {_PASSAGE_N - 1})]"
 )
 
 
@@ -1801,18 +1809,6 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("shared_ratio"),
         (ratio >= _SHARED_RATIO_FLAG).alias("flagged"),
     )
-
-
-# Positioned windows for the span merge below: same {_PASSAGE_N}-token
-# windows as _PASSAGES_DUCK but keeping the 0-based start offset, via a
-# lateral generate_series (empty when the doc is shorter than one window).
-# Indexed elements, not a list slice, for the same O(offset)-per-element
-# reason as _PASSAGES_DUCK.
-_PASSAGES_POS_DUCK = (
-    "concat_ws(' ', "
-    + ", ".join(f"toks[i+{k}]" if k else "toks[i]" for k in range(_PASSAGE_N))
-    + ")"
-)
 
 
 @register(

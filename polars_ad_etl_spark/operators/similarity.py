@@ -1800,10 +1800,12 @@ _RECALL_CURVE_SQL = f"""
         FROM pbkt p, pmasks m WHERE p.vec_id < {N_QUERIES}
     ),
     mpairs AS (
-        SELECT mq.qid, pc.vec_id AS cid, CAST(MIN(mq.r) AS INT) AS min_r
+        -- no GROUP BY/MIN: each (qid, cid) matches exactly one mask
+        -- (mask = bq XOR bc), so r IS min_r — unlike lpairs, where
+        -- MIN(t) genuinely aggregates across tables
+        SELECT mq.qid, pc.vec_id AS cid, CAST(mq.r AS INT) AS min_r
         FROM mq JOIN pbkt pc ON pc.bucket = mq.bucket
         WHERE pc.vec_id != mq.qid
-        GROUP BY 1, 2
     ),
     mscored AS (
         SELECT p.qid, p.cid, p.min_r, {_CURVE_COS} AS cos
@@ -1993,11 +1995,13 @@ def sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mc = pb.select(F.col("vec_id").alias("cid2"), "bucket")
+    # no groupBy/min: each (qid2, cid2) matches exactly one mask (mask =
+    # bq XOR bc), so r IS min_r — the aggregation would be a no-op costing
+    # a full extra shuffle over the candidate pairs
     mpairs = (
         mc.join(F.broadcast(mq), "bucket")
         .filter(F.col("cid2") != F.col("qid2"))
-        .groupBy("qid2", "cid2")
-        .agg(F.min("r").cast("int").alias("min_r"))
+        .select("qid2", "cid2", F.col("r").cast("int").alias("min_r"))
     )
     mscored = (
         mpairs.join(F.broadcast(qv), "qid2")

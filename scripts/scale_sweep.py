@@ -296,7 +296,18 @@ def main() -> None:
     def _no_broadcast_bytes(name: str, sf_dir: str) -> dict | None:
         """One no-broadcast run's byte/record metrics: the
         join-strategy-pinned measurement that arbitrates a byte flag (see
-        arbitrate_bytes_by_pinned_plan)."""
+        arbitrate_bytes_by_pinned_plan).
+
+        Disabling the thresholds removes THRESHOLD-driven broadcasts (the
+        staircase source) but deliberately leaves explicit broadcast()
+        hints in place (fixed dims like q10's nation; q18-bucketed's
+        selective-by-construction probe side). That is sound, not a
+        loophole: hints are size-independent, so a hinted join
+        contributes no regime step for the pin to remove — and broadcast
+        movement is invisible to shuffle-byte metrics in the DEFAULT run
+        too, so no byte flag can ever be demoted on evidence it never
+        contained. The pinned ratio compares exactly the movement the
+        flag was raised on."""
         old = {c: spark.conf.get(c, None) for c in _BCAST}
         for c in _BCAST:
             spark.conf.set(c, "-1")

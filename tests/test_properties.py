@@ -320,9 +320,12 @@ def test_ann_recall_vs_exact_baseline(spark):
     assert recall("sim_pq_adc_topk") >= 0.08
     assert recall("sim_ivfpq_topk") >= 0.08
     # Hamming-1 multiprobe widens the single-table candidate set (measured
-    # .075 vs the single bucket's .0) at zero extra signature cost
+    # .075 vs the single bucket's .0) at zero extra signature cost. >= not
+    # >: the superset property only guarantees no-worse, and on regenerated
+    # testdata the extra buckets could contribute no exact-top-10 neighbor;
+    # the floor above is the structural-regression catch.
     assert recall("sim_lsh_topk_multiprobe") >= 0.05
-    assert recall("sim_lsh_topk_multiprobe") > recall("sim_lsh_bucketed_topk")
+    assert recall("sim_lsh_topk_multiprobe") >= recall("sim_lsh_bucketed_topk")
 
 
 def test_multiprobe_topk_dominates_single_bucket(spark):
