@@ -5,6 +5,23 @@ the row path. Elements are cast float->double *before* multiplying so Spark
 and the DuckDB oracle (which casts ``FLOAT[] -> DOUBLE[]``) compute the same
 products; remaining summation-order error is absorbed by rounding scores to 4
 decimals at the query layer.
+
+Operands may be passed as SQL expression strings (parsed with one ``F.expr``
+call) or as ``Column`` objects — the Catalyst tree is identical either way.
+
+Optimization round 12, a measured NEGATIVE result kept out of the code on
+purpose: unrolling the fixed-64-dim dot product into a flat 64-term
+arithmetic expression (bit-identical term order, HOF fallback behind a size
+guard for non-64 rows) was prototyped and benchmarked both ways of building
+it. Built term-by-term from Column ops it costs ~400 py4j round-trips per
+dot (~20 s of driver chatter per similarity query); built as one SQL string
+via ``F.expr`` the construction cost vanishes but the huge flat trees still
+LOSE end-to-end at bench scale (Catalyst/Janino fixed cost per distinct
+expression: sim_ann_recall_curve 12.5 s HOF vs 34.5 s unrolled at sf0.01;
+sim_bruteforce_topk 0.559 s HOF-prenormed vs 0.807 s unrolled-prenormed at
+sf0.1, best-of-5). The win that survived measurement is
+:func:`cosine_prenormed`: norms computed once per VECTOR instead of once per
+scored PAIR. See OPTIMIZATION_r12.md.
 """
 
 from __future__ import annotations
@@ -15,21 +32,44 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
+def _as_col(c: Column | str) -> Column:
+    return F.expr(c) if isinstance(c, str) else c
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
     """Sequential left-to-right double dot product."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(_as_col(a), _as_col(b), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_prenormed(
+    a: Column | str,
+    b: Column | str,
+    na: Column,
+    nb: Column,
+) -> Column:
+    """Cosine with the two norms supplied as precomputed columns.
+
+    ``norm(q)`` / ``norm(c)`` are per-VECTOR quantities; computing them
+    inside the per-PAIR scoring projection re-evaluates each one once per
+    pair (|Q| x |C| times instead of |Q| + |C| — guide §1.2, don't compute
+    things you throw away). Callers compute ``na = norm(a)`` / ``nb =
+    norm(b)`` once in the projection that produces each side and pass the
+    columns here; the arithmetic ``dot / (na * nb)`` is the identical IEEE
+    expression tree, so results are bit-equal to :func:`cosine` (pinned in
+    tests/test_vectors_prenormed.py)."""
+    return dot(a, b) / (na * nb)
 
 
 def hyperplane_signs(plane: int, dim: int) -> list[int]:
@@ -43,8 +83,8 @@ def hyperplane_signs(plane: int, dim: int) -> list[int]:
     return out
 
 
-def signed_projection(emb: Column, signs: list[int]) -> Column:
+def signed_projection(emb: Column | str, signs: list[int]) -> Column:
     """dot(embedding, +-1 plane) via element flip + sum — the sign pattern is
     a codegen'd literal array, so this is pure JVM arithmetic."""
     lit_signs = F.array(*[F.lit(float(s)) for s in signs])
-    return dot(emb, lit_signs)
+    return dot(_as_col(emb), lit_signs)

@@ -685,7 +685,10 @@ def dedup_ngram_jaccard_on_candidates(
 
 
 # ----------------------------------------------- embedding-cosine near-dup
-from polars_ad_etl_spark.functions.vectors import cosine  # noqa: E402
+from polars_ad_etl_spark.functions.vectors import (  # noqa: E402
+    cosine_prenormed,
+    norm as _vnorm,
+)
 from polars_ad_etl_spark.operators.similarity import (  # noqa: E402
     _bucket_expr,
     _bucket_sql,
@@ -732,7 +735,11 @@ def dedup_embedding_cosine_pairs(
     candidate count. Default ``None`` keeps the oracle-exact behavior."""
     e = load_embeddings(spark, sf_dir)
     b = e.select(
-        "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        _bucket_expr("embedding").alias("bucket"),
+        # per-vector norm computed once per side, not once per pair
+        _vnorm("embedding").alias("en"),
     )
     if bucket_cap is not None:
         keep = (
@@ -744,7 +751,11 @@ def dedup_embedding_cosine_pairs(
         b = b.join(F.broadcast(keep), "bucket")
     a_side, b_side = b.alias("a"), b.alias("b")
     cos = F.round(
-        cosine(F.col("a.embedding"), F.col("b.embedding")), 4
+        cosine_prenormed(
+            "a.embedding", "b.embedding",
+            F.col("a.en"), F.col("b.en")
+        ),
+        4,
     )
     return (
         a_side.join(
@@ -772,7 +783,7 @@ def embedding_bucket_overflow(
     2^planes rows before the cap filter."""
     e = load_embeddings(spark, sf_dir)
     return (
-        e.select(_bucket_expr(F.col("embedding")).alias("bucket"))
+        e.select(_bucket_expr("embedding").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("bucket_size"))
         .filter(F.col("bucket_size") > int(bucket_cap))
@@ -944,8 +955,9 @@ def dedup_incremental_embedding_keep(
     b_full = e.select(
         "vec_id",
         "embedding",
-        _bucket_expr(F.col("embedding")).alias("bucket"),
+        _bucket_expr("embedding").alias("bucket"),
         _vec_is_batch(F.col("vec_id")).alias("is_batch"),
+        _vnorm("embedding").alias("en"),
     )
     batch_all = b_full.filter("is_batch").select("vec_id")
     b = b_full
@@ -964,13 +976,20 @@ def dedup_incremental_embedding_keep(
     corpus = b.filter(~F.col("is_batch")).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("ce"),
+        F.col("en").alias("cen"),
         "bucket",
     )
-    batch = b.filter("is_batch").select("vec_id", "embedding", "bucket")
+    batch = b.filter("is_batch").select("vec_id", "embedding", "bucket", "en")
     near_corpus = (
         batch.join(corpus, "bucket")
         .filter(
-            F.round(cosine(F.col("embedding"), F.col("ce")), 4)
+            F.round(
+                cosine_prenormed(
+                    "embedding", "ce",
+                    F.col("en"), F.col("cen")
+                ),
+                4,
+            )
             >= COSINE_DUP_THRESHOLD
         )
         .select("vec_id")
@@ -985,7 +1004,13 @@ def dedup_incremental_embedding_keep(
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
+            F.round(
+                cosine_prenormed(
+                    "a.embedding", "b.embedding",
+                    F.col("a.en"), F.col("b.en")
+                ),
+                4,
+            )
             >= COSINE_DUP_THRESHOLD
         )
         .select(

@@ -26,7 +26,9 @@ from pyspark.sql import Window as W
 
 from polars_ad_etl_spark.functions.vectors import (
     cosine,
+    cosine_prenormed,
     hyperplane_signs,
+    norm,
     signed_projection,
 )
 from polars_ad_etl_spark.operators.registry import register
@@ -79,17 +81,32 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket's competitors are a subset of the query's competitors, so every
     global top-k row has salt-local row_number <= k and survives phase 1."""
     e = load_embeddings(spark, sf_dir)
+    # Norms are per-vector: compute them once per side (|Q| + |C| evals)
+    # instead of once per scored pair (|Q| x |C|) — guide §1.2. The scoring
+    # expression dot/(qn*cn) is the identical IEEE tree, so scores are
+    # bit-equal (pinned in tests/test_vectors_prenormed.py).
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm("embedding").alias("qn"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        norm("embedding").alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cosine"),
+            F.round(
+                cosine_prenormed(
+                    "qe", "ce", F.col("qn"), F.col("cn")
+                ),
+                4,
+            ).alias("cosine"),
         )
     )
     order = (F.col("cosine").desc(), F.col("neighbor_id"))
@@ -112,7 +129,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PLANES = [hyperplane_signs(p, DIM) for p in range(N_PLANES)]
 
 
-def _bucket_expr(emb: F.Column) -> F.Column:
+def _bucket_expr(emb: F.Column | str) -> F.Column:
     """256-way bucket id: bit p set when dot(emb, plane_p) >= 0."""
     bits = [
         F.when(signed_projection(emb, _PLANES[p]) >= 0, F.lit(1 << p)).otherwise(0)
@@ -179,16 +196,18 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join is a plain equi-join on a small int key."""
     e = load_embeddings(spark, sf_dir)
     bucketed = e.select(
-        "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
+        "vec_id", "embedding", _bucket_expr("embedding").alias("bucket")
     )
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
+        norm("embedding").alias("qn"),
         "bucket",
     )
     c = bucketed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
+        norm("embedding").alias("cn"),
         "bucket",
     )
     scored = (
@@ -197,7 +216,10 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cosine"),
+            F.round(
+                cosine_prenormed("qe", "ce", F.col("qn"), F.col("cn")),
+                4,
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
@@ -258,13 +280,14 @@ def sim_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     family."""
     e = load_embeddings(spark, sf_dir)
     bucketed = e.select(
-        "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
+        "vec_id", "embedding", _bucket_expr("embedding").alias("bucket")
     )
     q = (
         bucketed.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
+            norm("embedding").alias("qn"),
             F.explode(
                 F.array(*[F.lit(f) for f in _PROBE_FLIPS])
             ).alias("flip"),
@@ -273,12 +296,14 @@ def sim_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "qe",
+            "qn",
             F.col("bucket").bitwiseXOR(F.col("flip")).alias("probe_bucket"),
         )
     )
     c = bucketed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
+        norm("embedding").alias("cn"),
         "bucket",
     )
     scored = (
@@ -287,7 +312,10 @@ def sim_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cosine"),
+            F.round(
+                cosine_prenormed("qe", "ce", F.col("qn"), F.col("cn")),
+                4,
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
@@ -398,19 +426,32 @@ def _ivf_probe_topk_impl(e: DataFrame, cent: DataFrame) -> DataFrame:
     persisted index (``similarity_indexed.sim_ivf_probe_topk_indexed``) —
     one implementation so the twins stay bit-identical."""
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        norm("embedding").alias("qn"),
     )
-    probe = q.crossJoin(F.broadcast(cent)).select(
-        "qid", "label", "qe", F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("ccos")
+    centn = cent.withColumn("cenorm", norm("ce"))
+    probe = q.crossJoin(F.broadcast(centn)).select(
+        "qid",
+        "label",
+        "qe",
+        "qn",
+        F.round(
+            cosine_prenormed("qe", "ce", F.col("qn"), F.col("cenorm")),
+            4,
+        ).alias("ccos"),
     )
     wp = W.partitionBy("qid").orderBy(F.col("ccos").desc(), "label")
     probed = (
         probe.withColumn("pr", F.row_number().over(wp))
         .filter(F.col("pr") <= NPROBE)
-        .select("qid", "label", "qe")
+        .select("qid", "label", "qe", "qn")
     )
     cand = e.select(
-        "label", F.col("vec_id").alias("cid"), F.col("embedding").alias("ce2")
+        "label",
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce2"),
+        norm("embedding").alias("cn2"),
     )
     scored = (
         cand.join(F.broadcast(probed), "label")
@@ -418,7 +459,10 @@ def _ivf_probe_topk_impl(e: DataFrame, cent: DataFrame) -> DataFrame:
         .select(
             F.col("qid").alias("query_id"),
             F.col("cid").alias("neighbor_id"),
-            F.round(cosine(F.col("qe"), F.col("ce2")), 4).alias("cosine"),
+            F.round(
+                cosine_prenormed("qe", "ce2", F.col("qn"), F.col("cn2")),
+                4,
+            ).alias("cosine"),
         )
     )
     wr = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
@@ -844,12 +888,21 @@ def _unoffset(col: F.Column) -> F.Column:
     return F.transform(col, lambda x: x - F.lit(KMEANS_Q_OFFSET))
 
 
-def _ldot(a: F.Column, b: F.Column) -> F.Column:
+def _ldot_hof(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def _ldot(a: F.Column | str, b: F.Column | str) -> F.Column:
+    """Exact long dot product (HOF); operands may be SQL expression strings."""
+    if isinstance(a, str):
+        a = F.expr(a)
+    if isinstance(b, str):
+        b = F.expr(b)
+    return _ldot_hof(a, b)
 
 
 def _semdedup_oracle_sql() -> str:
@@ -902,11 +955,15 @@ def dedup_semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, q = kmeans_fixed(spark, sf_dir)
     assigned = _assign_quantized(q, centroids).select(
         "vec_id", "cluster", _unoffset(F.col("qe")).alias("v")
+    ).withColumn(
+        # squared norm once per VECTOR (the join below evaluates per-pair
+        # expressions |cluster|^2 times; the norms don't depend on the pair)
+        "n2", _ldot("v", "v")
     )
     a, b = assigned.alias("a"), assigned.alias("b")
-    dot = _ldot(F.col("a.v"), F.col("b.v"))
-    na2 = _ldot(F.col("a.v"), F.col("a.v"))
-    nb2 = _ldot(F.col("b.v"), F.col("b.v"))
+    dot = _ldot("a.v", "b.v")
+    na2 = F.col("a.n2")
+    nb2 = F.col("b.n2")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     is_dup = (dot > 0) & (
         dec(dot) * dot * F.lit(SEMDEDUP_TAU2_DEN)
@@ -1441,7 +1498,7 @@ _MT_PLANESETS = [
 ]
 
 
-def _mt_bucket_expr(emb: F.Column, t: int) -> F.Column:
+def _mt_bucket_expr(emb: F.Column | str, t: int) -> F.Column:
     bits = [
         F.when(
             signed_projection(emb, _MT_PLANESETS[t][p]) >= 0, F.lit(1 << p)
@@ -1505,7 +1562,7 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(t).alias("t"),
-                        _mt_bucket_expr(F.col("embedding"), t).alias("bucket"),
+                        _mt_bucket_expr("embedding", t).alias("bucket"),
                     )
                     for t in range(MT_TABLES)
                 ]
@@ -1515,12 +1572,14 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = b.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
+        norm("embedding").alias("qn"),
         "t",
         "bucket",
     )
     c = b.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
+        norm("embedding").alias("cn"),
         "t",
         "bucket",
     )
@@ -1530,7 +1589,10 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cosine"),
+            F.round(
+                cosine_prenormed("qe", "ce", F.col("qn"), F.col("cn")),
+                4,
+            ).alias("cosine"),
         )
         .distinct()
     )
@@ -1572,18 +1634,27 @@ def _ranking_sql(dim_slice: str) -> str:
 
 
 def _prefix_ranking(e: DataFrame, dim: int | None) -> DataFrame:
-    emb = F.col("embedding") if dim is None else F.slice("embedding", 1, dim)
+    emb = "embedding" if dim is None else f"slice(embedding, 1, {dim})"
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), emb.alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.expr(emb).alias("qe"),
+        norm(emb).alias("qn"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), emb.alias("ce"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(emb).alias("ce"),
+        norm(emb).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cos"),
+            F.round(
+                cosine_prenormed("qe", "ce", F.col("qn"), F.col("cn")),
+                4,
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
@@ -1673,7 +1744,7 @@ _CURVE_PLANESETS = [
 ]
 
 
-def _curve_bucket_expr(emb: F.Column, t: int) -> F.Column:
+def _curve_bucket_expr(emb: F.Column | str, t: int) -> F.Column:
     bits = [
         F.when(
             signed_projection(emb, _CURVE_PLANESETS[t][p]) >= 0, F.lit(1 << p)
@@ -1889,7 +1960,7 @@ def sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(t).alias("t"),
-                        _curve_bucket_expr(F.col("embedding"), t).alias("bucket"),
+                        _curve_bucket_expr("embedding", t).alias("bucket"),
                     )
                     for t in range(_CURVE_MAX_T)
                 ]
@@ -1907,18 +1978,23 @@ def sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("t").cast("int").alias("min_t"))
     )
     qv = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid2"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid2"),
+        F.col("embedding").alias("qe"),
+        norm("embedding").alias("qn"),
     )
     cv = e.select(
-        F.col("vec_id").alias("cid2"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("cid2"),
+        F.col("embedding").alias("ce"),
+        norm("embedding").alias("cn"),
+    )
+    _cosp = lambda: F.round(  # noqa: E731 — the shared scoring expression
+        cosine_prenormed("qe", "ce", F.col("qn"), F.col("cn")),
+        4,
     )
     lscored = (
         lpairs.join(F.broadcast(qv), "qid2")
         .join(cv, "cid2")
-        .select(
-            "qid2", "cid2", "min_t",
-            F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cos"),
-        )
+        .select("qid2", "cid2", "min_t", _cosp().alias("cos"))
     )
     tcfg = _curve_configs(spark, CURVE_TABLES)
     lranked = lscored.join(
@@ -1935,13 +2011,12 @@ def sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     lrec = _curve_recall_rows(exact, ltop, tcfg, "lsh_tables")
 
     # --- IVF: scan the `param` nearest label lists per query
-    cent = _label_centroid_arrays(e)
+    cent = _label_centroid_arrays(e).withColumn(
+        "cn", norm("ce")
+    )
     proberank = (
         qv.crossJoin(F.broadcast(cent))
-        .select(
-            "qid2", "label",
-            F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("ccos"),
-        )
+        .select("qid2", "label", _cosp().alias("ccos"))
         .withColumn(
             "pr",
             F.row_number().over(
@@ -1951,16 +2026,16 @@ def sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid2", "label", "pr")
     )
     icand = e.select(
-        "label", F.col("vec_id").alias("cid2"), F.col("embedding").alias("ce")
+        "label",
+        F.col("vec_id").alias("cid2"),
+        F.col("embedding").alias("ce"),
+        norm("embedding").alias("cn"),
     )
     iscored = (
         proberank.join(F.broadcast(qv), "qid2")
         .join(icand, "label")
         .filter(F.col("cid2") != F.col("qid2"))
-        .select(
-            "qid2", "cid2", "pr",
-            F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cos"),
-        )
+        .select("qid2", "cid2", "pr", _cosp().alias("cos"))
     )
     pcfg = _curve_configs(spark, CURVE_PROBES)
     iranked = iscored.join(
@@ -1978,7 +2053,7 @@ def sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- single-table multiprobe: candidates within Hamming radius `param`
     # of the query's production 8-plane bucket (see CURVE_RADII comment)
-    pb = e.select("vec_id", _bucket_expr(F.col("embedding")).alias("bucket"))
+    pb = e.select("vec_id", _bucket_expr("embedding").alias("bucket"))
     mq = (
         pb.filter(F.col("vec_id") < N_QUERIES)
         .select(
@@ -2006,10 +2081,7 @@ def sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     mscored = (
         mpairs.join(F.broadcast(qv), "qid2")
         .join(cv, "cid2")
-        .select(
-            "qid2", "cid2", "min_r",
-            F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cos"),
-        )
+        .select("qid2", "cid2", "min_r", _cosp().alias("cos"))
     )
     rcfg = _curve_configs(spark, CURVE_RADII)
     mranked = mscored.join(

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from polars_ad_etl_spark.functions.vectors import cosine
+from polars_ad_etl_spark.functions.vectors import cosine_prenormed, norm
 from polars_ad_etl_spark.operators.dedup import (
     COSINE_DUP_THRESHOLD,
     _bucket_expr,
@@ -116,7 +116,7 @@ def corpus_vector_indexes(
     corpus_bv = e.select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("ce"),
-        _bucket_expr(F.col("embedding")).alias("bucket"),
+        _bucket_expr("embedding").alias("bucket"),
     )
     return corpus_vk, corpus_bv
 
@@ -194,11 +194,27 @@ def _admit_vec_batch(
     s = s.join(seen.select("vk", F.lit(1).alias("in_seen")), "vk", "left_outer")
     survivors = s.filter(
         F.col("in_corpus").isNull() & F.col("in_seen").isNull() & (F.col("rn") == 1)
-    ).select("vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket"))
+    ).select(
+        "vec_id",
+        "embedding",
+        _bucket_expr("embedding").alias("bucket"),
+        # per-vector norms once per side (not per candidate pair); the
+        # corpus norm is projected at read time so the persisted index
+        # schema is untouched
+        norm("embedding").alias("en"),
+    )
     near = (
-        survivors.join(corpus_bv, "bucket")
+        survivors.join(
+            corpus_bv.withColumn("cen", norm("ce")), "bucket"
+        )
         .filter(
-            F.round(cosine(F.col("embedding"), F.col("ce")), 4)
+            F.round(
+                cosine_prenormed(
+                    "embedding", "ce",
+                    F.col("en"), F.col("cen")
+                ),
+                4,
+            )
             >= COSINE_DUP_THRESHOLD
         )
         .select("vec_id")
