@@ -45,7 +45,7 @@ from polars_ad_etl_spark.functions.hashing import (
     tokens_sql,
 )
 from polars_ad_etl_spark.operators.registry import ORACLES, register
-from polars_ad_etl_spark.sources.star import load_embeddings
+from polars_ad_etl_spark.sources.star import load_embeddings, spread_scan
 
 K = 16  # MinHash signature length
 BANDS = 4  # 4 bands x 4 rows
@@ -105,7 +105,9 @@ _SHINGLES_DUCK = (
 
 
 def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     return d.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
     )
@@ -114,7 +116,9 @@ def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id -> exploded 3-gram shingles (docs under 3 tokens drop out; the
     min-aggregate absorbs duplicate shingles, so no distinct is needed)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     return d.select("doc_id", tokens(F.col("text")).alias("toks")).select(
         "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh")
     )
@@ -174,8 +178,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this shape is embarrassingly parallel scan work: signatures
     stream out of the parquet scan partition-local, and only the K-long
-    signature rows ever reach the banded-LSH shuffle downstream."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    signature rows ever reach the banded-LSH shuffle downstream.
+
+    ``spread_scan``: the projection is only scan-local-parallel when the
+    scan has enough tasks — see its docstring (no-op at scale)."""
+    d = spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     sh = d.select("doc_id", tokens(F.col("text")).alias("toks")).select(
         "doc_id", F.expr(_SHINGLES_SPARK).alias("shs")
     )
@@ -579,7 +588,9 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     *verifier* semantics — at 100 TB the candidate generation must come from
     MinHash-LSH (above); joining on raw shingles explodes on common n-grams.
     Shingles (not unigrams) keep the join fan-out tolerable here."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     shingle = (
         d.select("doc_id", tokens(F.col("text")).alias("toks"))
         .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
@@ -649,7 +660,9 @@ def dedup_ngram_jaccard_on_candidates(
     ``None`` stays oracle-exact), then two doc_id equi-joins to pull each
     side's shingle array."""
     cand = dedup_minhash_lsh_pairs(spark, sf_dir, bucket_cap=bucket_cap)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     shsets = (
         d.select("doc_id", tokens(F.col("text")).alias("toks"))
         .select("doc_id", F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("shs"))
@@ -1953,7 +1966,9 @@ NGRAM_CONTAINMENT_SQL = f"""
 def dedup_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle containment pairs (both directions); see the section
     comment for why this exists next to Jaccard."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     shingle = (
         d.select("doc_id", tokens(F.col("text")).alias("toks"))
         .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
@@ -2301,9 +2316,10 @@ def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The ONLY shuffle in a consumer is its own final hash aggregate, so at
     100 TB chunking is embarrassingly parallel scan work exactly like the
-    MinHash signature projection."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
+    MinHash signature projection. ``spread_scan``: scale-adaptive scan
+    spread for exactly that reason (no-op at scale, see its docstring)."""
+    docs = spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     )
     text = F.col("text")
 
@@ -2700,7 +2716,9 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", match_sum.alias("m"))
         .select("a", "b", F.expr(f"(1000 * m) div {K}").alias("est_permille"))
     )
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     from polars_ad_etl_spark.functions.hashing import tokens
 
     shingle = (

@@ -195,8 +195,14 @@ def curation_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram set is small by construction and broadcast; the training side is
     one scan feeding a broadcast hash join — the 100 TB side never
     shuffles. Per-doc n-grams are pre-deduplicated in the projection, so
-    the join output is the exact distinct-shared count."""
-    t = _docs(spark, sf_dir).select(
+    the join output is the exact distinct-shared count.
+
+    ``spread_scan``: the 5-gram build is per-row-expensive scan work and
+    the testdata scan plans one task — scale-adaptive spread, no-op at
+    scale (see its docstring)."""
+    from polars_ad_etl_spark.sources.star import spread_scan
+
+    t = spread_scan(_docs(spark, sf_dir).select("doc_id", "text")).select(
         "doc_id",
         _bucket(F.col("doc_id"), "eval").alias("bk"),
         tokens(F.col("text")).alias("toks"),

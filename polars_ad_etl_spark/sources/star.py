@@ -17,6 +17,31 @@ from pyspark.sql import functions as F
 _DATE_BOUND = re.compile(r"\d{4}-\d{2}-\d{2}")
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Scale-adaptive compute spread for per-row-EXPENSIVE projections
+    (shingling, MinHash, SimHash, CDC rolling hashes).
+
+    A parquet scan's parallelism is capped by file/row-group count, not by
+    the cluster: the generated testdata ships ONE single-row-group file per
+    table, so the scan plans one task and a heavy whole-stage-codegen
+    projection runs serially on one core no matter how many the session has
+    (measured: the MinHash signature stage of dedup_near_dup_keep_list ran
+    1.5 s on 1 of 32 cores at sf0.1 — guide §2.5 "input skew", §6 "input
+    split size"). Production layouts (thousands of files/row groups) plan
+    at least cores-many scan tasks, in which case this is a NO-OP: the
+    condition compares the frame's actual planned partitioning against the
+    session's default parallelism, so there is no constant tuned to either
+    local mode or a cluster. When it fires it costs one round-robin
+    exchange of the frame — callers project the needed columns FIRST
+    (guide §2.3) and only wrap frames whose downstream per-row compute
+    dominates that exchange."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_events(
     spark: SparkSession,
     sf_dir: str | Path,
