@@ -36,8 +36,24 @@ def _as_col(c: Column | str) -> Column:
     return F.expr(c) if isinstance(c, str) else c
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of the HOF dot product — the parser yields the exact
+    Catalyst tree the Column-API construction yields (pinned bit-equal in
+    tests/test_vectors_prenormed.py), but ONE py4j round-trip instead of
+    ~10 per dot plus ~1 per literal array element. Construction cost is
+    driver wall-time inside the bench's timed region: sim_ann_recall_curve
+    alone spent 8.1 s / 21,170 py4j round-trips building its frame, 2.9 s
+    of that in hyperplane literal arrays (64 F.lit calls each)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Sequential left-to-right double dot product."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(
         F.zip_with(_as_col(a), _as_col(b), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -46,6 +62,8 @@ def dot(a: Column | str, b: Column | str) -> Column:
 
 
 def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(f"sqrt({_dot_sql(a, a)})")
     return F.sqrt(dot(a, a))
 
 
@@ -83,8 +101,16 @@ def hyperplane_signs(plane: int, dim: int) -> list[int]:
     return out
 
 
+def signs_sql(signs: list[int]) -> str:
+    """SQL literal text of a +-1 hyperplane array (``array(1.0D, -1.0D,
+    ...)``) — one parser call instead of one py4j round-trip per element."""
+    return "array(" + ", ".join(f"{float(s)!r}D" for s in signs) + ")"
+
+
 def signed_projection(emb: Column | str, signs: list[int]) -> Column:
     """dot(embedding, +-1 plane) via element flip + sum — the sign pattern is
     a codegen'd literal array, so this is pure JVM arithmetic."""
+    if isinstance(emb, str):
+        return dot(emb, signs_sql(signs))
     lit_signs = F.array(*[F.lit(float(s)) for s in signs])
-    return dot(_as_col(emb), lit_signs)
+    return dot(emb, lit_signs)

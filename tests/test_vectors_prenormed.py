@@ -114,3 +114,42 @@ def test_prenormed_query_matches_oracle_sf001(spark, qname):
     con = duckdb_conn(sf)
     diff = compare(QUERIES[qname](spark, sf), con, ORACLES[qname])
     assert diff is None, diff
+
+
+def test_bucket_sql_matches_column_construction(spark):
+    """The single-F.expr SQL construction of the sign-LSH bucket ids must
+    produce exactly the rows the Column-API construction produces (the SQL
+    text exists only to cut py4j round-trips, never to change the tree)."""
+    from polars_ad_etl_spark.operators.similarity import (
+        _CURVE_MAX_T,
+        _bucket_expr,
+        _curve_bucket_expr,
+        _mt_bucket_expr,
+        MT_TABLES,
+    )
+    from polars_ad_etl_spark.sources.star import load_embeddings
+
+    e = load_embeddings(spark, "/root/testdata/sf0.001")
+    checks = [
+        (_bucket_expr("embedding"), _bucket_expr(F.col("embedding"))),
+        (_mt_bucket_expr("embedding", 0), _mt_bucket_expr(F.col("embedding"), 0)),
+        (
+            _mt_bucket_expr("embedding", MT_TABLES - 1),
+            _mt_bucket_expr(F.col("embedding"), MT_TABLES - 1),
+        ),
+        (
+            _curve_bucket_expr("embedding", _CURVE_MAX_T - 1),
+            _curve_bucket_expr(F.col("embedding"), _CURVE_MAX_T - 1),
+        ),
+    ]
+    sel = e.select(
+        *[
+            (a.alias(f"s{i}"), b.alias(f"c{i}"))[j]
+            for i, (a, b) in enumerate(checks)
+            for j in (0, 1)
+        ]
+    )
+    bad = sel.filter(
+        " OR ".join(f"s{i} IS DISTINCT FROM c{i}" for i in range(len(checks)))
+    ).count()
+    assert bad == 0
