@@ -18,7 +18,13 @@ import time
 
 import pytest
 
-BOUND_S = 45.0
+BOUND_S = 90.0
+# Round 12: widened 45 -> 90. A full-suite run on this VM measured the
+# text_cdc_dedup_gain ORACLE at 66.9s under suite load (isolated rerun of
+# the whole file: 16/16 in 14s total), so 45s sat inside the loaded-host
+# envelope of a LINEAR path. The detector keeps its margin: the quadratic
+# forms this guards against cost minutes on these fixtures (>8 min for an
+# inlined split), not tens of seconds.
 
 # one of each heavy shape: many tokens, one giant token, one repeated token
 _HEAVY = [
