@@ -34,7 +34,7 @@ from pyspark.sql import Window as W
 from polars_ad_etl_spark.functions.exact import dsum, dsum_sql
 from polars_ad_etl_spark.functions.hashing import portable_hash32_sql
 from polars_ad_etl_spark.operators.registry import register
-from polars_ad_etl_spark.sources.star import load_events
+from polars_ad_etl_spark.sources.star import read_star_parquet, load_events
 
 
 @register(
@@ -772,7 +772,7 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the bounded-fan-out scale argument."""
     from pathlib import Path
 
-    l = spark.read.parquet(str(Path(sf_dir) / "lineitem.parquet"))
+    l = read_star_parquet(spark, str(Path(sf_dir) / "lineitem.parquet"))
     items = l.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
     ).distinct()
@@ -1403,7 +1403,7 @@ def customer_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain. One aggregation to (customer, year) then a self-join on
     (customer, adjacent year); the matrix output is |bands|² per year
     pair. All thresholds exact integer cents."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = read_star_parquet(spark, f"{sf_dir}/orders.parquet")
     spend = orders.groupBy(
         "o_custkey", F.year("o_orderdate").cast("long").alias("yr")
     ).agg(
@@ -1854,7 +1854,7 @@ def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual — defined as the exact remainder, so the two effects sum to
     the delta to the cent by construction. One two-year aggregation,
     conditional-max pivot, pure integer arithmetic."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = read_star_parquet(spark, f"{sf_dir}/orders.parquet")
     yearly = (
         orders.filter(F.year("o_orderdate").isin(1995, 1996))
         .groupBy(

@@ -20,6 +20,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from polars_ad_etl_spark.sources.star import read_star_parquet
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,7 +35,7 @@ from polars_ad_etl_spark.operators.registry import register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_star_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 # Salted id-hash in [0, 10000): the split/sample decision variable.
@@ -648,7 +650,7 @@ def curation_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters, unpivoted to (stage, n_docs)."""
     from pyspark.sql import Window as W
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     dedup_w = W.partitionBy(F.md5("text"))
     flags = docs.select(
         F.col("n_chars").between(100, 10000).alias("pass_len"),

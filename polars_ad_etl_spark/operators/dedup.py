@@ -45,7 +45,7 @@ from polars_ad_etl_spark.functions.hashing import (
     tokens_sql,
 )
 from polars_ad_etl_spark.operators.registry import ORACLES, register
-from polars_ad_etl_spark.sources.star import load_embeddings, spread_scan
+from polars_ad_etl_spark.sources.star import read_star_parquet, load_embeddings, spread_scan
 
 K = 16  # MinHash signature length
 BANDS = 4  # 4 bands x 4 rows
@@ -67,7 +67,7 @@ PERMS = perm_constants(K)
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group on a 16-byte content hash of normalized text, keep
     the smallest doc_id. The shuffle key is the hash, not the document."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     return (
         d.groupBy(F.md5(F.lower(F.trim("text"))).alias("text_hash"))
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
@@ -106,7 +106,7 @@ _SHINGLES_DUCK = (
 
 def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     )
     return d.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
@@ -117,7 +117,7 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id -> exploded 3-gram shingles (docs under 3 tokens drop out; the
     min-aggregate absorbs duplicate shingles, so no distinct is needed)."""
     d = spread_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     )
     return d.select("doc_id", tokens(F.col("text")).alias("toks")).select(
         "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh")
@@ -183,7 +183,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spread_scan``: the projection is only scan-local-parallel when the
     scan has enough tasks — see its docstring (no-op at scale)."""
     d = spread_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     )
     sh = d.select("doc_id", tokens(F.col("text")).alias("toks")).select(
         "doc_id", F.expr(_SHINGLES_SPARK).alias("shs")
@@ -589,7 +589,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH (above); joining on raw shingles explodes on common n-grams.
     Shingles (not unigrams) keep the join fan-out tolerable here."""
     d = spread_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     )
     shingle = (
         d.select("doc_id", tokens(F.col("text")).alias("toks"))
@@ -661,7 +661,7 @@ def dedup_ngram_jaccard_on_candidates(
     side's shingle array."""
     cand = dedup_minhash_lsh_pairs(spark, sf_dir, bucket_cap=bucket_cap)
     d = spread_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     )
     shsets = (
         d.select("doc_id", tokens(F.col("text")).alias("toks"))
@@ -1104,7 +1104,7 @@ def curation_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-set selection job, composed entirely from engine operators.
     One scan, one shuffle (the dedup window on the 16-byte hash)."""
     return _training_set_impl(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     )
 
 
@@ -1420,7 +1420,7 @@ def dedup_near_dup_keep_list(
     side-channel alongside any capped production job. The registry oracle
     applies the SAME cap in SQL, so the default shape itself is
     differential-checked. Pass ``bucket_cap=None`` for an exhaustive run."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     comp = dedup_connected_components(spark, sf_dir, bucket_cap=bucket_cap)
     return d.join(comp, "doc_id", "left_outer").select(
         "doc_id",
@@ -1590,7 +1590,7 @@ def dedup_incremental_keep_list(
     under the production ``bucket_cap``. The registry oracle applies the
     identical cap and layer precedence in SQL (recursive CTE for the
     batch-batch components)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     keys = d.select(
         "doc_id",
         F.md5(F.lower(F.trim("text"))).alias("ck"),
@@ -1735,7 +1735,7 @@ def dedup_incremental_report(
         F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
     )
     n_corpus = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        read_star_parquet(spark, f"{sf_dir}/documents.parquet")
         .filter(~_incr_is_batch(F.col("doc_id")))
         .agg(F.count("*").alias("n_corpus"))
     )
@@ -1832,7 +1832,7 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     The distributed stand-in for suffix-array substring dedup — see the
     section comment for the plan shape (two combinable shuffles on 8-byte
     keys, no O(n^2) step, window text never shuffled)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
     g = t.select(
         "doc_id", F.explode(F.expr(_PASSAGES_SPARK)).alias("p")
@@ -1910,7 +1910,7 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tasks. Nothing quadratic; output is bounded by input windows."""
     from pyspark.sql import Window as W
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
     g = t.select(
         "doc_id", F.posexplode(F.expr(_PASSAGES_SPARK)).alias("pos", "p")
@@ -1977,7 +1977,7 @@ def dedup_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     """Shingle containment pairs (both directions); see the section
     comment for why this exists next to Jaccard."""
     d = spread_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     )
     shingle = (
         d.select("doc_id", tokens(F.col("text")).alias("toks"))
@@ -2228,7 +2228,7 @@ def dedup_summary_report(
     shared, so the report's cost is one signature scan + three tiny
     aggregates (the executed plan carries exactly one parquet scan,
     pinned by tests/test_plan_quality.py)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     docs = d.agg(
         F.count("*").alias("n_docs"),
         (
@@ -2337,7 +2337,7 @@ def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash signature projection. ``spread_scan``: scale-adaptive scan
     spread for exactly that reason (no-op at scale, see its docstring)."""
     docs = spread_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     )
     text = F.col("text")
 
@@ -2533,7 +2533,7 @@ def dedup_blocking_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_candidates"))
     )
     n = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        read_star_parquet(spark, f"{sf_dir}/documents.parquet")
         .agg(F.count("*").alias("n_docs"))
     )
     return (
@@ -2735,7 +2735,7 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", F.expr(f"(1000 * m) div {K}").alias("est_permille"))
     )
     d = spread_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     )
     from polars_ad_etl_spark.functions.hashing import tokens
 
@@ -2808,7 +2808,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     content between feeds; diagonal = within-source boilerplate). Two
     broadcast doc→source joins over the verified candidate set."""
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_star_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source"
     )
     cand = (

@@ -31,7 +31,7 @@ from polars_ad_etl_spark.functions.hashing import (
     portable_hash60_sql,
 )
 from polars_ad_etl_spark.operators.registry import register
-from polars_ad_etl_spark.sources.star import load_events
+from polars_ad_etl_spark.sources.star import read_star_parquet, load_events
 
 
 def table_diff(
@@ -89,7 +89,7 @@ def diff_orders_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     older snapshot — added/removed/changed/unchanged counts. The oracle
     replays the classification declaratively; the Spark side uses the
     generic ``table_diff`` operator (struct null-safe compare)."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = read_star_parquet(spark, f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
     old = orders.filter(

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polars_ad_etl_spark.operators.registry import register
+from polars_ad_etl_spark.sources.star import read_star_parquet
 
 
 def evaluate_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
@@ -110,7 +111,7 @@ def dq_orders_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (see module docstring). The oracle replays each rule as an
     independent filter aggregate, so the single-pass fusion is proven rule
     by rule."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = read_star_parquet(spark, f"{sf_dir}/orders.parquet")
     rules = {name: F.expr(sql) for name, sql in _ORDERS_RULES_SQL.items()}
     return evaluate_rules(orders, rules)
 
@@ -139,7 +140,7 @@ def dq_duplicate_payment_suspects(spark: SparkSession, sf_dir: str) -> DataFrame
     customer for the identical cent amount on the same day — double-click
     submits, retry bugs, or fraud. One aggregation on the composite
     natural key; exact cents so float jitter can't hide a duplicate."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = read_star_parquet(spark, f"{sf_dir}/orders.parquet")
     keyed = orders.select(
         "o_custkey",
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
@@ -230,7 +231,7 @@ def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frames = []
     for t, keys in _PK_MAP.items():
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df = read_star_parquet(spark, f"{sf_dir}/{t}.parquet")
         any_null = functools.reduce(
             lambda a, b: a | b, [F.col(c).isNull() for c in keys]
         )
@@ -297,11 +298,11 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, the two lineitem checks share one scan under AQE. Zero
     everywhere means the star is closed; any non-zero is a quarantine
     trigger for the DQ engine."""
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    lineitem = read_star_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    orders = read_star_parquet(spark, f"{sf_dir}/orders.parquet")
+    customer = read_star_parquet(spark, f"{sf_dir}/customer.parquet")
+    part = read_star_parquet(spark, f"{sf_dir}/part.parquet")
+    supplier = read_star_parquet(spark, f"{sf_dir}/supplier.parquet")
 
     def orphans(child, parent, ck, pk, name):
         return (
@@ -357,7 +358,7 @@ def dq_linenumber_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters localize WHICH invariant broke, the signature that
     distinguishes dropped lines from double-loads. One aggregation per
     order key, then a 1-row census."""
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lineitem = read_star_parquet(spark, f"{sf_dir}/lineitem.parquet")
     per_order = lineitem.groupBy("l_orderkey").agg(
         F.count("*").alias("n_lines"),
         F.max("l_linenumber").alias("max_ln"),

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from polars_ad_etl_spark.operators.registry import register
+from polars_ad_etl_spark.sources.star import read_star_parquet
 from polars_ad_etl_spark.plans import MultiSourceAdETL, PipelineConfig
 from polars_ad_etl_spark.plans.schema import Date, Float64, Int64, String
 
@@ -51,10 +52,10 @@ def _config() -> PipelineConfig:
     """,
 )
 def etl_conform_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = read_star_parquet(spark, f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_totalprice", "o_orderdate"
     )
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    lineitem = read_star_parquet(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_extendedprice"
     )
     etl = MultiSourceAdETL(spark, _config()).with_frames(

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from polars_ad_etl_spark.operators.registry import register
-from polars_ad_etl_spark.sources.star import load_events
+from polars_ad_etl_spark.sources.star import read_star_parquet, load_events
 
 
 @register(
@@ -71,8 +71,8 @@ def stats_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     window deterministic. The rank window is partitioned by nation — never
     a global sort — and the nation dim is broadcast onto the 25-row
     aggregate."""
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = read_star_parquet(spark, f"{sf_dir}/customer.parquet")
+    nation = read_star_parquet(spark, f"{sf_dir}/nation.parquet")
     cents = customer.filter(F.col("c_acctbal") > 0).select(
         "c_nationkey",
         F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("cents"),
@@ -194,8 +194,8 @@ def stats_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation (never global); the 10-row decile frame is a broadcast literal;
     arithmetic is exact integer permille. Deciles whose boundary rank
     rounds to zero (tiny groups) are omitted identically by both engines."""
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = read_star_parquet(spark, f"{sf_dir}/customer.parquet")
+    nation = read_star_parquet(spark, f"{sf_dir}/nation.parquet")
     cents = customer.filter(F.col("c_acctbal") > 0).select(
         "c_nationkey",
         F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("cents"),
@@ -266,7 +266,7 @@ def stats_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     total. The cumsum window is partitioned by brand over the part
     DIMENSION (never the fact table); for a fact-scale weighted median the
     two-level bucketed-cumsum decomposition applies unchanged."""
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = read_star_parquet(spark, f"{sf_dir}/part.parquet")
     w = part.select(
         "p_brand",
         F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("cents"),
@@ -406,9 +406,9 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic; the final ppm result casts back to BIGINT (the
     driver-visible type stays HUGEINT-free). Two stacked aggregations plus
     a broadcast nation join."""
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    lineitem = read_star_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    supplier = read_star_parquet(spark, f"{sf_dir}/supplier.parquet")
+    nation = read_star_parquet(spark, f"{sf_dir}/nation.parquet")
     rev = (
         lineitem.join(
             F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
@@ -604,7 +604,7 @@ def stats_percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     family). Rank windows partitioned by priority; the three target ranks
     come from exploding a 3-element literal; one pass, conditional-max
     pivot."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = read_star_parquet(spark, f"{sf_dir}/orders.parquet")
     # rank statistics exclude NULL measures (standard percentile semantics)
     cents = orders.where(F.col("o_totalprice").isNotNull()).select(
         "o_orderpriority",
@@ -677,8 +677,8 @@ def part_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication (4(n·SS − S²) < S² etc.), no division or floats.
     Two stacked aggregates on the fact, then a part-dimension join and the
     per-brand class census."""
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+    lineitem = read_star_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    part = read_star_parquet(spark, f"{sf_dir}/part.parquet").select(
         "p_partkey", "p_brand"
     )
     monthly = lineitem.groupBy(
@@ -743,7 +743,7 @@ def stats_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded cell-wise the same way in both engines (truncating integer
     division; all terms positive). Large ⇒ priority and status are not
     independent. One contingency aggregation + broadcast margins."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = read_star_parquet(spark, f"{sf_dir}/orders.parquet")
     obs = orders.groupBy(
         F.col("o_orderpriority").alias("r"),
         F.col("o_orderstatus").alias("c"),

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polars_ad_etl_spark.operators.registry import register
-from polars_ad_etl_spark.sources.star import EMBEDDING_MAX_ABS, load_embeddings
+from polars_ad_etl_spark.sources.star import read_star_parquet, EMBEDDING_MAX_ABS, load_embeddings
 
 DIM = 64
 Q_SCALE = 1 << 16  # power of two: float*scale is exact in double arithmetic
@@ -226,7 +226,7 @@ def embedding_contract_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame
     opts the oracle out of the rewrite); uses no distance arithmetic, so
     it is safe on exactly the vectors the analytical operators cannot
     touch."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = read_star_parquet(spark, f"{sf_dir}/embeddings.parquet")
     amax = F.array_max(F.transform(F.col("embedding"), F.abs))
     probe = e.select("vec_id", "embedding", amax.alias("amax"))
     reason = (

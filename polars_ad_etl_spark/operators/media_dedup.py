@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polars_ad_etl_spark.operators.registry import register
+from polars_ad_etl_spark.sources.star import read_star_parquet
 
 PH_BITS = 64
 PH_BANDS = 4
@@ -120,7 +121,7 @@ def media_phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow JVM projection over the corpus: no UDF, no explode, no shuffle
     (plan-pinned by tests/test_media_dedup.py). Null-payload rows carry
     nothing to hash and are excluded by contract."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     return (
         d.filter(F.col("text").isNotNull())
         .select("doc_id", F.expr(_spark_bands_expr()).alias("ph"))
@@ -438,7 +439,7 @@ def dedup_media_cross_codec_pairs(
     section comment). The mapInPandas stage is genuine codec work (the
     documented slow path); everything downstream is the shared JVM pairing
     plan."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     ids = (
         d.filter(
             (F.col("doc_id") >= 0)

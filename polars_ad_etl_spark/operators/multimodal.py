@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polars_ad_etl_spark.operators import media_codecs as mc
+from polars_ad_etl_spark.sources.star import read_star_parquet
 from polars_ad_etl_spark.operators.registry import register
 
 # The mapInPandas closures below reference this package's pure-python codec
@@ -55,7 +56,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a media-shaped table from the documents table: the text bytes
     stand in for an encoded media payload (binary column + typed metadata) —
     the real pipeline would read blobs from object storage the same way."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     blob = F.encode("text", "UTF-8")
     return d.select(
         "doc_id",
@@ -326,7 +327,7 @@ def synth_real_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``media_codecs.py``. Synthesis runs in ``mapInPandas`` (partition-local,
     Arrow-batched) — the distributed shape a blob-fetch from object storage
     would have."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -499,7 +500,7 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: synthesis and decode are both partition-local ``mapInPandas``
     fan-outs (no shuffle); one Arrow batch in flight per task bounds memory
     regardless of frame sizes."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = (
@@ -582,7 +583,7 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against the synthesis arithmetic, so a single wrong bit
     anywhere in the compressor/decompressor fails the driver gate. The
     compressed sibling of ``multimodal_video_frames`` (uncompressed AVI)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = (
@@ -644,7 +645,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit the decoded pixel sum, hash-checked against the synthesis
     arithmetic. Upgrades the PNG path from header-only to full pixels and
     proves every filter's inverse on driver-checked data."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("doc_id", "width", "height", "filter_type", "pixel_sum")
@@ -702,7 +703,7 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exposure/contrast QC) running on real codec output, hash-checked
     against the synthesis arithmetic. mapInPandas emits (doc, bin, count)
     rows; the aggregate after it is map-side combinable."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -758,7 +759,7 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic varying waveform per document, WAV-encode + decode it,
     and emit exact integer energy (sum of squared samples) and sign
     statistics — the RMS/silence-detection stage on real codec output."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -817,7 +818,7 @@ def multimodal_thumbnail_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     and emit the thumbnail's luma sum — the oracle replays the
     nearest-neighbor index arithmetic symbolically, so the resample
     geometry (floor scaling, edge clamping) is verified, not assumed."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("doc_id", "src_width", "src_height", "thumb_luma_sum")
@@ -885,7 +886,7 @@ def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbolically by the oracle's recomputed block arithmetic. Per-document
     work rides one Arrow batch at a time; samples stay nonnegative so
     truncating division agrees between engines."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -965,7 +966,7 @@ def multimodal_shot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     real codec output, mod-256 wraparound "false cuts" included (both
     engines see the identical wrap). Partition-local mapInPandas, one
     Arrow batch in flight per task."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("doc_id", "n_frames", "n_boundaries", "first_boundary_frame")
@@ -1051,7 +1052,7 @@ def multimodal_edge_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     image-curation pipeline, computed in Python on real codec output and
     verified symbolically by the oracle's recomputed neighbor arithmetic.
     Same position-varying synthesis as [[multimodal_image_histogram]]."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1140,7 +1141,7 @@ def multimodal_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the identical runs with the SQL gaps-and-islands
     program; the hash match proves the two formulations equal, including
     clips with no silence at all."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("doc_id", "n_samples", "n_runs", "longest_run",

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polars_ad_etl_spark.operators.registry import register
+from polars_ad_etl_spark.sources.star import read_star_parquet
 
 K_ANON = 10
 
@@ -42,8 +43,8 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair: every equivalence class with its size and a pass/fail flag at
     k={K}. Groups below k are the re-identification risk surface a release
     gate would suppress or generalize.""".replace("{K}", str(K_ANON))
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = read_star_parquet(spark, f"{sf_dir}/customer.parquet")
+    nation = read_star_parquet(spark, f"{sf_dir}/nation.parquet")
     return (
         customer.join(
             F.broadcast(nation),
@@ -84,7 +85,7 @@ def privacy_suppression_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     would k={K} suppression cost — small-group count and the exact permille
     of rows lost. Two stacked aggregations over the same single QI
     shuffle.""".replace("{K}", str(K_ANON))
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    customer = read_star_parquet(spark, f"{sf_dir}/customer.parquet")
     sizes = customer.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count("*").alias("gs")
     )

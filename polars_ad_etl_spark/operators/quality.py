@@ -22,6 +22,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+from polars_ad_etl_spark.sources.star import read_star_parquet
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -46,7 +48,7 @@ def _bucket_sql(expr: str, salt: str) -> str:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_star_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 # ------------------------------------------------- repetition scoring
@@ -484,7 +486,7 @@ _DRIFT_SCALE = 1_000_000
 def quality_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """source -> (token count, fixed-point L1 distance from the corpus token
     distribution); see the section comment."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     toks = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
     ps = toks.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
     w_src = Window.partitionBy("source")

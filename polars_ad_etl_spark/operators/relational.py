@@ -22,11 +22,11 @@ from pyspark.sql import Window as W
 
 from polars_ad_etl_spark.functions.exact import davg, davg_sql, dsum, dsum_sql
 from polars_ad_etl_spark.operators.registry import register
-from polars_ad_etl_spark.sources.star import load_events
+from polars_ad_etl_spark.sources.star import read_star_parquet, load_events
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_star_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _revenue():

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polars_ad_etl_spark.functions.exact import dsum, dsum_sql
+from polars_ad_etl_spark.sources.star import read_star_parquet
 from polars_ad_etl_spark.operators.registry import register
 from polars_ad_etl_spark.operators.relational import _revenue, _t, REVENUE_SQL
 
@@ -917,7 +918,7 @@ def orders_open_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact open cents per (priority, bucket) — the working-capital view.
     The horizon is a broadcast scalar aggregate; day arithmetic is tz-free
     date math; bucket labels sort lexicographically by construction."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = read_star_parquet(spark, f"{sf_dir}/orders.parquet")
     horizon = orders.agg(
         F.max(F.col("o_orderdate").cast("date")).alias("h")
     )
@@ -970,7 +971,7 @@ def lineitem_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentage — the promo-effectiveness readout (a flat curve means
     discounts buy no volume). Exact integer milli-units per band; one
     map-side-combinable aggregation over the fact."""
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lineitem = read_star_parquet(spark, f"{sf_dir}/lineitem.parquet")
     banded = lineitem.select(
         F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias(
             "discount_pct"
@@ -1038,11 +1039,11 @@ def nation_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     that says whether market-share movements are churn or noise. Ranks are
     per-year windows over the |nations| aggregate; the pair expansion is
     |nations|² per year pair, all on aggregates."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    orders = read_star_parquet(spark, f"{sf_dir}/orders.parquet")
+    customer = read_star_parquet(spark, f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_nationkey"
     )
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation = read_star_parquet(spark, f"{sf_dir}/nation.parquet")
     yearly = (
         orders.join(
             F.broadcast(customer), orders.o_custkey == customer.c_custkey
@@ -1132,7 +1133,7 @@ def part_supplier_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct observed suppliers — single-sourced parts (bucket 1) are the
     procurement risk register. Distinct-count per part then a tiny
     histogram aggregate; both shuffles on high-cardinality keys."""
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lineitem = read_star_parquet(spark, f"{sf_dir}/lineitem.parquet")
     ps = lineitem.groupBy("l_partkey").agg(
         F.count_distinct("l_suppkey").alias("n_suppliers")
     )
@@ -1160,8 +1161,8 @@ def lineitem_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame
     """Product-quality angle on returns: exact permille return rate per
     brand (the customer-grain view is q10) — the table a merchandising
     review sorts by. Part dimension broadcasts; one fact aggregation."""
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+    lineitem = read_star_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    part = read_star_parquet(spark, f"{sf_dir}/part.parquet").select(
         "p_partkey", "p_brand"
     )
     return (
@@ -1210,7 +1211,7 @@ def orders_quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
     far above the uniform ~77‰ flag quota-driven pull-ins that distort
     demand signals. Pure tz-free date arithmetic (quarter start + 3
     months − 7 days), one aggregation, exact permille."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = read_star_parquet(spark, f"{sf_dir}/orders.parquet")
     q = orders.select(
         F.date_trunc("quarter", "o_orderdate").cast("date").alias("qtr"),
         F.col("o_orderdate").cast("date").alias("day"),

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from polars_ad_etl_spark.operators.registry import register
+from polars_ad_etl_spark.sources.star import read_star_parquet
 
 # Shared tokenization CTE: DuckDB zip-unnests the term list with its
 # 0-based offsets, mirroring Spark's posexplode exactly.
@@ -48,7 +49,7 @@ _TOKENS_CTE = """
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, term, pos) token stream — posexplode is JVM-side and the
     0-based position matches the oracle's ``range(len(...))``."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
     )
@@ -209,7 +210,7 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two stacked map-side-combinable aggregations keyed by (source, term);
     the source column rides the tokenize projection so no join with the
     documents table is needed on the Spark side."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     toks = docs.select(
         "source", F.explode(F.split("text", " ")).alias("term")
     )
@@ -267,7 +268,7 @@ def text_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB that table is |sources|·|vocab|, tiny next to the corpus, and
     per-term fan-out is bounded by |sources|². Sizes broadcast onto the
     |sources|² result."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     vocab = (
         docs.select("source", F.explode(F.split("text", " ")).alias("term"))
         .distinct()
@@ -382,7 +383,7 @@ def search_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        read_star_parquet(spark, f"{sf_dir}/documents.parquet")
         .agg(F.count("*").alias("n"))
     )
     return (
@@ -485,7 +486,7 @@ def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     fertility = more tokens per content unit = more compute per document).
     Exact integer ratio over per-language totals; two stacked
     aggregations."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     # fertility is undefined for a doc with no text: excluded, matching the
     # oracle's token CTE (a NULL text yields no token rows to join back)
     per_doc = docs.where(F.col("text").isNotNull()).select(
@@ -548,7 +549,7 @@ def text_char_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer permille. Spark's split-on-empty and DuckDB's
     string_split('') both yield per-character arrays, so the explode is
     engine-identical."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     chars = docs.select(
         "doc_id", F.explode(F.split("text", "")).alias("ch")
     ).filter(F.col("ch") != "")
@@ -700,7 +701,7 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens(spark, sf_dir)
     per_doc = toks.groupBy("term", "doc_id").agg(F.count("*").alias("c"))
     nd = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        read_star_parquet(spark, f"{sf_dir}/documents.parquet")
         .agg(F.count("*").alias("nd"))
     )
     stats = per_doc.groupBy("term").agg(
@@ -763,7 +764,7 @@ def corpus_health_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ([[dedup_exact_documents]], [[text_vocab_growth_by_source]],
     [[corpus_datasheet]] is its per-source sibling). Four independent
     1-row aggregates crossed together — every side broadcast."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     toks = _tokens(spark, sf_dir)
     base = docs.agg(
         F.count("*").alias("n_docs"),

@@ -16,7 +16,7 @@ from polars_ad_etl_spark.functions.exact import dsum, dsum_sql
 from polars_ad_etl_spark.operators.registry import register
 from polars_ad_etl_spark.sinks.jsonl import write_jsonl
 from polars_ad_etl_spark.sources.tabular import read_jsonl
-from polars_ad_etl_spark.sources.star import load_embeddings, load_events
+from polars_ad_etl_spark.sources.star import read_star_parquet, load_embeddings, load_events
 
 
 # ------------------------------------------------------------------- JSON
@@ -80,7 +80,7 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the domain FIRST (64 names, not 20k rows), then pair. At scale the
     domain-dedup is the difference between joining attributes and joining
     the fact table."""
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_name").distinct()
+    p = read_star_parquet(spark, f"{sf_dir}/part.parquet").select("p_name").distinct()
     a, b = p.alias("a"), p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (
@@ -108,10 +108,10 @@ def setop_intersect_all_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     floored balances so overlaps actually occur. floor() before the int cast:
     double->bigint CASTs round in DuckDB but truncate in Spark — floor is the
     engine-portable quantizer."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    c = read_star_parquet(spark, f"{sf_dir}/customer.parquet").select(
         F.floor("c_acctbal").cast("bigint").alias("bal")
     )
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+    s = read_star_parquet(spark, f"{sf_dir}/supplier.parquet").select(
         F.floor("s_acctbal").cast("bigint").alias("bal")
     )
     return c.intersectAll(s)
@@ -133,7 +133,7 @@ def window_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based RANGE frame: per customer, total spend in the trailing 30
     days *by event time*, not row count — same-date rows share a frame, so
     the result is deterministic without a row tie-break."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = read_star_parquet(spark, f"{sf_dir}/orders.parquet")
     o.createOrReplaceTempView("orders_rf")
     return spark.sql(
         """

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polars_ad_etl_spark.functions.exact import dsum, dsum_sql
+from polars_ad_etl_spark.sources.star import read_star_parquet
 from polars_ad_etl_spark.operators.registry import register
 
 DEFAULT_SALTS = 16
@@ -57,7 +58,7 @@ def skew_salted_revenue_by_suppkey(spark: SparkSession, sf_dir: str) -> DataFram
     """Salted two-phase aggregation vs the plain one-phase oracle — identical
     answers (exact decimal addition is associative), different physics: the
     hottest supplier key is spread over 16 reducers in phase 1."""
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    l = read_star_parquet(spark, f"{sf_dir}/lineitem.parquet")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return salted_sum(l, ["l_suppkey"], revenue, "revenue")
 
@@ -102,7 +103,7 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 keys with integer-permille row share and
     percent-of-mean-key-size (100 = perfectly uniform). The decision input
     for the salting/AQE strategies above."""
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    l = read_star_parquet(spark, f"{sf_dir}/lineitem.parquet")
     c = l.groupBy(F.col("l_suppkey").alias("key")).agg(
         F.count("*").alias("cnt")
     )
@@ -151,8 +152,8 @@ def profile_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     the total is a broadcast 1-row aggregate. Run this when a join's
     estimated output explodes — it distinguishes 'one hot key' (salt it)
     from 'uniformly multiplicative' (rethink the join)."""
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = read_star_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    orders = read_star_parquet(spark, f"{sf_dir}/orders.parquet")
     a = lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.count("*").alias("ca")
     )

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polars_ad_etl_spark.operators.registry import register
+from polars_ad_etl_spark.sources.star import read_star_parquet
 
 
 @register(
@@ -58,7 +59,7 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-shopper frontier. See the module docstring for why this runs as
     per-size minima + a broadcast threshold filter instead of the oracle's
     quadratic NOT EXISTS."""
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = read_star_parquet(spark, f"{sf_dir}/part.parquet")
     c = part.select(
         "p_partkey",
         "p_size",

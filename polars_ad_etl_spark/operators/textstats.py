@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polars_ad_etl_spark.functions.hashing import tokens, tokens_sql
+from polars_ad_etl_spark.sources.star import read_star_parquet
 from polars_ad_etl_spark.operators.registry import register
 
 PUNCT_CLASS = "[.,!?;:]"
@@ -52,7 +53,7 @@ def _in_list_sql(words: tuple[str, ...]) -> str:
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation / stopword quality signals — the cheap filters an
     LLM-data pipeline applies before any model-based scoring."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     t = d.select("doc_id", "lang", "text", tokens(F.col("text")).alias("toks"))
     n_toks = F.size("toks")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
@@ -101,7 +102,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide term frequency top-50 (explode -> count -> top-k; the
     count is map-side combinable, the top-k is TakeOrderedAndProject)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     return (
         d.select(F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
@@ -149,7 +150,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language ID (CJK codepoint check for zh, stopword votes
     for en/de/fr/es) with a fixed tie-break order — deterministic, and graded
     against the gold ``lang`` column."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     t = d.select("doc_id", "lang", "text", tokens(F.col("text")).alias("toks"))
 
     def score(words: tuple[str, ...]):
@@ -202,7 +203,7 @@ def text_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling hash (base 31, mod 2^31-1) over the document's
     codepoints — a compact content fingerprint. Verified bit-equal across
     engines (ascii() returns the codepoint in both)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     fingerprint = F.aggregate(
         F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long")),
         F.lit(0).cast("long"),
@@ -242,7 +243,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and a BPE-ish pre-tokenizer
     regex (letter/digit/punctuation runs with contraction handling) — the
     cheap proxy for LLM token budgeting. Pure regexp_extract_all, codegen'd."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_SPARK), 0))
     return d.select(
         "doc_id",
@@ -298,7 +299,7 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id -> (n_tokens, integer unigram surprisal sum and x100 mean).
     See the section comment for the bit-length log2 trick and the scale
     shape."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     s = F.lit(_SURPRISAL_BASE) - F.length(F.bin(F.col("cnt")))
@@ -344,7 +345,7 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 adjacent token pairs by corpus frequency — the BPE merge
     statistic. See the section comment for the scale shape."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     toks = d.select(tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= 2
     )
@@ -409,7 +410,7 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the section comment."""
     from pyspark.sql import Window as W
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     n = d.agg(F.count("*").alias("n_docs"))
@@ -537,7 +538,7 @@ _PAIRS_OF_SEQ = """
 
 
 def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     return (
         d.select(F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("w")
@@ -714,7 +715,7 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges: word types, word count, subword-token count, and exact-integer
     fertility (subword tokens per thousand words). See the section comment
     for the degenerate-corpus guard and the vocabulary-sized scale shape."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     seqs = _bpe_words(spark, sf_dir).select(
         "w", "freq", F.expr(_CHSEQ).alias("seq")
     )
@@ -773,7 +774,7 @@ def text_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     were dropped — a pure projection over higher-order array functions,
     no shuffle at all. The generation-side cousin of the corpus-level
     dedup family."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
     kept = t.select(
         "doc_id",
@@ -831,7 +832,7 @@ def text_char_trigram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregate."""
     from pyspark.sql import Window as W
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     # Split to codepoints ONCE (let-bound — see _SHINGLES_SPARK for the
     # inlining trap) and window by O(1) element access: substring(text, i, 3)
     # re-walks UTF-8 from position 0 per i, turning the gram scan O(n²)
@@ -895,7 +896,7 @@ def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
     context — the audit/concordance view (0-based position to match the
     engine's array conventions; the oracle re-bases DuckDB's 1-based
     indices)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
     hits = t.select(
         "doc_id",
@@ -957,7 +958,7 @@ def text_vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     growing linearly is noisy or adversarial)."""
     from pyspark.sql import Window as W
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     toks = d.select(
         "source", "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )

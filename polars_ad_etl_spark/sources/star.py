@@ -42,6 +42,46 @@ def spread_scan(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+# Base-relation reuse for the static star tables (round 12, guide §1/§7.3:
+# driver-side work is wall time too). A bare ``spark.read.parquet`` re-infers
+# the schema on EVERY construction, which runs a footer-read job plus ~10
+# py4j round-trips — measured 110 ms per table, 370 ms for a 4-table query,
+# all inside the bench's timed region and repeated on every execution of
+# every query. The immutable, unevaluated DataFrame is reusable by design
+# (exactly what ``spark.table`` on a catalog table returns), so hand back
+# the SAME analyzed base relation per (session, resolved path, mtime, size).
+# This caches METADATA ONLY — no rows, no results, no query intermediates:
+# every action on the returned frame still scans the parquet file. A
+# replaced/rewritten file changes (mtime_ns, size) and misses the cache; a
+# new session (different appId) never sees another session's entries.
+_BASE_RELATIONS: dict[tuple[str, str], tuple[int, int, DataFrame]] = {}
+
+
+def read_star_parquet(spark: SparkSession, path: str | Path) -> DataFrame:
+    from pathlib import Path as _P
+
+    p = _P(path).resolve()
+    try:
+        st = p.stat()
+    except OSError:
+        # Missing path: fall through so Spark raises its usual error.
+        return spark.read.parquet(str(p))
+    key = (spark.sparkContext.applicationId, str(p))
+    hit = _BASE_RELATIONS.get(key)
+    if hit is not None and hit[0] == st.st_mtime_ns and hit[1] == st.st_size:
+        df = hit[2]
+    else:
+        df = spark.read.parquet(str(p))
+        _BASE_RELATIONS[key] = (st.st_mtime_ns, st.st_size, df)
+    # Fresh output attribute ids per call (~9 ms): two reads of the same
+    # table inside one query (q7's nation x2, the incremental dedup
+    # corpus/batch splits) must not share expression ids, or the join-side
+    # ambiguity check rejects the plan. A Project over the shared base is
+    # transparent to pushdown/pruning (verified: PushedFilters/ReadSchema
+    # unchanged through the wrapper).
+    return df.toDF(*df.columns)
+
+
 def load_events(
     spark: SparkSession,
     sf_dir: str | Path,
@@ -70,7 +110,7 @@ def load_events(
         if b is not None and not _DATE_BOUND.fullmatch(b):
             raise ValueError(f"date bound must be YYYY-MM-DD, got {b!r}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(str(Path(sf_dir) / "events.parquet"))
+    df = read_star_parquet(spark, Path(sf_dir) / "events.parquet")
     if dict(df.dtypes)["ts"] == "bigint":
         # timestampadd on a TIMESTAMP_NTZ base is pure arithmetic — unlike
         # timestamp_micros(...)::timestamp_ntz, it cannot shift with the
@@ -120,7 +160,7 @@ def load_documents(
     order re-canonicalized, so the returned schema is identical across
     flat and partitioned layouts (pinned by tests/test_scale_layout.py).
     The semantic ``source`` filter applies on both layouts."""
-    df = spark.read.parquet(str(Path(sf_dir) / "documents.parquet"))
+    df = read_star_parquet(spark, Path(sf_dir) / "documents.parquet")
     if "source_part" in df.columns:
         if sources is not None:
             df = df.where(F.col("source_part").isin(list(sources)))
@@ -151,7 +191,7 @@ def load_embeddings(spark: SparkSession, sf_dir: str | Path) -> DataFrame:
     Spark side; the oracle side gets the equivalent predicate via
     _apply_table_contracts. Both engines compare NaN as the largest
     float, so `max(|x|) <= 16` excludes non-finite vectors identically."""
-    df = spark.read.parquet(str(Path(sf_dir) / "embeddings.parquet"))
+    df = read_star_parquet(spark, Path(sf_dir) / "embeddings.parquet")
     amax = F.array_max(F.transform(F.col("embedding"), F.abs))
     return df.where(
         F.col("embedding").isNotNull()
@@ -212,7 +252,7 @@ def documents_bucketed_table(
     (sinks/bucketed.py::compact_star_bucketed) calls this eagerly; the lazy
     loader below calls it on first read."""
     src = Path(sf_dir) / "documents.parquet"
-    d = spark.read.parquet(str(src))
+    d = read_star_parquet(spark, src)
     return _materialized_bucketed(
         spark, src, d, "documents_by_id", "doc_id", n_buckets
     )
@@ -234,7 +274,7 @@ def documents_hash_bucketed_table(
     """Materialize (or reuse) the content-hash-bucketed (doc_id, text_hash)
     store; returns its catalog table name."""
     src = Path(sf_dir) / "documents.parquet"
-    d = spark.read.parquet(str(src)).select(
+    d = read_star_parquet(spark, src).select(
         "doc_id", F.md5(F.lower(F.trim("text"))).alias("text_hash")
     )
     return _materialized_bucketed(
@@ -262,7 +302,7 @@ def lineitem_qty_bucketed_table(
     projection bucketed by ``l_orderkey``; returns its catalog table
     name."""
     src = Path(sf_dir) / "lineitem.parquet"
-    l = spark.read.parquet(str(src)).select("l_orderkey", "l_quantity")
+    l = read_star_parquet(spark, src).select("l_orderkey", "l_quantity")
     return _materialized_bucketed(
         spark, src, l, "lineitem_qty_by_okey", "l_orderkey", n_buckets
     )
@@ -289,7 +329,7 @@ def lineitem_rev_bucketed_table(
     ``rev`` is the per-row revenue expression evaluated at write time —
     summing stored per-row values is identical to summing the expression."""
     src = Path(sf_dir) / "lineitem.parquet"
-    l = spark.read.parquet(str(src)).select(
+    l = read_star_parquet(spark, src).select(
         "l_returnflag",
         "l_partkey",
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
@@ -359,7 +399,7 @@ def load_tables(
         name: (
             load_events(spark, sf_dir)
             if name == "events"
-            else spark.read.parquet(str(base / f"{name}.parquet"))
+            else read_star_parquet(spark, base / f"{name}.parquet")
         )
         for name in names
     }

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from polars_ad_etl_spark.functions.hashing import MERSENNE_P
+from polars_ad_etl_spark.sources.star import read_star_parquet
 from polars_ad_etl_spark.operators.dedup import (
     BANDS,
     PERMS,
@@ -99,7 +100,7 @@ def corpus_indexes(
     maintained by the batch compaction job; here they are derived from the
     same deterministic split as the batch path, so stream and batch agree
     doc for doc."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
     corpus_ck = (
         d.filter(~_incr_is_batch(F.col("doc_id")))
         .select(F.md5(F.lower(F.trim("text"))).alias("ck"))

@@ -49,7 +49,7 @@ from polars_ad_etl_spark.operators.dedup import (
     _bucket_expr,
     _vec_is_batch,
 )
-from polars_ad_etl_spark.sources.star import EMBEDDING_MAX_ABS
+from polars_ad_etl_spark.sources.star import read_star_parquet, EMBEDDING_MAX_ABS
 from polars_ad_etl_spark.streaming.events import _dir_has_parquet, _is_directory
 
 _EMB_SCHEMA = T.StructType(
@@ -110,7 +110,7 @@ def corpus_vector_indexes(
     and the ANN family share; here they derive from the standard 80/20
     split so stream and batch agree vector for vector."""
     e = _contract(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        read_star_parquet(spark, f"{sf_dir}/embeddings.parquet")
     ).filter(~_vec_is_batch(F.col("vec_id")))
     corpus_vk = e.select(_vector_key(F.col("embedding")).alias("vk")).distinct()
     corpus_bv = e.select(

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from polars_ad_etl_spark.sources.star import read_star_parquet
+
 # Streaming watermarks require TIMESTAMP (with local tz), not NTZ — so the
 # stream path works on LTZ instants with the session pinned to UTC, and window
 # bounds are cast back to NTZ at the output so results line up with the batch
@@ -123,7 +125,7 @@ def read_events_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     probed = (
-        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+        read_star_parquet(spark, f"{sf_dir}/events.parquet").schema["ts"].dataType
     )
     reader = spark.readStream.schema(_events_schema(probed)).option(
         "maxFilesPerTrigger", max_files_per_trigger
