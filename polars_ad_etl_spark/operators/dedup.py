@@ -45,7 +45,11 @@ from polars_ad_etl_spark.functions.hashing import (
     tokens_sql,
 )
 from polars_ad_etl_spark.operators.registry import ORACLES, register
-from polars_ad_etl_spark.sources.star import read_star_parquet, load_embeddings, spread_scan
+from polars_ad_etl_spark.sources.star import (
+    load_embeddings,
+    read_docs_spread,
+    read_star_parquet,
+)
 
 K = 16  # MinHash signature length
 BANDS = 4  # 4 bands x 4 rows
@@ -105,9 +109,7 @@ _SHINGLES_DUCK = (
 
 
 def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread_scan(
-        read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    )
+    d = read_docs_spread(spark, sf_dir, key="doc_id")
     return d.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
     )
@@ -116,9 +118,7 @@ def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id -> exploded 3-gram shingles (docs under 3 tokens drop out; the
     min-aggregate absorbs duplicate shingles, so no distinct is needed)."""
-    d = spread_scan(
-        read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    )
+    d = read_docs_spread(spark, sf_dir, key="doc_id")
     return d.select("doc_id", tokens(F.col("text")).alias("toks")).select(
         "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh")
     )
@@ -161,50 +161,47 @@ MINHASH_SIG_SQL = f"""
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id -> K-column MinHash signature over 3-gram shingles.
 
-    Computed as a PURE PROJECTION, no explode and no aggregation: the
-    shingle array is hashed element-wise (one md5 per shingle), then each
-    of the K universal-hash permutations is an ``array_min(transform(...))``
-    over the bound hash array — all inside one whole-stage-codegen row
-    expression, so there is no per-shingle row materialization, no
-    aggregation hash map, and no shuffle AT ALL (the old
-    explode -> project -> groupBy(doc_id).agg(K mins) shape measured 1.6x
-    slower at sf0.1 and still shuffled one row per doc). The
-    ``transform(array(hashes), hs2 -> struct(...))[0]`` wrapper binds the
-    hash array ONCE per row — without it CollapseProject inlines the md5
-    transform into all K mins and the md5 work multiplies by K (the same
-    lambda-inlining trap documented at ``_SHINGLES_SPARK``). Docs with
-    fewer than 3 tokens have no shingles and drop out, exactly like the
-    exploded form (and the GROUP BY oracle).
+    Round 13 shape (guide §1.2 "per-task work", §2.4 "share one exchange"):
+    explode the shingles to rows and take the K permutation minima in ONE
+    whole-stage-codegen HashAggregate. The round-5 "pure projection" form
+    (K ``array_min(transform(...))`` passes over a bound hash array) kept
+    everything in one row expression but higher-order-function lambdas are
+    evaluated INTERPRETED, outside codegen — profiled at ~2.4 ms CPU per
+    document at sf0.1 (stage CPU 8.5 s for 5000 docs), ~6x the exploded
+    aggregate's cost. The round-5 measurement that the exploded form was
+    1.6x slower predates keyed spread: it paid a SECOND exchange for
+    ``groupBy(doc_id)`` after the round-robin scan spread. Hashing the
+    spread exchange by ``doc_id`` instead (``read_docs_spread(key=
+    "doc_id")``) satisfies the aggregate's required distribution, so the
+    plan has exactly the same single exchange as the projection form and
+    every arithmetic step (md5, the K ``(a*h+b) % P`` perms, ``MIN``) runs
+    in generated code. A side effect of exploding is that the old
+    pre-exchange ``filter(size(shingles) > 0)`` disappears — Catalyst had
+    pushed it below the spread exchange, evaluating the whole
+    tokenize+shingle pipeline a second time on the unspread scan side;
+    docs under 3 tokens now simply produce no rows (identical semantics,
+    same as the GROUP BY oracle).
 
-    At 100 TB this shape is embarrassingly parallel scan work: signatures
-    stream out of the parquet scan partition-local, and only the K-long
-    signature rows ever reach the banded-LSH shuffle downstream.
-
-    ``spread_scan``: the projection is only scan-local-parallel when the
-    scan has enough tasks — see its docstring (no-op at scale)."""
-    d = spread_scan(
-        read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    )
+    At 100 TB this is embarrassingly parallel scan work either way: only
+    the K-long signature rows reach the banded-LSH shuffle downstream.
+    ``spread_scan`` inside ``read_docs_spread`` is a metadata-gated no-op
+    when the scan already plans >= cores tasks."""
+    d = read_docs_spread(spark, sf_dir, key="doc_id")
     sh = d.select("doc_id", tokens(F.col("text")).alias("toks")).select(
-        "doc_id", F.expr(_SHINGLES_SPARK).alias("shs")
+        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh")
     )
-    sh = sh.filter(F.size("shs") > 0)
-    hs = sh.select(
+    h = sh.select(
         "doc_id",
         F.expr(
-            "transform(shs, s ->"
-            " cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
-        ).alias("hs"),
+            "cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint)"
+        ).alias("h"),
     )
-    mins = ", ".join(
-        f"array_min(transform(hs2, h -> ({a}L * h + {b}L) % {MERSENNE_P}L))"
-        f" AS mh{i}"
-        for i, (a, b) in enumerate(PERMS)
+    return h.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"({a}L * h + {b}L) % {MERSENNE_P}L")).alias(f"mh{i}")
+            for i, (a, b) in enumerate(PERMS)
+        ]
     )
-    return hs.select(
-        "doc_id",
-        F.expr(f"transform(array(hs), hs2 -> struct({mins}))[0]").alias("s"),
-    ).select("doc_id", "s.*")
 
 
 register("dedup_minhash_signatures", oracle=MINHASH_SIG_SQL)(minhash_signatures)
@@ -588,9 +585,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     *verifier* semantics — at 100 TB the candidate generation must come from
     MinHash-LSH (above); joining on raw shingles explodes on common n-grams.
     Shingles (not unigrams) keep the join fan-out tolerable here."""
-    d = spread_scan(
-        read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    )
+    d = read_docs_spread(spark, sf_dir, key="doc_id")
     shingle = (
         d.select("doc_id", tokens(F.col("text")).alias("toks"))
         .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
@@ -660,9 +655,7 @@ def dedup_ngram_jaccard_on_candidates(
     ``None`` stays oracle-exact), then two doc_id equi-joins to pull each
     side's shingle array."""
     cand = dedup_minhash_lsh_pairs(spark, sf_dir, bucket_cap=bucket_cap)
-    d = spread_scan(
-        read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    )
+    d = read_docs_spread(spark, sf_dir, key="doc_id")
     shsets = (
         d.select("doc_id", tokens(F.col("text")).alias("toks"))
         .select("doc_id", F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("shs"))
@@ -1998,9 +1991,7 @@ NGRAM_CONTAINMENT_SQL = f"""
 def dedup_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle containment pairs (both directions); see the section
     comment for why this exists next to Jaccard."""
-    d = spread_scan(
-        read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    )
+    d = read_docs_spread(spark, sf_dir, key="doc_id")
     shingle = (
         d.select("doc_id", tokens(F.col("text")).alias("toks"))
         .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
@@ -2358,9 +2349,7 @@ def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB chunking is embarrassingly parallel scan work exactly like the
     MinHash signature projection. ``spread_scan``: scale-adaptive scan
     spread for exactly that reason (no-op at scale, see its docstring)."""
-    docs = spread_scan(
-        read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    )
+    docs = read_docs_spread(spark, sf_dir, key="doc_id")
     text = F.col("text")
 
     # Per-CODEPOINT array, computed ONCE per row. Everything downstream
@@ -2756,9 +2745,7 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", match_sum.alias("m"))
         .select("a", "b", F.expr(f"(1000 * m) div {K}").alias("est_permille"))
     )
-    d = spread_scan(
-        read_star_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    )
+    d = read_docs_spread(spark, sf_dir, key="doc_id")
     from polars_ad_etl_spark.functions.hashing import tokens
 
     shingle = (

@@ -199,12 +199,14 @@ def curation_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles. Per-doc n-grams are pre-deduplicated in the projection, so
     the join output is the exact distinct-shared count.
 
-    ``spread_scan``: the 5-gram build is per-row-expensive scan work and
-    the testdata scan plans one task — scale-adaptive spread, no-op at
-    scale (see its docstring)."""
-    from polars_ad_etl_spark.sources.star import spread_scan
+    ``read_docs_spread``: the 5-gram build is per-row-expensive scan work
+    and the testdata scan plans one task — scale-adaptive spread, no-op at
+    scale (see spread_scan's docstring). The spread exchange hashes on
+    ``doc_id``, so the final per-document count aggregate reuses it (guide
+    §2.4) instead of planning its own."""
+    from polars_ad_etl_spark.sources.star import read_docs_spread
 
-    t = spread_scan(_docs(spark, sf_dir).select("doc_id", "text")).select(
+    t = read_docs_spread(spark, sf_dir, key="doc_id").select(
         "doc_id",
         _bucket(F.col("doc_id"), "eval").alias("bk"),
         tokens(F.col("text")).alias("toks"),

@@ -93,22 +93,37 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: fact-fact join on the order key, group, top-10
-    (unique total order for determinism). No broadcast hints on customer:
-    it scales with SF, so the build side is Catalyst's stats-based call
-    (auto-broadcast at small SF, sort-merge at 100 TB)."""
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    """TPC-H Q3 shape: fact-fact join on the order key, top-10 (unique
+    total order for determinism).
+
+    Round 13 (guide §2.3 "aggregate before you shuffle" / §2.4): revenue
+    is aggregated per l_orderkey BEFORE the fact-fact join, so the wide
+    exchange carries one (orderkey, revenue) row per order instead of
+    every lineitem row widened with order columns — and the aggregate's
+    output partitioning feeds the join directly. o_orderkey is the orders
+    PK (dq_pk_uniqueness is the declared gate), so grouping by l_orderkey
+    alone is row-identical to grouping by (l_orderkey, o_orderdate,
+    o_orderpriority) after the join. The customer side contributes no
+    output columns — a left-semi join on the projected key list replaces
+    the inner join (same keep-set on unique c_custkey; NULL keys match
+    in neither). No broadcast hints: customer/orders scale with SF, so
+    build sides stay Catalyst's stats-based call (auto-broadcast at small
+    SF, sort-merge at 100 TB). Decimal revenue sums are exact, so the
+    pre-join aggregation is bit-identical to the post-join one."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
-    )
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
     )
+    rev = l.groupBy("l_orderkey").agg(dsum(_revenue()).alias("revenue"))
+    oc = o.join(c, o.o_custkey == c.c_custkey, "left_semi")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(_revenue()).alias("revenue"))
+        rev.join(oc, rev.l_orderkey == oc.o_orderkey)
+        .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )

@@ -382,21 +382,34 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape (correlated AVG subquery): revenue from
-    below-one-fifth-of-average-quantity orders. Spark-first rewrite: the
-    per-part average is a small aggregate joined back on l_partkey — the
-    correlated subquery never re-executes per row. The average uses the
-    decimal-exact sum so the 0.2x threshold is bit-identical to DuckDB's."""
+    below-one-fifth-of-average-quantity orders.
+
+    Round 13 (guide §2.4 "window partitioned like a preceding operation
+    needs no second shuffle", §1.2 "don't compute things you throw away"):
+    ONE lineitem scan — join the (selective) brand-filtered part keys
+    first, then compute the per-part average as a WINDOW over the already
+    part-keyed rows. The old shape aggregated the per-part average over a
+    SECOND full lineitem scan (including the ~96% of parts the brand
+    filter discards) and joined it back. The join keeps every lineitem row
+    of a surviving part, so the window average per part is over the exact
+    row set the full-scan aggregate used — and at 100 TB, when the join
+    goes sort-merge, its l_partkey exchange ALSO satisfies the window's
+    partitioning, so the plan stays at one wide shuffle of the ~4% of
+    lineitem that survives. The average uses the decimal-exact sum so the
+    0.2x threshold is bit-identical to DuckDB's (same expression sequence
+    as the aggregate form: sum(decimal(25,6)) cast double / count)."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    l = _t(spark, sf_dir, "lineitem")
-    part_avg = l.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
-        (
-            F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
-            / F.count("l_quantity")
-        ).alias("avg_qty")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = W.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")).over(w).cast("double")
+        / F.count("l_quantity").over(w)
     )
     return (
-        l.join(p, l.l_partkey == p.p_partkey)
-        .join(part_avg, F.col("l_partkey") == F.col("avg_partkey"))
+        l.join(p.select("p_partkey"), l.l_partkey == F.col("p_partkey"))
+        .withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
     )

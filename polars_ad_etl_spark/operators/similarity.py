@@ -353,25 +353,36 @@ def _label_centroid_arrays(e: DataFrame) -> DataFrame:
     """Per-label centroid as array<double> (dims ascending) — the coarse
     quantizer shared by sim_ivf_probe_topk and sim_ann_recall_curve. Exact
     floor-quantized integer means (see embedding_label_centroids) so both
-    engines agree bit-for-bit."""
-    return (
-        e.select("label", F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("label", "dim")
-        .agg(
-            (
-                F.sum(F.floor(F.col("v").cast("double") * 1e9).cast("long")).cast(
-                    "double"
-                )
-                / F.lit(1e9)
-                / F.count("*")
-            ).alias("c")
-        )
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
-            ).alias("ce")
-        )
+    engines agree bit-for-bit.
+
+    Round 13 (guide §2.3/§2.4): ONE groupBy(label) with DIM plain SUM
+    aggregates replaces the posexplode -> groupBy(label, dim) ->
+    groupBy(label) two-exchange shape — no 64x row explosion, one tiny
+    exchange of (label, 64 longs, count) partials, and every sum is a
+    codegen'd long aggregate instead of rows through two hash maps. The
+    per-dim arithmetic is the identical expression sequence
+    (sum(floor(v * 1e9) as long) cast double / 1e9 / count), so the result
+    is bit-for-bit the same as the exploded form and the oracle.
+    ``try_element_at`` (1-based) mirrors the oracle's generate_series
+    indexing and never raises under ANSI on a short vector."""
+    sums = [
+        F.sum(
+            F.floor(
+                F.try_element_at("embedding", F.lit(i + 1)).cast("double")
+                * 1e9
+            ).cast("long")
+        ).alias(f"_s{i}")
+        for i in range(DIM)
+    ]
+    agged = e.groupBy("label").agg(*sums, F.count("*").alias("_n"))
+    return agged.select(
+        "label",
+        F.array(
+            *[
+                F.col(f"_s{i}").cast("double") / F.lit(1e9) / F.col("_n")
+                for i in range(DIM)
+            ]
+        ).alias("ce"),
     )
 
 _CENT_SQL = """

@@ -10,6 +10,7 @@ import hashlib
 import re
 
 from pathlib import Path
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -17,7 +18,60 @@ from pyspark.sql import functions as F
 _DATE_BOUND = re.compile(r"\d{4}-\d{2}-\d{2}")
 
 
-def spread_scan(df: DataFrame) -> DataFrame:
+def _byte_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark byte-string conf ('128m', '4194304b', plain int) in
+    Python — no JVM round-trip."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    mult = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if raw and raw[-1] in mult:
+        return int(raw[:-1]) * mult[raw[-1]]
+    return int(raw)
+
+
+# (appId, resolved path) -> (mtime_ns, estimated planned scan partitions).
+_SCAN_WIDTHS: dict[tuple[str, str], tuple[int, int]] = {}
+
+
+def scan_width(spark: SparkSession, path: str | Path) -> int:
+    """Estimated number of tasks a parquet scan of ``path`` will plan,
+    derived from FILE METADATA ONLY (no ``df.rdd`` plan conversion — the
+    round-12 probe converted the frame to an RDD on the driver per
+    construction, which is exactly the py4j/analysis overhead the round
+    was hunting). Mirrors Spark's FilePartition packing: splittable files
+    are chunked by ``maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, (total + nfiles*openCost) / defaultParallelism))``
+    and bin-packed; the estimate ``ceil(total_charged / maxSplitBytes)``
+    is exact for the flat single-file testdata and within one of the real
+    count for multi-file layouts — plenty for a >=-cores gate. Memoized
+    per (appId, path, mtime)."""
+    p = Path(path).resolve()
+    key = (spark.sparkContext.applicationId, str(p))
+    try:
+        mtime = p.stat().st_mtime_ns
+    except OSError:
+        return 1
+    hit = _SCAN_WIDTHS.get(key)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    if p.is_dir():
+        sizes = [f.stat().st_size for f in p.rglob("*.parquet")]
+    else:
+        sizes = [p.stat().st_size]
+    open_cost = _byte_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    max_pb = _byte_conf(
+        spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+    )
+    par = spark.sparkContext.defaultParallelism
+    total = sum(s + open_cost for s in sizes) or 1
+    max_split = min(max_pb, max(open_cost, total // max(par, 1) + 1))
+    width = max(1, -(-total // max_split))
+    _SCAN_WIDTHS[key] = (mtime, width)
+    return width
+
+
+def spread_scan(
+    df: DataFrame, key: str | None = None, width: int | None = None
+) -> DataFrame:
     """Scale-adaptive compute spread for per-row-EXPENSIVE projections
     (shingling, MinHash, SimHash, CDC rolling hashes).
 
@@ -29,17 +83,42 @@ def spread_scan(df: DataFrame) -> DataFrame:
     1.5 s on 1 of 32 cores at sf0.1 — guide §2.5 "input skew", §6 "input
     split size"). Production layouts (thousands of files/row groups) plan
     at least cores-many scan tasks, in which case this is a NO-OP: the
-    condition compares the frame's actual planned partitioning against the
+    condition compares the scan's planned partitioning against the
     session's default parallelism, so there is no constant tuned to either
-    local mode or a cluster. When it fires it costs one round-robin
-    exchange of the frame — callers project the needed columns FIRST
-    (guide §2.3) and only wrap frames whose downstream per-row compute
-    dominates that exchange."""
+    local mode or a cluster. When it fires it costs one exchange of the
+    frame — callers project the needed columns FIRST (guide §2.3) and only
+    wrap frames whose downstream per-row compute dominates that exchange.
+
+    ``key``: optional column to hash-partition on instead of round-robin.
+    When the downstream heavy projection feeds a ``groupBy(key)``, hashing
+    here lets the aggregate reuse this exchange (guide §2.4 "two operations
+    keyed the same way share one exchange") AND skips round-robin's
+    sort-before-repartition pass on the map side.
+
+    ``width``: the scan's planned partition count from :func:`scan_width`
+    (metadata-only). When omitted, falls back to the ``df.rdd`` probe —
+    callers on the hot construction path should pass it."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    planned = width if width is not None else df.rdd.getNumPartitions()
+    if planned >= target:
         return df
+    if key is not None:
+        return df.repartition(target, key)
     return df.repartition(target)
+
+
+def read_docs_spread(
+    spark: SparkSession, sf_dir: str | Path, key: str | None = None
+) -> DataFrame:
+    """The (doc_id, text) projection of the documents table, spread-gated
+    for per-row-expensive downstream compute — the shared entry point of
+    the shingle/MinHash/SimHash/CDC operators. The spread decision comes
+    from :func:`scan_width` (file metadata, memoized), so constructing a
+    query costs zero RDD conversions."""
+    path = Path(sf_dir) / "documents.parquet"
+    df = read_star_parquet(spark, path).select("doc_id", "text")
+    return spread_scan(df, key=key, width=scan_width(spark, path))
 
 
 # Base-relation reuse for the static star tables (round 12, guide §1/§7.3:
@@ -52,9 +131,28 @@ def spread_scan(df: DataFrame) -> DataFrame:
 # the SAME analyzed base relation per (session, resolved path, mtime, size).
 # This caches METADATA ONLY — no rows, no results, no query intermediates:
 # every action on the returned frame still scans the parquet file. A
-# replaced/rewritten file changes (mtime_ns, size) and misses the cache; a
-# new session (different appId) never sees another session's entries.
-_BASE_RELATIONS: dict[tuple[str, str], tuple[int, int, DataFrame]] = {}
+# replaced/rewritten file changes the fingerprint and misses the cache.
+# Keyed on the SparkSession OBJECT (WeakKeyDictionary), not applicationId:
+# a cloned session (spark.newSession(), same appId) analyzes under its own
+# confs and must never receive a sibling's frame (round-12 advice); dead
+# sessions drop their entries automatically. For DIRECTORY layouts
+# (documents.parquet/source_part=…) the fingerprint folds in the direct
+# children's (name, mtime_ns, size) — a write into an existing partition
+# subdir does not bump the top dir's mtime (round-12 advice).
+_BASE_RELATIONS: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
+def _path_fingerprint(p: Path) -> tuple:
+    st = p.stat()
+    if p.is_dir():
+        children = tuple(
+            sorted(
+                (c.name, c.stat().st_mtime_ns, c.stat().st_size)
+                for c in p.iterdir()
+            )
+        )
+        return (st.st_mtime_ns, st.st_size, children)
+    return (st.st_mtime_ns, st.st_size)
 
 
 def read_star_parquet(spark: SparkSession, path: str | Path) -> DataFrame:
@@ -62,17 +160,17 @@ def read_star_parquet(spark: SparkSession, path: str | Path) -> DataFrame:
 
     p = _P(path).resolve()
     try:
-        st = p.stat()
+        fp = _path_fingerprint(p)
     except OSError:
         # Missing path: fall through so Spark raises its usual error.
         return spark.read.parquet(str(p))
-    key = (spark.sparkContext.applicationId, str(p))
-    hit = _BASE_RELATIONS.get(key)
-    if hit is not None and hit[0] == st.st_mtime_ns and hit[1] == st.st_size:
-        df = hit[2]
+    per_session = _BASE_RELATIONS.setdefault(spark, {})
+    hit = per_session.get(str(p))
+    if hit is not None and hit[0] == fp:
+        df = hit[1]
     else:
         df = spark.read.parquet(str(p))
-        _BASE_RELATIONS[key] = (st.st_mtime_ns, st.st_size, df)
+        per_session[str(p)] = (fp, df)
     # Fresh output attribute ids per call (~9 ms): two reads of the same
     # table inside one query (q7's nation x2, the incremental dedup
     # corpus/batch splits) must not share expression ids, or the join-side

@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Dump ``explain("formatted")`` for named queries to plans/r12/<q>_<tag>.txt.
+"""Dump ``explain("formatted")`` for named queries to
+plans/$SPARK_GRAFT_PLANS_DIR/<q>_<tag>.txt (default plans/r13).
 
 Usage: python scripts/explain_dump.py <tag> [query ...]
 With no query names, dumps the bench HEADLINE set. The captured plan is the
@@ -29,7 +30,7 @@ def main() -> int:
 
         names = list(bench.HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = _ROOT / "plans" / "r12"
+    out_dir = _ROOT / "plans" / os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13")
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("explain-dump")
     for name in names:

@@ -73,24 +73,28 @@ def test_no_python_udfs_in_jvm_path_queries(spark):
             assert "MapInPandas" not in plan, name
 
 
-def test_minhash_signatures_pure_projection(spark):
-    """Round-7 shape: signatures are a single-stage projection — no explode,
-    no aggregate, no hash-keyed Exchange. Everything runs scan-local, so at
-    100 TB the signature stage is embarrassingly parallel and shuffles
-    nothing. Round 12: when the scan plans fewer tasks than the session has
-    cores (the single-row-group testdata layout), sources.star.spread_scan
-    inserts ONE round-robin exchange of (doc_id, text) so the projection
-    actually parallelizes; at scale the scan has enough tasks and the plan
-    reverts to exchange-free — both shapes are legal here, a hash-keyed
-    exchange or more than one exchange is not."""
+def test_minhash_signatures_single_exchange_codegen_agg(spark):
+    """Round-13 shape: explode shingles + ONE whole-stage-codegen
+    HashAggregate of the K permutation minima, grouped by doc_id. The
+    round-7 "pure projection" form (K array_min(transform(...)) passes)
+    kept one row per doc but higher-order-function lambdas evaluate
+    INTERPRETED outside codegen — measured ~6x the CPU of the exploded
+    aggregate (OPTIMIZATION_r13.md). The spread exchange hashes on doc_id,
+    so the aggregate REUSES it (guide §2.4): at most one Exchange total,
+    and it must be the doc_id hash spread, never a second aggregate
+    exchange. At scale the scan plans enough tasks, the spread is a no-op,
+    and the plan is exchange-free (partial+final agg collapse scan-local
+    per doc_id? no — the agg then plans its own single hash exchange of
+    5000 signature rows, still one exchange)."""
     plan = formatted_plan(QUERIES["dedup_minhash_signatures"](spark, SF_DIR))
-    assert "Exchange hashpartitioning" not in plan
-    # at most the one adaptive round-robin spread ("Exchange" appears twice
-    # per physical node: in the tree and in the details section)
+    # one exchange ("Exchange" appears twice per physical node: tree +
+    # details section)
     assert plan.count("Exchange") <= 2
-    assert "Exchange" not in plan or "RoundRobinPartitioning" in plan
-    assert "HashAggregate" not in plan
-    assert "Generate" not in plan  # no explode
+    assert "RoundRobinPartitioning" not in plan  # keyed spread, no RR sort
+    assert "HashAggregate" in plan
+    assert "Generate" in plan  # exploded shingles feed the codegen agg
+    # the md5 hash is computed once, outside any interpreted lambda
+    assert plan.count("array_min") == 0
 
 
 def test_q2_correlated_min_single_window_shuffle(spark):
@@ -115,12 +119,16 @@ def test_scalar_subqueries_broadcast_not_collected(spark):
         assert "BroadcastExchange" in plan, name
 
 
-def test_q17_avg_join_not_correlated_rescan(spark):
-    """The per-part average is one aggregate joined back — lineitem must be
-    scanned exactly twice (fact + avg), with map-side partial aggregation."""
+def test_q17_single_scan_window_avg(spark):
+    """Round-13 shape (guide §2.4): lineitem is scanned exactly ONCE — the
+    brand-filtered part keys join first, then the per-part average is a
+    window over the already part-keyed rows (its partitioning reused from
+    the join exchange when the join goes sort-merge at scale). The old
+    two-scan aggregate-join-back shape re-read lineitem in full for the
+    averages of the ~96% of parts the brand filter discards."""
     plan = formatted_plan(QUERIES["q17_small_quantity_revenue"](spark, SF_DIR))
-    assert plan.count("lineitem.parquet") == 2
-    assert "partial_sum" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
 
 
 def test_q16_not_in_is_anti_join(spark):
