@@ -1191,7 +1191,16 @@ def connected_components_propagate(edges: DataFrame) -> DataFrame:
     One shuffle per iteration; iteration count = graph DIAMETER. The right
     tool when components are near-cliques (the LSH candidate graph). For
     high-diameter graphs use :func:`connected_components_star` (O(log d)
-    rounds)."""
+    rounds).
+
+    Round 13 (guide §1/§7.3 — at bench scale the loop's wall is DRIVER
+    BARRIERS, not data): the seed aggregation composes LAZILY with the
+    first double-step into the first materialization instead of
+    checkpointing on its own (one synchronous job saved, ~80 ms here). A
+    second cut was tried and REVERTED: deriving ``sym`` lazily from the
+    caller's checkpointed edges saved its barrier but tripled every
+    iteration's plan (the union subtree re-planned per step), measured
+    +0.34 s of driver analysis per call — the checkpoint stays."""
     sym = edges.filter(F.col("a") != F.col("b"))
     sym = sym.unionByName(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -1205,11 +1214,27 @@ def connected_components_propagate(edges: DataFrame) -> DataFrame:
     # exchanges and skips adaptive execution entirely (measured 0.56 ->
     # 0.44 s on the sf0.1 keep-list graph). Bigger graphs keep the
     # distributed loop untouched — the signal is AQE's own output sizing,
-    # not a row-count constant.
+    # not a row-count constant. The probe runs ONCE per call on a
+    # materialized leaf (the .rdd conversion there is a single cheap py4j
+    # exchange, measured 0.5 ms — unlike the removed star.py probe, which
+    # converted a full scan plan per construction).
     if sym.rdd.getNumPartitions() <= 2:
         sym = sym.coalesce(1)
 
     def step(lbl: DataFrame) -> DataFrame:
+        neighbor_min = (
+            sym.join(lbl, sym.b == lbl.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        return lbl.join(neighbor_min, "node", "left_outer").select(
+            "node",
+            F.least(
+                "component_id", F.coalesce("nbr_min", "component_id")
+            ).alias("component_id"),
+        )
+
+    def step_flagged(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
             sym.join(lbl, sym.b == lbl.node)
             .groupBy(F.col("a").alias("node"))
@@ -1227,12 +1252,12 @@ def connected_components_propagate(edges: DataFrame) -> DataFrame:
 
     # Seed: label(v) = least(v, min(neighbor)) via ONE aggregation — this
     # IS the first propagate iteration with identity labels, minus its
-    # join (neighbor labels equal the neighbors themselves).
+    # join (neighbor labels equal the neighbors themselves). Composed
+    # lazily into the first double-step's materialization (no own barrier).
     labels = (
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.min("b").alias("nbr_min"))
         .select("node", F.least("node", "nbr_min").alias("component_id"))
-        .localCheckpoint(eager=True)
     )
     while True:
         # Round-12 job-count cut (the loop's wall at bench scale was pure
@@ -1241,9 +1266,7 @@ def connected_components_propagate(edges: DataFrame) -> DataFrame:
         # stride is semantics-free, and testing only the SECOND step's
         # changed flag is exact: step 2 changing nothing means its input
         # was already a fixpoint.
-        updated = step(step(labels).drop("changed")).localCheckpoint(
-            eager=True
-        )
+        updated = step_flagged(step(labels)).localCheckpoint(eager=True)
         # fixpoint test: only emptiness matters, so isEmpty (take-1 over
         # the checkpointed frame, short-circuits at the first changed row)
         # instead of a full count job per iteration

@@ -109,7 +109,17 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     in neither). No broadcast hints: customer/orders scale with SF, so
     build sides stay Catalyst's stats-based call (auto-broadcast at small
     SF, sort-merge at 100 TB). Decimal revenue sums are exact, so the
-    pre-join aggregation is bit-identical to the post-join one."""
+    pre-join aggregation is bit-identical to the post-join one.
+
+    Prepart grain (SCALING.md "partial-aggregation combine decay"):
+    l_orderkey has ~2 surviving rows per order, so map-side combine emits
+    nearly one record per input row THROUGH a transition zone where its
+    record count grows super-linearly (measured: 5.3x/4.2x/3.4x records
+    per 3x data across the sf0.1→3.0 sweep with the plain groupBy). The
+    explicit project + ``repartition(l_orderkey)`` carries exactly the
+    filtered input rows — linear by construction — and Catalyst plans
+    partial+final agg both ABOVE the exchange, no second shuffle; the
+    aggregate's output partitioning then feeds the join."""
     c = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     ).select("c_custkey")
@@ -119,7 +129,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
     )
-    rev = l.groupBy("l_orderkey").agg(dsum(_revenue()).alias("revenue"))
+    rev = (
+        l.select("l_orderkey", _revenue().alias("rev"))
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(dsum("rev").alias("revenue"))
+    )
     oc = o.join(c, o.o_custkey == c.c_custkey, "left_semi")
     return (
         rev.join(oc, rev.l_orderkey == oc.o_orderkey)

@@ -364,26 +364,26 @@ def _label_centroid_arrays(e: DataFrame) -> DataFrame:
     (sum(floor(v * 1e9) as long) cast double / 1e9 / count), so the result
     is bit-for-bit the same as the exploded form and the oracle.
     ``try_element_at`` (1-based) mirrors the oracle's generate_series
-    indexing and never raises under ANSI on a short vector."""
-    sums = [
-        F.sum(
-            F.floor(
-                F.try_element_at("embedding", F.lit(i + 1)).cast("double")
-                * 1e9
-            ).cast("long")
-        ).alias(f"_s{i}")
+    indexing and never raises under ANSI on a short vector. Both stages
+    are built as ONE ``F.expr`` string each (guide §7.3 via vectors.py:
+    construction is driver wall time; 64 Column-built sums cost ~850 py4j
+    round-trips, measured 1.0 s of the query's 1.9 s wall)."""
+    sums = ", ".join(
+        f"sum(cast(floor(cast(try_element_at(embedding, {i + 1}) as double)"
+        f" * 1e9) as bigint)) as _s{i}"
         for i in range(DIM)
-    ]
-    agged = e.groupBy("label").agg(*sums, F.count("*").alias("_n"))
-    return agged.select(
-        "label",
-        F.array(
-            *[
-                F.col(f"_s{i}").cast("double") / F.lit(1e9) / F.col("_n")
-                for i in range(DIM)
-            ]
-        ).alias("ce"),
     )
+    agged = e.groupBy("label").agg(
+        F.expr(f"struct({sums}, count(*) as _n)").alias("_a")
+    )
+    ce = (
+        "array("
+        + ", ".join(
+            f"cast(_a._s{i} as double) / 1e9 / _a._n" for i in range(DIM)
+        )
+        + ")"
+    )
+    return agged.select("label", F.expr(ce).alias("ce"))
 
 _CENT_SQL = """
     SELECT label, list(c ORDER BY dim) AS ce FROM (

@@ -52,8 +52,15 @@ def _in_list_sql(words: tuple[str, ...]) -> str:
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation / stopword quality signals — the cheap filters an
-    LLM-data pipeline applies before any model-based scoring."""
-    d = read_star_parquet(spark, f"{sf_dir}/documents.parquet")
+    LLM-data pipeline applies before any model-based scoring.
+
+    ``read_docs_spread`` (round 13): the per-token filter lambdas evaluate
+    interpreted, and the testdata scan plans ONE task, so the whole corpus
+    scored on one core (~0.4 s of the 0.43 s wall at sf0.1). Scale-adaptive
+    spread parallelizes it; no-op at scale (see spread_scan)."""
+    from polars_ad_etl_spark.sources.star import read_docs_spread
+
+    d = read_docs_spread(spark, sf_dir, cols=("doc_id", "lang", "text"))
     t = d.select("doc_id", "lang", "text", tokens(F.col("text")).alias("toks"))
     n_toks = F.size("toks")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])

@@ -109,15 +109,19 @@ def spread_scan(
 
 
 def read_docs_spread(
-    spark: SparkSession, sf_dir: str | Path, key: str | None = None
+    spark: SparkSession,
+    sf_dir: str | Path,
+    key: str | None = None,
+    cols: tuple[str, ...] = ("doc_id", "text"),
 ) -> DataFrame:
-    """The (doc_id, text) projection of the documents table, spread-gated
-    for per-row-expensive downstream compute — the shared entry point of
-    the shingle/MinHash/SimHash/CDC operators. The spread decision comes
-    from :func:`scan_width` (file metadata, memoized), so constructing a
-    query costs zero RDD conversions."""
+    """A projection of the documents table, spread-gated for per-row-
+    expensive downstream compute — the shared entry point of the
+    shingle/MinHash/SimHash/CDC/text-stats operators. Callers name the
+    columns they need (guide §2.3: project before the exchange). The
+    spread decision comes from :func:`scan_width` (file metadata,
+    memoized), so constructing a query costs zero RDD conversions."""
     path = Path(sf_dir) / "documents.parquet"
-    df = read_star_parquet(spark, path).select("doc_id", "text")
+    df = read_star_parquet(spark, path).select(*cols)
     return spread_scan(df, key=key, width=scan_width(spark, path))
 
 

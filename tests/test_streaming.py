@@ -1454,3 +1454,63 @@ def test_decisions_identical_with_persisted_indexes(spark, tmp_path):
             ).collect()
         }
     assert results["derived"] == results["persisted"] and results["derived"]
+
+
+def test_stateful_user_totals_state_bounded_per_key(spark, tmp_path):
+    """Round-13 pinned bound (guide §2.6/§4.5 checklist): the
+    applyInPandasWithState running-totals operator keeps EXACTLY ONE tiny
+    state row per distinct key, however many micro-batches re-deliver the
+    same keys. A leak (state rows scaling with batches x keys, or bytes
+    per key growing with event count) is the classic way keyed streaming
+    state kills a 100 TB pipeline; this pins the bound end-to-end via the
+    engine's own stateOperators progress metrics."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from polars_ad_etl_spark.sources.star import load_events
+    from polars_ad_etl_spark.streaming import (
+        read_events_stream,
+        user_totals_stream,
+    )
+
+    # split the static events into 4 chunk files so the same users recur
+    # across micro-batches (the sf dir ships ONE file = one trigger)
+    src = f"{tmp_path}/events_chunks/events.parquet"
+    os.makedirs(src)
+    ev = load_events(spark, SF_DIR)
+    n_users = ev.select("user_id").distinct().count()
+    w = f"{tmp_path}/chunks_w"
+    ev.repartition(4).write.mode("overwrite").parquet(w)
+    for i, f in enumerate(sorted(_glob.glob(f"{w}/part-*.parquet"))):
+        shutil.copy(f, f"{src}/chunk{i}.parquet")
+
+    stream = read_events_stream(
+        spark, f"{tmp_path}/events_chunks", max_files_per_trigger=1
+    )
+    q = (
+        user_totals_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals_bound_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = [p for p in q.recentProgress if p["stateOperators"]]
+    finally:
+        q.stop()
+
+    assert len(progress) >= 4  # one per chunk file
+    rows_per_batch = [
+        p["stateOperators"][0]["numRowsTotal"] for p in progress
+    ]
+    # the bound: state rows never exceed the distinct-key count, and the
+    # final batch holds exactly one row per key — NOT keys x batches
+    assert max(rows_per_batch) <= n_users
+    assert rows_per_batch[-1] == n_users
+    # bytes per key stay O(1): the state schema is two scalars, so even
+    # with a generous per-row overhead allowance the average must stay
+    # far below anything event-count-shaped (events/user ~ hundreds)
+    bytes_last = progress[-1]["stateOperators"][0]["memoryUsedBytes"]
+    assert bytes_last / max(n_users, 1) < 4096
